@@ -1,0 +1,158 @@
+"""Coordinate chain sanity tests (ERFA-lite).
+
+Absolute astrometric accuracy cannot be validated here (no astropy in the
+environment); these tests check internal consistency, orthonormality, known
+limits, and convention contracts (enu_to_az_za matching the reference's
+matvis semantics at cpu_simulate.py:957).
+"""
+
+import numpy as np
+import pytest
+
+from fftvis_tpu.coords import (
+    SourceRotation,
+    TelescopeLocation,
+    earth_rotation_angle,
+    enu_to_az_za,
+    icrs_to_enu_matrices,
+    radec_to_icrs_vectors,
+)
+
+JD0 = 2459863.2  # arbitrary 2022 epoch
+LOC = TelescopeLocation(lat=np.deg2rad(-30.72), lon=np.deg2rad(21.43), height=1050.0)
+
+
+def test_matrices_orthonormal():
+    jd = JD0 + np.linspace(0, 1, 7)
+    mats = icrs_to_enu_matrices(jd, LOC)
+    for m in mats:
+        np.testing.assert_allclose(m @ m.T, np.eye(3), atol=1e-12)
+        assert np.linalg.det(m) == pytest.approx(1.0, abs=1e-12)
+
+
+def test_era_rate():
+    """ERA advances ~ 2pi * 1.0027379 per day."""
+    e0 = earth_rotation_angle(np.array([JD0]))[0]
+    e1 = earth_rotation_angle(np.array([JD0 + 1.0]))[0]
+    rate = (e1 - e0) % (2 * np.pi)
+    expected = (2 * np.pi * 1.00273781191135448) % (2 * np.pi)
+    assert rate == pytest.approx(expected, abs=1e-9)
+
+
+def test_zenith_source_at_transit():
+    """A source at the site latitude transits within ~1 arcmin of zenith
+    (the residual is precession between ICRS and date ~ <0.4 deg over
+    ~20 yr; we search the best time of day and require close zenith
+    passage for a source placed at apparent coordinates)."""
+    rot = SourceRotation(
+        ra=np.array([0.0]),
+        dec=np.array([LOC.lat]),
+        times=JD0 + np.linspace(0, 0.9973, 480),
+        telescope_loc=LOC,
+    )
+    topo = rot.topo_all_times()  # (nt, 3, 1)
+    up = topo[:, 2, 0]
+    # Max altitude should come close to zenith; precession/nutation offsets
+    # for a J2000-coordinates source are < 0.5 deg in 2022.
+    assert up.max() > np.cos(np.deg2rad(0.5))
+
+
+def test_source_below_horizon():
+    """A source at the opposite pole never rises."""
+    rot = SourceRotation(
+        ra=np.array([1.0]),
+        dec=np.array([np.pi / 2]),  # north celestial pole
+        times=JD0 + np.linspace(0, 1, 10),
+        telescope_loc=LOC,  # southern site
+    )
+    up = rot.topo_all_times()[:, 2, 0]
+    assert (up < 0).all()
+
+
+def test_pole_source_altitude():
+    """The celestial pole sits at altitude ~ |site latitude|."""
+    lat = np.deg2rad(40.0)
+    loc = TelescopeLocation(lat=lat, lon=0.3, height=0.0)
+    rot = SourceRotation(
+        ra=np.array([0.0]),
+        dec=np.array([np.pi / 2]),
+        times=JD0 + np.linspace(0, 1, 5),
+        telescope_loc=loc,
+        include_aberration=False,
+    )
+    up = rot.topo_all_times()[:, 2, 0]
+    alt = np.arcsin(up)
+    # Pole altitude equals latitude to within precession-era offsets (<0.5 deg).
+    assert np.abs(alt - lat).max() < np.deg2rad(0.5)
+    # The J2000 pole circles the pole of date at the precession offset
+    # (~0.12 deg in 2022), so daily motion is bounded by twice that.
+    assert np.ptp(alt) < np.deg2rad(0.3)
+
+
+def test_aberration_magnitude():
+    """Aberration shifts directions by <= ~20.5 arcsec and is smooth."""
+    rot_ab = SourceRotation(
+        ra=np.array([2.0]), dec=np.array([0.3]), times=[JD0], telescope_loc=LOC
+    )
+    rot_no = SourceRotation(
+        ra=np.array([2.0]),
+        dec=np.array([0.3]),
+        times=[JD0],
+        telescope_loc=LOC,
+        include_aberration=False,
+    )
+    a = rot_ab.topo_all_times()[0, :, 0]
+    b = rot_no.topo_all_times()[0, :, 0]
+    ang = np.arccos(np.clip(a @ b, -1, 1))
+    assert 0 < ang < np.deg2rad(21 / 3600)
+
+
+def test_enu_to_az_za_conventions():
+    # East on the horizon: astropy az = pi/2, uvbeam az = 0.
+    az, za = enu_to_az_za(np.array([1.0]), np.array([0.0]), orientation="astropy")
+    assert az[0] == pytest.approx(np.pi / 2)
+    assert za[0] == pytest.approx(np.pi / 2)
+    az, za = enu_to_az_za(np.array([1.0]), np.array([0.0]), orientation="uvbeam")
+    assert az[0] == pytest.approx(0.0)
+    # North: astropy az = 0, uvbeam az = pi/2.
+    az, _ = enu_to_az_za(np.array([0.0]), np.array([1.0]), orientation="uvbeam")
+    assert az[0] == pytest.approx(np.pi / 2)
+    # Near-zenith: za ~ 0.
+    _, za = enu_to_az_za(np.array([1e-8]), np.array([0.0]))
+    assert za[0] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_enu_to_az_za_jax():
+    import jax.numpy as jnp
+
+    e = jnp.asarray([0.3, -0.2])
+    n = jnp.asarray([0.1, 0.5])
+    az_j, za_j = enu_to_az_za(e, n)
+    az_n, za_n = enu_to_az_za(np.asarray(e), np.asarray(n))
+    np.testing.assert_allclose(np.asarray(az_j), az_n, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(za_j), za_n, atol=1e-12)
+
+
+def test_telescope_location_coercion():
+    loc = TelescopeLocation.from_any((0.1, 0.2, 300.0))
+    assert loc.lat == 0.1 and loc.lon == 0.2 and loc.height == 300.0
+
+    class FakeAngle:
+        def __init__(self, rad):
+            self.rad = rad
+
+    class FakeEarthLocation:
+        lat = FakeAngle(0.5)
+        lon = FakeAngle(-1.0)
+        height = 100.0
+
+    loc = TelescopeLocation.from_any(FakeEarthLocation())
+    assert loc.lat == 0.5 and loc.lon == -1.0
+
+
+def test_radec_vectors_unit_norm():
+    rng = np.random.default_rng(0)
+    ra = rng.uniform(0, 2 * np.pi, 50)
+    dec = rng.uniform(-np.pi / 2, np.pi / 2, 50)
+    v = radec_to_icrs_vectors(ra, dec)
+    np.testing.assert_allclose(np.linalg.norm(v, axis=0), 1.0, atol=1e-14)

@@ -1,0 +1,121 @@
+"""NUFFT correctness vs exact direct-DFT references.
+
+Mirrors the reference's kernel-vs-einsum testing pattern (ref
+tests/test_cpu_beams.py:99-109) applied to the transform layer: every
+approximate transform must match the dense direct sum to its planned eps.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from fftvis_tpu.nufft import (
+    direct_type1_np,
+    direct_type3_jax,
+    direct_type3_np,
+    make_type1_fn,
+    make_type3_fn,
+    plan_type1,
+    plan_type3,
+)
+from fftvis_tpu.nufft.kernels import ESKernel, es_kernel_ft, next_fast_size
+
+
+def _rand_sources(n, d, rng, extent):
+    x = rng.uniform(-1, 1, size=(d, n)) * np.asarray(extent)[:, None]
+    c = rng.normal(size=(3, n)) + 1j * rng.normal(size=(3, n))
+    return x, c
+
+
+@pytest.mark.parametrize("d", [1, 2, 3])
+@pytest.mark.parametrize("eps,sigma", [(1e-6, 2.0), (1e-9, 2.0), (1e-12, 2.0), (1e-6, 1.25)])
+def test_type3_matches_direct(d, eps, sigma):
+    rng = np.random.default_rng(42 + d)
+    n, m = 400, 150
+    extent = [2 * np.pi] * d
+    x, c = _rand_sources(n, d, rng, extent)
+    # Asymmetric target band to exercise centering. Keep the band modest in
+    # 3D: the type-3 fine grid scales as (sigma^2 X S / pi)^3.
+    smax = 40.0 if d < 3 else 6.0
+    s = rng.uniform(0.3, smax, size=(d, m))
+    s[0] -= 0.6 * smax
+
+    plan = plan_type3(s, extent, eps, sigma)
+    fn = make_type3_fn(plan)
+    got = np.asarray(fn(jnp.asarray(x), jnp.asarray(c)))
+    want = direct_type3_np(x, c, s)
+
+    scale = np.max(np.abs(want))
+    err = np.max(np.abs(got - want)) / scale
+    # eps is a target, not a bound (as in finufft): allow a modest factor,
+    # growing with dimension (per-dim errors add), with an fp64 floor.
+    tol = max({1: 30, 2: 30, 3: 300}[d] * eps, 3e-11)
+    assert err < tol, f"d={d} eps={eps} sigma={sigma}: rel err {err:.3e}"
+
+
+@pytest.mark.parametrize("eps", [1e-6, 1e-10])
+def test_type1_matches_direct(eps):
+    rng = np.random.default_rng(7)
+    n = 300
+    x = rng.uniform(0, 2 * np.pi, size=(2, n))
+    c = rng.normal(size=(2, n)) + 1j * rng.normal(size=(2, n))
+    kmax = 20
+    modes = rng.integers(-kmax, kmax + 1, size=(2, 77))
+
+    plan = plan_type1(modes, eps)
+    fn = make_type1_fn(plan)
+    got = np.asarray(fn(jnp.asarray(x), jnp.asarray(c)))
+    want = direct_type1_np(x, c, modes)
+
+    err = np.max(np.abs(got - want)) / np.max(np.abs(want))
+    assert err < 20 * eps, f"eps={eps}: rel err {err:.3e}"
+
+
+def test_type3_single_precision():
+    rng = np.random.default_rng(3)
+    n, m = 500, 100
+    x, c = _rand_sources(n, 2, rng, [2 * np.pi, 2 * np.pi])
+    s = rng.uniform(-30, 30, size=(2, m))
+    plan = plan_type3(s, [2 * np.pi, 2 * np.pi], 6e-8, 2.0)
+    fn = make_type3_fn(plan)
+    got = np.asarray(
+        fn(jnp.asarray(x, dtype=jnp.float32), jnp.asarray(c, dtype=jnp.complex64))
+    )
+    want = direct_type3_np(x, c, s)
+    err = np.max(np.abs(got - want)) / np.max(np.abs(want))
+    assert err < 2e-5, f"fp32 rel err {err:.3e}"
+
+
+def test_direct_jax_matches_np():
+    rng = np.random.default_rng(11)
+    x, c = _rand_sources(1000, 2, rng, [2 * np.pi, 2 * np.pi])
+    s = rng.uniform(-20, 20, size=(2, 64))
+    got = np.asarray(direct_type3_jax(jnp.asarray(x), jnp.asarray(c), s, source_block=256))
+    want = direct_type3_np(x, c, s)
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-10)
+
+
+def test_kernel_ft_consistency():
+    """Quadrature FT must match brute-force numerical integration."""
+    k = ESKernel.from_eps(1e-9, 2.0)
+    xi = np.linspace(0, np.pi, 13)
+    got = es_kernel_ft(xi, k.w, k.beta)
+    t = np.linspace(-k.w / 2, k.w / 2, 20001)
+    from fftvis_tpu.nufft.kernels import es_kernel_grid
+
+    psi = es_kernel_grid(t, k.w, k.beta)
+    want = np.trapezoid(psi[None, :] * np.cos(xi[:, None] * t[None, :]), t, axis=1)
+    np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-12)
+
+
+def test_next_fast_size():
+    assert next_fast_size(7) == 8
+    assert next_fast_size(16) == 16
+    assert next_fast_size(121) == 128 or next_fast_size(121) % 2 == 0
+    n = next_fast_size(973)
+    m = n
+    for p in (2, 3, 5):
+        while m % p == 0:
+            m //= p
+    assert m == 1 and n >= 973 and n % 2 == 0
