@@ -1,0 +1,161 @@
+"""Gridded (tabulated) beams on a regular (az, za) grid.
+
+Standalone replacement for pyuvdata's UVBeam in the roles the reference uses
+it for (ref SURVEY section 2.4): holding an E-field or power beam sampled on
+a regular azimuth/zenith-angle grid, frequency interpolation at setup time
+(ref wrapper.py:264-269), and fast az/za interpolation in the hot path
+(ref cpu/beams.py:62-74) -- here via :mod:`fftvis_tpu.beams.interp` on
+device.
+
+Data layout follows the UVBeam convention
+``data_array[Naxes_vec, Nfeeds, Nfreqs, Nza, Naz]`` so that actual UVBeam
+objects can be adapted by copying arrays (see ``GriddedBeam.from_uvbeam``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class GriddedBeam:
+    """An E-field or power beam tabulated on a regular (az, za) grid.
+
+    Parameters
+    ----------
+    data_array
+        ``(Naxes_vec, Nfeeds, Nfreqs, Nza, Naz)`` complex (efield) or
+        ``(1, Npols, Nfreqs, Nza, Naz)`` real (power).
+    axis1_array
+        Azimuth samples (radians), uniformly spaced. UVBeam az convention
+        (east = 0, CCW toward north).
+    axis2_array
+        Zenith-angle samples (radians), uniformly spaced, ascending from 0.
+    freq_array
+        Frequencies (Hz), ascending.
+    beam_type
+        "efield" or "power".
+    """
+
+    pixel_coordinate_system = "az_za"
+
+    def __init__(self, data_array, axis1_array, axis2_array, freq_array, beam_type="efield"):
+        self.data_array = np.asarray(data_array)
+        self.axis1_array = np.asarray(axis1_array, dtype=float)
+        self.axis2_array = np.asarray(axis2_array, dtype=float)
+        self.freq_array = np.atleast_1d(np.asarray(freq_array, dtype=float))
+        self.beam_type = beam_type
+        if self.data_array.ndim != 5:
+            raise ValueError("data_array must be 5-dimensional (vec, feed, freq, za, az)")
+        if self.data_array.shape[2] != self.freq_array.size:
+            raise ValueError("data_array freq axis does not match freq_array")
+        if self.data_array.shape[3] != self.axis2_array.size:
+            raise ValueError("data_array za axis does not match axis2_array")
+        if self.data_array.shape[4] != self.axis1_array.size:
+            raise ValueError("data_array az axis does not match axis1_array")
+        _check_uniform(self.axis1_array, "axis1_array (az)")
+        _check_uniform(self.axis2_array, "axis2_array (za)")
+
+    # ------------------------------------------------------------------
+    @property
+    def Nfreqs(self) -> int:
+        return self.freq_array.size
+
+    @property
+    def Nfeeds(self) -> int:
+        return self.data_array.shape[1]
+
+    @property
+    def az_wraps(self) -> bool:
+        """Whether the az grid covers the full circle (periodic indexing)."""
+        daz = self.axis1_array[1] - self.axis1_array[0]
+        span = self.axis1_array[-1] - self.axis1_array[0]
+        return bool(abs(span + daz - 2 * np.pi) < 1e-8 or abs(span - 2 * np.pi) < 1e-8)
+
+    def copy(self) -> "GriddedBeam":
+        return GriddedBeam(
+            self.data_array.copy(),
+            self.axis1_array.copy(),
+            self.axis2_array.copy(),
+            self.freq_array.copy(),
+            self.beam_type,
+        )
+
+    # ------------------------------------------------------------------
+    def interp_freq(self, freqs) -> "GriddedBeam":
+        """Linear interpolation onto new frequencies (host, setup time).
+
+        Mirrors the wrapper-level UVBeam.interp(freq_array=...) the reference
+        performs before simulation (ref wrapper.py:264-269).
+        """
+        freqs = np.atleast_1d(np.asarray(freqs, dtype=float))
+        if self.Nfreqs == 1:
+            data = np.repeat(self.data_array, len(freqs), axis=2)
+            return GriddedBeam(data, self.axis1_array, self.axis2_array, freqs, self.beam_type)
+        if freqs.min() < self.freq_array.min() - 1e-3 or freqs.max() > self.freq_array.max() + 1e-3:
+            raise ValueError(
+                f"Requested frequencies [{freqs.min()}, {freqs.max()}] outside "
+                f"beam range [{self.freq_array.min()}, {self.freq_array.max()}]"
+            )
+        old = self.freq_array
+        idx = np.clip(np.searchsorted(old, freqs, side="left"), 1, self.Nfreqs - 1)
+        f0, f1 = old[idx - 1], old[idx]
+        t = ((freqs - f0) / (f1 - f0))[None, None, :, None, None]
+        out = self.data_array[:, :, idx - 1] * (1 - t) + self.data_array[:, :, idx] * t
+        return GriddedBeam(out, self.axis1_array, self.axis2_array, freqs, self.beam_type)
+
+    def as_power_beam(self, include_cross_pols: bool = False) -> "GriddedBeam":
+        """E-field -> power: P_feed = sum_vec |E_vec,feed|^2.
+
+        (Equivalent of UVBeam.efield_to_power for the diagonal pols; ref
+        core/beam_basis.py:81.)
+        """
+        if self.beam_type == "power":
+            return self
+        if include_cross_pols:
+            raise NotImplementedError("cross-pol power beams not supported")
+        power = np.sum(np.abs(self.data_array) ** 2, axis=0, keepdims=True)
+        return GriddedBeam(
+            power.real, self.axis1_array, self.axis2_array, self.freq_array, "power"
+        )
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_function(
+        cls,
+        beam,
+        n_az: int = 360,
+        n_za: int = 181,
+        freqs=(150e6,),
+        za_max: float = np.pi,
+    ) -> "GriddedBeam":
+        """Tabulate an analytic beam onto a grid (host, numpy)."""
+        az = np.linspace(0.0, 2 * np.pi, n_az, endpoint=False)
+        za = np.linspace(0.0, za_max, n_za)
+        freqs = np.atleast_1d(np.asarray(freqs, dtype=float))
+        azg, zag = np.meshgrid(az, za)  # (nza, naz)
+        data = np.empty((2, 2, len(freqs), n_za, n_az), dtype=np.complex128)
+        for fi, f in enumerate(freqs):
+            e = np.asarray(beam.efield(azg.ravel(), zag.ravel(), f))
+            data[:, :, fi] = e.reshape(2, 2, n_za, n_az)
+        return cls(data, az, za, freqs, "efield")
+
+    @classmethod
+    def from_uvbeam(cls, uvb) -> "GriddedBeam":
+        """Adapt a (duck-typed) pyuvdata UVBeam in az_za coordinates."""
+        if getattr(uvb, "pixel_coordinate_system", "az_za") != "az_za":
+            raise ValueError("Only az_za UVBeams can be adapted.")
+        return cls(
+            np.asarray(uvb.data_array),
+            np.asarray(uvb.axis1_array),
+            np.asarray(uvb.axis2_array),
+            np.asarray(uvb.freq_array).ravel(),
+            getattr(uvb, "beam_type", "efield"),
+        )
+
+
+def _check_uniform(arr: np.ndarray, name: str, tol: float = 1e-8):
+    if arr.size < 2:
+        return
+    d = np.diff(arr)
+    if np.any(np.abs(d - d[0]) > tol * max(abs(d[0]), 1e-12)):
+        raise ValueError(f"{name} must be uniformly spaced for TPU interpolation")

@@ -1,0 +1,97 @@
+"""Sky coherency formation.
+
+Host side: Stokes -> coherency conversion (parity with ref
+cpu/utils.py:26-81). Device side: the apparent-coherency products that the
+reference implements as four per-source Numba JIT kernels
+(ref cpu/beams.py:129-246) collapse here into batched complex einsums -- a
+single MXU-friendly contraction over the source axis, preserving the
+reference's exact algebra including its axis-0 (vector-component) flip for
+polarized sky models (ref cpu_simulate.py:138-156) and row ordering.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def prepare_source_catalog(sky_model: np.ndarray, polarized_beam: bool):
+    """Build the source coherency from a Stokes sky model (host).
+
+    Returns ``(coherency, polarized_sky_model)`` where coherency is
+    (nsrc, nfreq) for Stokes-I input or (nsrc, nfreq, 2, 2) for IQUV input.
+    Error messages match the reference (its tests assert on them).
+    """
+    sky_model = np.asarray(sky_model)
+    if sky_model.ndim == 2:
+        polarized_sky_model = False
+    elif polarized_beam and sky_model.ndim == 3 and sky_model.shape[-1] == 4:
+        polarized_sky_model = True
+    else:
+        if polarized_beam:
+            raise ValueError(
+                f"polarized_beam=True requires sky_model to be either:\n"
+                f"  2D unpolarized, or\n"
+                f"  3D with last axis of length 4; "
+                f"got ndim={sky_model.ndim}, shape={sky_model.shape}"
+            )
+        raise ValueError(
+            f"polarized_beam=False requires sky_model to be 2D; "
+            f"got ndim={sky_model.ndim}, shape={sky_model.shape}"
+        )
+
+    if not polarized_sky_model:
+        return 0.5 * sky_model, False
+
+    I, Q, U, V = (sky_model[..., i] for i in range(4))
+    coh = 0.5 * np.stack(
+        [
+            np.stack([I + Q, U + 1j * V], axis=-1),
+            np.stack([U - 1j * V, I - Q], axis=-1),
+        ],
+        axis=-2,
+    )  # (nsrc, nfreq, 2, 2)
+    return coh, True
+
+
+def apparent_coherency_rows(e_i, e_j, flux, polarized: bool, polarized_sky: bool):
+    """Beam-weighted source coherency for one beam pair, as NUFFT rows.
+
+    Parameters
+    ----------
+    e_i, e_j
+        Jones responses (2 vec, 2 feed, nsrc) complex for polarized beams, or
+        (nsrc,) real power responses otherwise.
+    flux
+        (nsrc,) real flux for an unpolarized sky, or (nsrc, 2, 2) complex
+        coherency for a polarized sky (already sliced at one frequency).
+    polarized, polarized_sky
+        Simulation / sky-model polarization flags.
+
+    Returns
+    -------
+    (nfeeds**2, nsrc) complex rows ordered (f1, f2) = (00, 01, 10, 11),
+    exactly the layout the reference feeds its NUFFT
+    (ref cpu_simulate.py:189-202).
+    """
+    import jax.numpy as jnp
+
+    if polarized and polarized_sky:
+        # Reference flips the vector-component axis of both Jones matrices
+        # before A_i^H C A_j (ref cpu_simulate.py:145-156).
+        ai = jnp.flip(e_i, axis=0)
+        aj = jnp.flip(e_j, axis=0)
+        coh = jnp.moveaxis(flux, 0, -1)  # (2, 2, nsrc)
+        out = jnp.einsum(
+            "afs,abs,bgs->fgs", jnp.conj(ai), coh, aj, optimize=True
+        )
+    elif polarized:
+        out = jnp.einsum(
+            "afs,ags,s->fgs", jnp.conj(e_i), e_j, flux.astype(e_i.dtype), optimize=True
+        )
+    else:
+        amp = jnp.sqrt(e_i * e_j) * flux
+        cdtype = jnp.complex64 if amp.dtype == jnp.float32 else jnp.complex128
+        return amp[None, :].astype(cdtype)
+
+    nsrc = out.shape[-1]
+    return out.reshape(4, nsrc)

@@ -1,7 +1,9 @@
 from .direct import direct_type1_np, direct_type3_jax, direct_type3_np
 from .kernels import ESKernel, es_kernel, es_kernel_ft, es_kernel_grid, next_fast_size
 from .transform import (
+    Type1Executor,
     Type1Plan,
+    Type3Executor,
     Type3Plan,
     make_type1_fn,
     make_type3_fn,

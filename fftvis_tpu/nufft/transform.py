@@ -219,99 +219,143 @@ def plan_type3(
 # --------------------------------------------------------------------------
 
 
-def make_type1_fn(plan: Type1Plan):
-    """Build a jittable function  (x (d,n), c (C,n)) -> (C, m)  for the plan.
+class Type1Executor:
+    """Split-phase type-1 execution for jitted pipelines.
 
-    ``x`` is in radians (2 pi periodic), matching finufft type-1 semantics.
+    ``spread`` is linear in the weights, so grids from source blocks can be
+    accumulated under ``lax.scan`` before a single ``transform`` + ``gather``
+    -- this is how the engine implements the reference's source-chunking
+    memory control (ref core/utils.py:213-355) with static shapes.
     """
-    import jax.numpy as jnp
 
-    nf = plan.nf
-    w, beta, d = plan.kernel.w, plan.kernel.beta, plan.d
-    gather_idx = jnp.asarray(plan.gather_idx)
+    def __init__(self, plan: Type1Plan):
+        self.plan = plan
+
+    def spread(self, x, c):
+        """x: (d, n) radians (2 pi periodic); c: (C, n). Returns (C, *nf)."""
+        import jax.numpy as jnp
+
+        p = self.plan
+        u = [
+            jnp.mod(x[axis] / (2.0 * jnp.pi) * p.nf[axis], p.nf[axis])
+            for axis in range(p.d)
+        ]
+        return _spread_scatter(u, c, p.nf, p.kernel.w, p.kernel.beta)
+
+    def transform(self, g):
+        return _forward_modes(g, self.plan.nf)
+
+    def gather(self, G, sel: np.ndarray | None = None):
+        """Gather modes; ``sel`` optionally selects target rows (static)."""
+        import jax.numpy as jnp
+
+        p = self.plan
+        idx = p.gather_idx if sel is None else p.gather_idx[sel]
+        dec = p.gather_deconv if sel is None else p.gather_deconv[sel]
+        flat = G.reshape(G.shape[0], -1)
+        rdtype = jnp.finfo(G.dtype).dtype
+        out = flat[:, jnp.asarray(idx)] * jnp.asarray(dec, dtype=rdtype)[None, :]
+        return out.astype(G.dtype)
+
+
+def make_type1_fn(plan: Type1Plan):
+    """(x (d,n) radians, c (C,n)) -> (C, m). One-shot convenience wrapper."""
+    ex = Type1Executor(plan)
 
     def run(x, c):
-        cdtype = c.dtype
-        rdtype = jnp.real(c).dtype
-        gather_deconv = jnp.asarray(plan.gather_deconv, dtype=rdtype)
-        u = [
-            jnp.mod(x[axis] / (2.0 * jnp.pi) * nf[axis], nf[axis])
-            for axis in range(d)
-        ]
-        g = _spread_scatter(u, c, nf, w, beta)
-        G = _forward_modes(g, nf)
-        flat = G.reshape(c.shape[0], -1)
-        out = flat[:, gather_idx] * gather_deconv[None, :]
-        return out.astype(cdtype)
+        return ex.gather(ex.transform(ex.spread(x, c)))
 
     return run
 
 
-def make_type3_fn(plan: Type3Plan):
-    """Build a jittable function  (x (d,n), c (C,n)) -> (C, m)  for the plan.
+class Type3Executor:
+    """Split-phase type-3 execution for jitted pipelines.
 
-    ``x`` are real source coordinates with |x_d| <= the planned extent.
+    ``spread`` (pre-phase + pre-correction + ES spreading) is linear in the
+    weights and accumulable across source blocks; ``transform`` runs the
+    batched FFT + mode deconvolution once; ``interpolate`` evaluates any
+    (static) subset of the planned targets -- the engine slices per beam
+    pair (ref cpu_simulate.py:1030-1069 routes baselines by pair).
     """
-    import jax.numpy as jnp
 
-    nf = plan.nf
-    w, beta, d = plan.kernel.w, plan.kernel.beta, plan.d
+    def __init__(self, plan: Type3Plan):
+        self.plan = plan
 
-    tap_idx = [jnp.asarray(t) for t in plan.tap_idx]
+    def spread(self, x, c):
+        """x: (d, n) source coords within the planned extent; c: (C, n)."""
+        import jax.numpy as jnp
 
-    def run(x, c):
+        p = self.plan
+        d, w, beta = p.d, p.kernel.w, p.kernel.beta
         cdtype = c.dtype
         rdtype = jnp.finfo(cdtype).dtype
-        tap_val = [jnp.asarray(t, dtype=rdtype) for t in plan.tap_val]
-        deconv = [jnp.asarray(dv, dtype=rdtype) for dv in plan.deconv]
 
-        # Stage 0: pre-phase to the target-band center, and pre-correction by
-        # the stage-B (interpolation) kernel FT at the source positions.
         phase = sum(
-            jnp.asarray(plan.s_center[axis], dtype=rdtype) * x[axis]
-            for axis in range(d)
+            jnp.asarray(p.s_center[axis], dtype=rdtype) * x[axis] for axis in range(d)
         )
         corr = jnp.ones_like(x[0])
         for axis in range(d):
             corr = corr * es_kernel_ft(
-                x[axis] * jnp.asarray(plan.ds[axis], dtype=rdtype), w, beta, xp=jnp
+                x[axis] * jnp.asarray(p.ds[axis], dtype=rdtype), w, beta, xp=jnp
             )
         pre = (jnp.cos(phase) + 1j * jnp.sin(phase)).astype(cdtype) / corr
         wts = c * pre[None, :]
 
-        # Stage A: spread + FFT (+i sign via ifft) + mode deconvolution.
-        u = [x[axis] / jnp.asarray(plan.h[axis], dtype=rdtype) for axis in range(d)]
-        u = [jnp.mod(ud, nf[axis]) for axis, ud in enumerate(u)]
-        g = _spread_scatter(u, wts, nf, w, beta)
-        G = _forward_modes(g, nf)
+        u = [
+            jnp.mod(x[axis] / jnp.asarray(p.h[axis], dtype=rdtype), p.nf[axis])
+            for axis in range(d)
+        ]
+        return _spread_scatter(u, wts, p.nf, w, beta)
 
-        shape = [1] * (1 + d)
-        for axis in range(d):
-            s = list(shape)
-            s[1 + axis] = nf[axis]
-            G = G * deconv[axis].reshape(s)
+    def transform(self, g):
+        import jax.numpy as jnp
 
-        # Stage B: gather w^d taps per target and contract with kernel values.
-        C = c.shape[0]
-        if d == 2:
-            sub = G[:, tap_idx[0][:, :, None], tap_idx[1][:, None, :]]
-            out = jnp.einsum("cmab,ma,mb->cm", sub, tap_val[0], tap_val[1])
-        elif d == 3:
+        p = self.plan
+        G = _forward_modes(g, p.nf)
+        rdtype = jnp.finfo(G.dtype).dtype
+        for axis in range(p.d):
+            s = [1] * (1 + p.d)
+            s[1 + axis] = p.nf[axis]
+            G = G * jnp.asarray(p.deconv[axis], dtype=rdtype).reshape(s)
+        return G
+
+    def interpolate(self, G, sel: np.ndarray | None = None):
+        """Evaluate targets (optionally a static subset ``sel``) from G."""
+        import jax.numpy as jnp
+
+        p = self.plan
+        rdtype = jnp.finfo(G.dtype).dtype
+        ti = [t if sel is None else t[sel] for t in p.tap_idx]
+        tv = [
+            jnp.asarray(t if sel is None else t[sel], dtype=rdtype)
+            for t in p.tap_val
+        ]
+        ti = [jnp.asarray(t) for t in ti]
+        if p.d == 2:
+            sub = G[:, ti[0][:, :, None], ti[1][:, None, :]]
+            out = jnp.einsum("cmab,ma,mb->cm", sub, tv[0], tv[1])
+        elif p.d == 3:
             sub = G[
                 :,
-                tap_idx[0][:, :, None, None],
-                tap_idx[1][:, None, :, None],
-                tap_idx[2][:, None, None, :],
+                ti[0][:, :, None, None],
+                ti[1][:, None, :, None],
+                ti[2][:, None, None, :],
             ]
-            out = jnp.einsum(
-                "cmabe,ma,mb,me->cm", sub, tap_val[0], tap_val[1], tap_val[2]
-            )
-        elif d == 1:
-            sub = G[:, tap_idx[0]]
-            out = jnp.einsum("cma,ma->cm", sub, tap_val[0])
+            out = jnp.einsum("cmabe,ma,mb,me->cm", sub, tv[0], tv[1], tv[2])
+        elif p.d == 1:
+            sub = G[:, ti[0]]
+            out = jnp.einsum("cma,ma->cm", sub, tv[0])
         else:
-            raise NotImplementedError(f"d={d}")
-        return out.astype(cdtype)
+            raise NotImplementedError(f"d={p.d}")
+        return out.astype(G.dtype)
+
+
+def make_type3_fn(plan: Type3Plan):
+    """(x (d,n), c (C,n)) -> (C, m). One-shot convenience wrapper."""
+    ex = Type3Executor(plan)
+
+    def run(x, c):
+        return ex.interpolate(ex.transform(ex.spread(x, c)))
 
     return run
 

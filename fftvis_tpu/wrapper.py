@@ -1,0 +1,231 @@
+"""Public API: ``simulate_vis`` and engine/evaluator factories.
+
+Signature and semantics preserve the reference's matvis-compatible wrapper
+(ref /root/reference/src/fftvis/wrapper.py:85-336): same parameter names,
+same default-eps-per-precision rule, same beam normalization steps
+(frequency pre-interpolation, power-beam conversion for unpolarized sims,
+beam_idx/beam_coefs validation with identical error messages), and the same
+output shapes. Backend selection maps onto this framework's engines:
+
+    "tpu" (default) / "cpu"  -> TPUSimulationEngine (JAX: runs on whatever
+                                accelerator jax selects; "cpu" kept for
+                                drop-in compatibility with reference calls)
+    "direct"                 -> DirectSimulationEngine (exact oracle)
+    "gpu"                    -> NotImplementedError (parity with the
+                                reference's stub backend)
+"""
+
+from __future__ import annotations
+
+from typing import Literal, Union
+
+import numpy as np
+
+from .beams.interface import BeamInterface, prepare_beam_unpolarized
+from .core.simulate import SimulationEngine, default_accuracy_dict
+from .core.utils import get_desired_chunks, validate_beam_idx
+
+
+def create_beam_evaluator(backend: str = "tpu", **kwargs):
+    """Create a beam evaluator for the given backend.
+
+    (API parity: ref wrapper.py:16-48.)
+    """
+    if backend in ("tpu", "cpu"):
+        from .tpu.beams import TPUBeamEvaluator
+
+        evaluator = TPUBeamEvaluator(**kwargs)
+        evaluator.beam_list = []
+        evaluator.beam_idx = None
+        return evaluator
+    if backend == "gpu":
+        raise NotImplementedError("GPU backend not yet implemented")
+    raise ValueError(f"Unsupported backend: {backend}")
+
+
+def create_simulation_engine(backend: str = "tpu", **kwargs) -> SimulationEngine:
+    """Create a simulation engine for the given backend.
+
+    (API parity: ref wrapper.py:51-82.)
+    """
+    if backend in ("tpu", "cpu"):
+        from .tpu.engine import TPUSimulationEngine
+
+        return TPUSimulationEngine(**kwargs)
+    if backend == "direct":
+        from .reference.direct_engine import DirectSimulationEngine
+
+        return DirectSimulationEngine(**kwargs)
+    if backend == "gpu":
+        raise NotImplementedError("GPU backend not yet implemented")
+    raise ValueError(f"Unsupported backend: {backend}")
+
+
+def simulate_vis(
+    ants: dict,
+    fluxes: np.ndarray,
+    ra: np.ndarray,
+    dec: np.ndarray,
+    freqs: np.ndarray,
+    times,
+    beam,
+    telescope_loc,
+    beam_idx: np.ndarray = None,
+    baselines: list[tuple] = None,
+    precision: int = 2,
+    polarized: bool = False,
+    eps: float = None,
+    upsample_factor: Literal[1.25, 2] = 2,
+    beam_spline_opts: dict = None,
+    use_feed: str = "x",
+    flat_array_tol: float = 1e-6,
+    interpolation_function: str = "az_za_map_coordinates",
+    nprocesses: int | None = 1,
+    nthreads: int | None = None,
+    coord_method: str = "CoordinateRotationERFA",
+    coord_method_params: dict | None = None,
+    force_use_type3: bool = False,
+    force_use_ray: bool = False,
+    trace_mem: bool = False,
+    backend: str = "tpu",
+    max_memory: int | float = np.inf,
+    min_chunks: int = 1,
+    source_buffer: float = 1.0,
+    beam_coefs: np.ndarray = None,
+) -> np.ndarray:
+    """Simulate interferometric visibilities.
+
+    Parameters mirror the reference exactly (ref wrapper.py:85-233); see
+    that docstring's semantics. Summary of the essentials:
+
+    ants
+        {antenna: (x, y, z) ENU position in meters}.
+    fluxes
+        (nsrc, nfreq) Stokes-I, or (nsrc, nfreq, 4) full Stokes (requires
+        ``polarized=True``). Stokes I is split between the two linear
+        polarizations (factor 0.5).
+    ra, dec
+        ICRS source positions, radians.
+    freqs, times
+        Hz; Julian dates (array) or an astropy-Time-like object.
+    beam
+        One beam (shared by all antennas), or a list of beams with
+        ``beam_idx``, or eigenbeam bases with ``beam_coefs``.
+    telescope_loc
+        TelescopeLocation, EarthLocation-like, or (lat, lon[, height]) in
+        radians/meters.
+    baselines
+        Optional (ai, aj) pairs; defaults to one representative per
+        redundant group including autos.
+    precision
+        1 -> float32/complex64; 2 -> float64/complex128 (on CPU; TPU
+        hardware computes in fp32 either way).
+    polarized
+        If True the output carries the 2x2 feed matrix.
+    eps
+        NUFFT accuracy; default 6e-8 (precision 1) / 1e-13 (precision 2).
+
+    Returns
+    -------
+    np.ndarray
+        (nfreqs, ntimes, nbls) complex, or (nfreqs, ntimes, 2, 2, nbls)
+        when polarized.
+    """
+    if eps is None:
+        eps = default_accuracy_dict[precision]
+
+    ants = {k: np.asarray(v) for k, v in ants.items()}
+
+    _beam_list = beam if isinstance(beam, list) else [beam]
+    nbeam = len(_beam_list)
+    nant = len(ants)
+
+    beam_idx = validate_beam_idx(beam_idx, beam_coefs, nbeam, nant)
+
+    freqs = np.atleast_1d(np.asarray(freqs, dtype=float))
+
+    beam_list = []
+    for bm in _beam_list:
+        bi = bm if isinstance(bm, BeamInterface) else BeamInterface(bm)
+        # Pre-interpolate tabulated beams onto the simulation frequencies
+        # once, up front (ref wrapper.py:264-269).
+        if bi._isuvbeam and bi.beam.Nfreqs > 1:
+            bi = BeamInterface(bi.beam.interp_freq(freqs), beam_type=bi.beam_type)
+
+        if not polarized and beam_coefs is None:
+            bi = prepare_beam_unpolarized(bi, use_feed=use_feed)
+        elif not polarized and beam_coefs is not None:
+            raise ValueError(
+                "Basis decomposition is not compatible with unpolarized "
+                "simulations. Set polarized=True to use beam_coefs."
+            )
+        beam_list.append(bi)
+
+    nax = nfeed = 2 if polarized else 1
+
+    # Source chunking from the memory model. On accelerators the budget is
+    # device HBM rather than host RAM (ref wrapper.py:292-302 uses psutil).
+    nchunks, _ = get_desired_chunks(
+        min(max_memory, _available_memory()),
+        min_chunks,
+        [b.beam for b in beam_list],
+        nax,
+        nfeed,
+        nant,
+        len(fluxes),
+        precision,
+        source_buffer=source_buffer,
+    )
+
+    engine = create_simulation_engine(backend=backend)
+
+    return engine.simulate(
+        ants=ants,
+        freqs=freqs,
+        fluxes=np.asarray(fluxes),
+        beam_list=beam_list,
+        beam_idx=beam_idx,
+        ra=np.asarray(ra, dtype=float),
+        dec=np.asarray(dec, dtype=float),
+        times=times,
+        telescope_loc=telescope_loc,
+        baselines=baselines,
+        precision=precision,
+        polarized=polarized,
+        eps=eps,
+        upsample_factor=upsample_factor,
+        beam_spline_opts=beam_spline_opts,
+        flat_array_tol=flat_array_tol,
+        interpolation_function=interpolation_function,
+        nprocesses=nprocesses,
+        nthreads=nthreads,
+        coord_method=coord_method,
+        coord_method_params=coord_method_params,
+        force_use_type3=force_use_type3,
+        force_use_ray=force_use_ray,
+        trace_mem=trace_mem,
+        nchunks=nchunks,
+        source_buffer=source_buffer,
+        beam_coefs=beam_coefs,
+    )
+
+
+def _available_memory() -> float:
+    """Device-or-host memory budget in bytes."""
+    try:
+        import jax
+
+        dev = jax.devices()[0]
+        stats = dev.memory_stats()
+        if stats and "bytes_limit" in stats:
+            return float(stats["bytes_limit"] - stats.get("bytes_in_use", 0))
+    except Exception:
+        pass
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemAvailable"):
+                    return float(line.split()[1]) * 1024.0
+    except OSError:  # pragma: no cover
+        pass
+    return 8 * 1024**3  # pragma: no cover

@@ -1,0 +1,190 @@
+"""Beam evaluation tests (reference test pattern 3: kernels vs independent
+references; ref tests/test_cpu_beams.py, test_beam_evaluator.py)."""
+
+import numpy as np
+import pytest
+from scipy import ndimage, special
+
+import jax.numpy as jnp
+
+from fftvis_tpu.beams import (
+    AiryBeam,
+    BeamInterface,
+    GaussianBeam,
+    GriddedBeam,
+    ShortDipoleBeam,
+    UniformBeam,
+    bessel_j1,
+    map_coordinates_2d,
+    prepare_beam,
+    prepare_beam_unpolarized,
+)
+
+
+def test_bessel_j1_vs_scipy():
+    x = np.linspace(-40, 40, 4001)
+    got = np.asarray(bessel_j1(jnp.asarray(x)))
+    want = special.j1(x)
+    assert np.abs(got - want).max() < 5e-7
+
+
+class TestAnalytic:
+    def test_gaussian_peak_and_width(self):
+        b = GaussianBeam(diameter=14.0)
+        f = 150e6
+        za = jnp.asarray([0.0, 0.01, 0.1])
+        amp = np.asarray(b.amplitude(za, f))
+        assert amp[0] == pytest.approx(1.0)
+        assert np.all(np.diff(amp) < 0)
+        # Power is amplitude squared through the efield convention.
+        p = np.asarray(b.power(jnp.zeros(3), za, f))
+        np.testing.assert_allclose(p, amp**2, rtol=1e-12)
+
+    def test_gaussian_validation(self):
+        with pytest.raises(ValueError, match="exactly one"):
+            GaussianBeam()
+        with pytest.raises(ValueError, match="exactly one"):
+            GaussianBeam(diameter=10, sigma=0.1)
+        with pytest.raises(ValueError, match="reference_frequency"):
+            GaussianBeam(sigma=0.1, spectral_index=-1.0)
+
+    def test_airy_nulls(self):
+        b = AiryBeam(diameter=14.0)
+        f = 150e6
+        # First Airy null: x = 3.8317 -> sin(za) = 3.8317 c / (pi d f)
+        sinz = 3.8317059 * 299792458.0 / (np.pi * 14.0 * f)
+        za = np.arcsin(sinz)
+        amp = np.asarray(b.amplitude(jnp.asarray([0.0, za]), f))
+        assert amp[0] == pytest.approx(1.0, abs=1e-8)
+        assert abs(amp[1]) < 1e-6
+
+    def test_efield_convention(self):
+        b = UniformBeam()
+        e = np.asarray(b.efield(jnp.zeros(4), jnp.zeros(4), 1e8))
+        assert e.shape == (2, 2, 4)
+        np.testing.assert_allclose(e, 1 / np.sqrt(2), atol=1e-12)
+
+    def test_short_dipole_polarization(self):
+        b = ShortDipoleBeam()
+        # East direction (uvbeam az=0), on horizon: x (EW) dipole sees the
+        # az component at -sin(0)=0, za comp cos(za)=0 -> zero response.
+        e = np.asarray(b.efield(jnp.asarray([0.0]), jnp.asarray([np.pi / 2]), 1e8))
+        assert abs(e[0, 0, 0]) < 1e-12 and abs(e[1, 0, 0]) < 1e-12
+        # y dipole at the same point responds fully in the az component.
+        assert abs(e[0, 1, 0]) == pytest.approx(1.0)
+
+
+class TestGridded:
+    DIAM = 4.0  # wide beam (sigma ~ 0.3 rad) so coarse-grid interp converges
+
+    def _beam(self, n_az=72, n_za=181, freqs=(100e6, 200e6)):
+        return GriddedBeam.from_function(
+            GaussianBeam(diameter=self.DIAM), n_az=n_az, n_za=n_za, freqs=freqs
+        )
+
+    def test_from_function_matches_analytic(self):
+        gb = self._beam()
+        prepared = prepare_beam(gb, freqs=np.array([150e6]), polarized=True)
+        rng = np.random.default_rng(0)
+        az = rng.uniform(0, 2 * np.pi, 40)
+        za = rng.uniform(0, np.pi / 2, 40)
+        got = np.asarray(prepared.evaluate(jnp.asarray(az), jnp.asarray(za), 150e6, 0))
+        # Freq-interp of a Gaussian beam between 100/200 MHz is not the
+        # 150 MHz beam exactly; compare against the same interp on host.
+        b = GaussianBeam(diameter=self.DIAM)
+        a100 = np.asarray(b.amplitude(jnp.asarray(za), 100e6))
+        a200 = np.asarray(b.amplitude(jnp.asarray(za), 200e6))
+        want = (a100 + a200) / 2 / np.sqrt(2)
+        # Bilinear interp on a 1-degree za grid: O(dza^2 / sigma^2) ~ 4e-4.
+        np.testing.assert_allclose(got[0, 0], want, atol=5e-4)
+
+    def test_power_beam(self):
+        gb = self._beam(freqs=(150e6,))
+        pb = gb.as_power_beam()
+        assert pb.beam_type == "power"
+        prepared = prepare_beam(pb, freqs=np.array([150e6]), polarized=False)
+        za = jnp.asarray([0.0, 0.2])
+        got = np.asarray(prepared.evaluate(jnp.zeros(2), za, 150e6, 0))
+        want = np.asarray(GaussianBeam(diameter=self.DIAM).power(jnp.zeros(2), za, 150e6))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_freq_interp_bounds(self):
+        gb = self._beam()
+        with pytest.raises(ValueError, match="outside"):
+            gb.interp_freq([50e6])
+
+    def test_cubic_matches_scipy_mirror(self):
+        gb = self._beam(freqs=(150e6,))
+        rng = np.random.default_rng(1)
+        az = rng.uniform(0.1, 2 * np.pi - 0.1, 50)
+        za = rng.uniform(0.05, np.pi - 0.05, 50)
+        prepared = prepare_beam(
+            gb, freqs=np.array([150e6]), polarized=True, spline_opts={"order": 3}
+        )
+        got = np.asarray(prepared.evaluate(jnp.asarray(az), jnp.asarray(za), 150e6, 0))
+        daz = gb.axis1_array[1] - gb.axis1_array[0]
+        dza = gb.axis2_array[1] - gb.axis2_array[0]
+        want = ndimage.map_coordinates(
+            gb.data_array[0, 0, 0].real,
+            [za / dza, az / daz],
+            order=3,
+            mode="mirror",
+        )
+        # Note: the az axis wraps in our implementation; stay off the seam.
+        np.testing.assert_allclose(got[0, 0].real, want, atol=1e-8)
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="5-dimensional"):
+            GriddedBeam(np.zeros((2, 2, 3, 4)), [0], [0], [1e8])
+        with pytest.raises(ValueError, match="uniformly spaced"):
+            GriddedBeam(
+                np.zeros((2, 2, 1, 3, 3)),
+                [0.0, 0.1, 0.5],
+                [0.0, 0.1, 0.2],
+                [1e8],
+            )
+
+
+class TestInterface:
+    def test_wrap_beam_interface(self):
+        bi = BeamInterface(GaussianBeam(diameter=10.0))
+        assert bi.beam_type == "efield"
+        assert not bi._isuvbeam
+        bi2 = BeamInterface(bi)
+        assert bi2.beam is bi.beam
+
+    def test_prepare_unpolarized(self):
+        bi = prepare_beam_unpolarized(GaussianBeam(diameter=10.0))
+        assert bi.beam_type == "power"
+        prepared = prepare_beam(bi, freqs=np.array([1e8]), polarized=False)
+        za = jnp.asarray([0.0, 0.3])
+        got = np.asarray(prepared.evaluate(jnp.zeros(2), za, 1e8, 0))
+        want = np.asarray(GaussianBeam(diameter=10.0).power(jnp.zeros(2), za, 1e8))
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+
+    def test_polarized_power_rejected(self):
+        bi = prepare_beam_unpolarized(GaussianBeam(diameter=10.0))
+        with pytest.raises(ValueError, match="polarized"):
+            prepare_beam(bi, freqs=np.array([1e8]), polarized=True)
+
+    def test_compute_response_layout(self):
+        bi = BeamInterface(GaussianBeam(diameter=10.0))
+        az = np.zeros(5)
+        za = np.linspace(0, 0.5, 5)
+        resp = bi.compute_response(az, za, np.array([1e8, 2e8]))
+        assert resp.shape == (2, 2, 2, 5)
+
+    def test_duck_typed_uvbeam(self):
+        gb = GriddedBeam.from_function(UniformBeam(), n_az=8, n_za=5, freqs=(1e8,))
+
+        class FakeUVBeam:
+            data_array = gb.data_array
+            axis1_array = gb.axis1_array
+            axis2_array = gb.axis2_array
+            freq_array = gb.freq_array
+            beam_type = "efield"
+            pixel_coordinate_system = "az_za"
+
+        bi = BeamInterface(FakeUVBeam())
+        assert bi._isuvbeam
+        assert bi.beam.Nfreqs == 1

@@ -1,0 +1,199 @@
+"""End-to-end engine validation against the in-repo exact oracle.
+
+This is the reference's backbone testing pattern (oracle cross-validation
+against matvis across a parameter matrix, atol 1e-5 fp64 / 1e-4 fp32;
+ref tests/test_cpu_simulate.py:75-196), with the in-repo direct-DFT engine
+standing in for matvis, plus the type-1-vs-type-3 internal consistency
+pattern (ref tests/test_cpu_simulate.py:199-271).
+"""
+
+import numpy as np
+import pytest
+
+from fftvis_tpu import TelescopeLocation, simulate_vis
+from fftvis_tpu.beams import GaussianBeam, GriddedBeam, ShortDipoleBeam
+from fftvis_tpu.geometry import hex_array
+
+LOC = TelescopeLocation(np.deg2rad(-30.72), np.deg2rad(21.43), 1000.0)
+JD0 = 2459863.2
+
+
+def _sky(rng, nsrc, nfreq, polarized_sky=False, lat=LOC.lat):
+    # Cluster sources around the site zenith so plenty are above horizon.
+    ra = rng.uniform(0, 2 * np.pi, nsrc)
+    dec = np.clip(lat + rng.normal(0, 0.4, nsrc), -np.pi / 2, np.pi / 2)
+    if polarized_sky:
+        I = rng.uniform(0.5, 1.0, (nsrc, nfreq))
+        frac = rng.uniform(0, 0.3, (nsrc, nfreq, 3))
+        flux = np.concatenate([I[..., None], I[..., None] * frac], axis=-1)
+    else:
+        flux = rng.uniform(0.1, 1.0, (nsrc, nfreq))
+    return ra, dec, flux
+
+
+def _random_ants(rng, nant, tilted=False):
+    ants = {}
+    for i in range(nant):
+        z = rng.uniform(-2, 2) if tilted else 0.0
+        ants[i] = np.array([*rng.uniform(-60, 60, 2), z])
+    return ants
+
+
+FREQS = np.array([1.0e8, 1.17e8])
+TIMES = JD0 + np.linspace(0, 0.02, 2)
+
+
+def _run(backend, force_type3=False, **overrides):
+    kw = dict(
+        telescope_loc=LOC,
+        freqs=FREQS,
+        times=TIMES,
+        precision=2,
+        force_use_type3=force_type3,
+        backend=backend,
+    )
+    kw.update(overrides)
+    return simulate_vis(**kw)
+
+
+@pytest.mark.parametrize("polarized", [False, True])
+@pytest.mark.parametrize("precision", [2, 1])
+@pytest.mark.parametrize("tilted", [False, True])
+def test_type3_vs_oracle(polarized, precision, tilted):
+    rng = np.random.default_rng(10)
+    ants = _random_ants(rng, 7, tilted=tilted)
+    ra, dec, flux = _sky(rng, 40, len(FREQS))
+    beam = GaussianBeam(diameter=10.0)
+    common = dict(
+        ants=ants, fluxes=flux, ra=ra, dec=dec, beam=beam,
+        polarized=polarized, precision=precision,
+    )
+    want = _run("direct", **common)
+    got = _run("tpu", force_type3=True, **common)
+    assert got.shape == want.shape
+    atol = 1e-5 if precision == 2 else 1e-4
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=atol * scale, rtol=0)
+
+
+def test_polarized_sky_vs_oracle():
+    rng = np.random.default_rng(3)
+    ants = _random_ants(rng, 5)
+    ra, dec, flux = _sky(rng, 30, len(FREQS), polarized_sky=True)
+    beam = ShortDipoleBeam()
+    common = dict(ants=ants, fluxes=flux, ra=ra, dec=dec, beam=beam, polarized=True)
+    want = _run("direct", **common)
+    got = _run("tpu", force_type3=True, **common)
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=1e-5 * scale, rtol=0)
+
+
+def test_gridded_type1_vs_oracle_and_type3():
+    rng = np.random.default_rng(4)
+    ants = hex_array(3)  # 19 ants on a perfect lattice
+    ra, dec, flux = _sky(rng, 50, len(FREQS))
+    beam = GaussianBeam(diameter=10.0)
+    common = dict(ants=ants, fluxes=flux, ra=ra, dec=dec, beam=beam, polarized=False)
+
+    want = _run("direct", **common)
+    got_t1 = _run("tpu", **common)  # auto-selects the gridded type-1 path
+    got_t3 = _run("tpu", force_type3=True, **common)
+
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got_t1, want, atol=1e-5 * scale, rtol=0)
+    np.testing.assert_allclose(got_t3, want, atol=1e-5 * scale, rtol=0)
+    np.testing.assert_allclose(got_t1, got_t3, atol=1e-5 * scale, rtol=0)
+
+
+def test_sheared_grid_type1():
+    """Sheared lattices still take (and pass) the type-1 path
+    (ref tests/test_cpu_simulate.py:199-271 exercises shear/rotation)."""
+    rng = np.random.default_rng(5)
+    basis = np.array([[12.0, 5.0], [0.0, 9.0]])
+    ants = {
+        4 * i + j: np.array([*(basis @ [i, j]), 0.0])
+        for i in range(4)
+        for j in range(4)
+    }
+    ra, dec, flux = _sky(rng, 40, len(FREQS))
+    beam = GaussianBeam(diameter=10.0)
+    common = dict(ants=ants, fluxes=flux, ra=ra, dec=dec, beam=beam, polarized=False)
+    want = _run("direct", **common)
+    got = _run("tpu", **common)
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=1e-5 * scale, rtol=0)
+
+
+def test_per_antenna_beams_vs_oracle():
+    rng = np.random.default_rng(6)
+    ants = _random_ants(rng, 5)
+    ra, dec, flux = _sky(rng, 30, len(FREQS))
+    beams = [GaussianBeam(diameter=10.0), GaussianBeam(diameter=13.0)]
+    beam_idx = np.array([0, 1, 0, 1, 1])
+    common = dict(
+        ants=ants, fluxes=flux, ra=ra, dec=dec, beam=beams, beam_idx=beam_idx,
+        polarized=True,
+    )
+    want = _run("direct", **common)
+    got = _run("tpu", force_type3=True, **common)
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=1e-5 * scale, rtol=0)
+
+    # Anti-test: beam diversity must change the answer
+    # (ref tests/test_cpu_simulate.py:276-382).
+    same = _run(
+        "tpu", force_type3=True,
+        ants=ants, fluxes=flux, ra=ra, dec=dec,
+        beam=[GaussianBeam(diameter=10.0)] * 2, beam_idx=beam_idx,
+        polarized=True,
+    )
+    assert np.abs(same - got).max() > 1e-6 * scale
+
+
+def test_gridded_beam_interpolation_vs_oracle():
+    rng = np.random.default_rng(7)
+    ants = _random_ants(rng, 4)
+    ra, dec, flux = _sky(rng, 25, len(FREQS))
+    gb = GriddedBeam.from_function(
+        GaussianBeam(diameter=6.0), n_az=180, n_za=181, freqs=(0.9e8, 1.3e8)
+    )
+    common = dict(ants=ants, fluxes=flux, ra=ra, dec=dec, beam=gb, polarized=True)
+    want = _run("direct", **common)
+    got = _run("tpu", force_type3=True, **common)
+    scale = np.abs(want).max()
+    # Both paths share the interpolation kernels; agreement is transform-only.
+    np.testing.assert_allclose(got, want, atol=1e-5 * scale, rtol=0)
+
+
+def test_explicit_baselines_and_autos():
+    rng = np.random.default_rng(8)
+    ants = _random_ants(rng, 5)
+    ra, dec, flux = _sky(rng, 20, len(FREQS))
+    baselines = [(0, 1), (2, 4), (3, 3), (1, 0)]
+    common = dict(
+        ants=ants, fluxes=flux, ra=ra, dec=dec,
+        beam=GaussianBeam(diameter=10.0), baselines=baselines, polarized=False,
+    )
+    want = _run("direct", **common)
+    got = _run("tpu", force_type3=True, **common)
+    assert got.shape == (len(FREQS), len(TIMES), len(baselines))
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=1e-5 * scale, rtol=0)
+    # (0,1) and (1,0) must be conjugates.
+    np.testing.assert_allclose(got[..., 0], np.conj(got[..., 3]), atol=1e-5 * scale)
+
+
+def test_source_chunking_invariance():
+    """nchunks (static source blocking) must not change results
+    (replaces the reference's chunked coord_mgr contract, ref :939-945)."""
+    rng = np.random.default_rng(9)
+    ants = _random_ants(rng, 5)
+    ra, dec, flux = _sky(rng, 33, len(FREQS))
+    common = dict(
+        ants=ants, fluxes=flux, ra=ra, dec=dec,
+        beam=GaussianBeam(diameter=10.0), polarized=False,
+    )
+    a = _run("tpu", force_type3=True, min_chunks=1, **common)
+    b = _run("tpu", force_type3=True, min_chunks=4, **common)
+    scale = np.abs(a).max()
+    np.testing.assert_allclose(a, b, atol=1e-12 * scale, rtol=0)
