@@ -1,0 +1,74 @@
+"""Device-mesh parallelism for visibility simulation.
+
+TPU-native replacement for the reference's Ray process fan-out + plasma
+shared-memory object store (ref /root/reference/src/fftvis/cpu/
+cpu_simulate.py:714-837): instead of serializing inputs into a host object
+store and stitching per-process results, the simulation is ONE SPMD program
+over a jax.sharding.Mesh --
+
+  - the ``time`` axis is data-parallel (each device owns a block of
+    integration times; the analogue of the reference's freq x time
+    ``get_task_chunks`` fan-out, ref core/utils.py:122-187);
+  - the ``source`` axis shards giant skies; each shard spreads its sources
+    onto a local NUFFT fine grid and a single ``psum`` over ICI reduces the
+    grids before the FFT (SURVEY section 5's natural all-reduce point).
+
+Multi-host pods: call ``jax.distributed.initialize()`` before building the
+mesh; device order from ``jax.devices()`` then spans hosts over DCN.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def make_mesh(time: int = 1, source: int = 1, devices=None):
+    """Build a (time, source) mesh over the available devices.
+
+    ``time * source`` must not exceed (and will use exactly that many of)
+    the available devices.
+    """
+    import jax
+    from jax.sharding import Mesh
+
+    if devices is None:
+        devices = jax.devices()
+    need = time * source
+    if need > len(devices):
+        raise ValueError(
+            f"mesh ({time} time x {source} source = {need}) exceeds "
+            f"{len(devices)} available devices"
+        )
+    arr = np.asarray(devices[:need]).reshape(time, source)
+    return Mesh(arr, axis_names=("time", "source"))
+
+
+def auto_mesh(n_devices: int | None = None, prefer_time: bool = True):
+    """Factor the device count into a (time, source) mesh.
+
+    Times are the cheapest axis to scale (fully independent blocks), so by
+    default all devices go to ``time``; set ``prefer_time=False`` to split
+    evenly for source-heavy problems.
+    """
+    import jax
+
+    n = n_devices or len(jax.devices())
+    if prefer_time:
+        return make_mesh(time=n, source=1)
+    t = int(np.floor(np.sqrt(n)))
+    while n % t:
+        t -= 1
+    return make_mesh(time=t, source=n // t)
+
+
+def simulate_vis_sharded(*args, mesh=None, **kwargs):
+    """``simulate_vis`` over a device mesh (see :func:`make_mesh`).
+
+    Accepts every ``fftvis_tpu.simulate_vis`` argument; ``mesh`` defaults to
+    all available devices on the time axis.
+    """
+    from ..wrapper import simulate_vis
+
+    if mesh is None:
+        mesh = auto_mesh()
+    return simulate_vis(*args, backend="tpu", mesh=mesh, **kwargs)

@@ -56,6 +56,23 @@ logger = logging.getLogger(__name__)
 TWO_PI = 2.0 * np.pi
 
 
+def _fetch_complex(x) -> np.ndarray:
+    """Device-to-host transfer of a complex array.
+
+    Some experimental TPU runtimes (the axon tunnel) cannot transfer complex
+    buffers directly (UNIMPLEMENTED); split into real/imag floats on device
+    and recombine on host.
+    """
+    try:
+        return np.asarray(x)
+    except Exception:  # pragma: no cover - backend-specific
+        import jax
+        import jax.numpy as jnp
+
+        re, im = jax.jit(lambda a: (jnp.real(a), jnp.imag(a)))(x)
+        return np.asarray(re) + 1j * np.asarray(im)
+
+
 @dataclass
 class _SimPlan:
     """Static (host-side) configuration baked into the jitted program."""
@@ -80,10 +97,31 @@ class _SimPlan:
 class TPUSimulationEngine(SimulationEngine):
     """JAX/XLA visibility simulation engine (CPU/TPU; fp32 or fp64)."""
 
-    def __init__(self, nufft_mode: str = "auto"):
+    def __init__(
+        self,
+        nufft_mode: str = "auto",
+        mesh=None,
+        time_axis: str = "time",
+        source_axis: str = "source",
+    ):
+        """Parameters
+        ----------
+        nufft_mode
+            'auto' (FLOP-model selection), or force 'type1'/'type3'/'direct'.
+        mesh
+            Optional jax.sharding.Mesh. When given, the simulation runs as
+            one shard_map program: times data-parallel over ``time_axis``,
+            sources sharded over ``source_axis`` with a psum of the NUFFT
+            fine-grid (or direct partial sums) as the only collective --
+            the TPU-native equivalent of the reference's Ray fan-out +
+            shared-memory store (ref cpu_simulate.py:714-837).
+        """
         if nufft_mode not in ("auto", "type1", "type3", "direct"):
             raise ValueError(f"invalid nufft_mode {nufft_mode!r}")
         self.nufft_mode = nufft_mode
+        self.mesh = mesh
+        self.time_axis = time_axis
+        self.source_axis = source_axis
 
     # ------------------------------------------------------------------
     def simulate(
@@ -116,6 +154,7 @@ class TPUSimulationEngine(SimulationEngine):
         nchunks: int = 1,
         source_buffer: float = 1.0,
         beam_coefs: np.ndarray | None = None,
+        return_program: bool = False,
     ) -> np.ndarray:
         import jax
         import jax.numpy as jnp
@@ -180,11 +219,18 @@ class TPUSimulationEngine(SimulationEngine):
         plan.polarized = polarized
         plan.polarized_sky = polarized_sky
 
+        # Mesh geometry (SPMD): times data-parallel, sources psum-sharded.
+        mesh = self.mesh
+        n_tdev = int(mesh.shape.get(self.time_axis, 1)) if mesh is not None else 1
+        n_sdev = int(mesh.shape.get(self.source_axis, 1)) if mesh is not None else 1
+
         # Source blocking (static-shape replacement for source chunking).
         nchunks = max(1, min(int(nchunks), nsrc))
-        block = int(np.ceil(nsrc / nchunks))
-        nsrc_pad = block * nchunks
+        block = int(np.ceil(nsrc / (nchunks * n_sdev)))
+        nsrc_pad = block * nchunks * n_sdev
         plan.nsrc_pad, plan.nblocks, plan.block = nsrc_pad, nchunks, block
+
+        nt_pad = int(np.ceil(ntimes / n_tdev)) * n_tdev
 
         # ---------------- prepared beams ----------------
         prepared = prepare_beams(
@@ -212,16 +258,26 @@ class TPUSimulationEngine(SimulationEngine):
             pad_vecs = np.zeros((3, nsrc_pad - nsrc), dtype=real_dtype)
             pad_vecs[2] = 1.0
             eq = np.concatenate([eq, pad_vecs], axis=1)
-        coh_dev = jnp.asarray(
-            pad_src(coherency.astype(complex_dtype if coherency.ndim > 2 else real_dtype))
+        coh_host = pad_src(
+            coherency.astype(complex_dtype if coherency.ndim > 2 else real_dtype)
         )
-        mats = jnp.asarray(rot.matrices.astype(real_dtype))  # (nt, 3, 3)
+        valid_host = np.zeros(nsrc_pad, dtype=real_dtype)
+        valid_host[:nsrc] = 1.0
+
+        mats_host = rot.matrices.astype(real_dtype)  # (nt, 3, 3)
         if rot.aberration is not None:
-            abvel = jnp.asarray(rot.aberration.astype(real_dtype))
+            abvel_host = rot.aberration.astype(real_dtype)
         else:
-            abvel = jnp.zeros((ntimes, 3), dtype=real_dtype)
+            abvel_host = np.zeros((ntimes, 3), dtype=real_dtype)
+        if nt_pad > ntimes:
+            pad_mats = np.broadcast_to(
+                np.eye(3, dtype=real_dtype), (nt_pad - ntimes, 3, 3)
+            )
+            mats_host = np.concatenate([mats_host, pad_mats], axis=0)
+            abvel_host = np.concatenate(
+                [abvel_host, np.zeros((nt_pad - ntimes, 3), dtype=real_dtype)], axis=0
+            )
         freqs_dev = jnp.asarray(freqs.astype(real_dtype))
-        eq_dev = jnp.asarray(eq)
 
         if use_basis:
             coefs_dev = jnp.asarray(beam_coefs.astype(complex_dtype))
@@ -267,19 +323,18 @@ class TPUSimulationEngine(SimulationEngine):
             d = 2 if plan.is_coplanar else 3
             return xr[:d] * scale
 
-        def per_freq(topo_t, az_t, za_t, mask_t, fi):
+        def per_freq(topo_t, az_t, za_t, mask_t, coh_a, fi):
             fv = freqs_dev[fi]
 
-            # Reshape the source axis into (nblocks, block).
+            # Reshape the (local) source axis into (nblocks, block).
             topo_blocks = topo_t.reshape(3, plan.nblocks, plan.block)
             az_blocks = az_t.reshape(plan.nblocks, plan.block)
             za_blocks = za_t.reshape(plan.nblocks, plan.block)
             mask_blocks = mask_t.reshape(plan.nblocks, plan.block)
+            flux_f = jnp.take(coh_a, fi, axis=1)
             if coherency.ndim == 2:  # (nsrc, nfreq) flux
-                flux_f = jnp.take(coh_dev, fi, axis=1)
                 flux_blocks = flux_f.reshape(plan.nblocks, plan.block)
             else:  # (nsrc, nfreq, 2, 2) coherency
-                flux_f = jnp.take(coh_dev, fi, axis=1)
                 flux_blocks = flux_f.reshape(plan.nblocks, plan.block, 2, 2)
 
             C = npairs * nfeeds**2
@@ -301,6 +356,11 @@ class TPUSimulationEngine(SimulationEngine):
                 init = jnp.zeros((C, nbl), dtype=complex_dtype)
             else:
                 init = jnp.zeros((C,) + tuple(plan.executor.plan.nf), dtype=complex_dtype)
+            if mesh is not None and hasattr(jax.lax, "pvary"):
+                # Under shard_map the scan carry varies over the mesh axes
+                # (its updates depend on sharded inputs); mark the zero init
+                # accordingly for the varying-manual-axes checker.
+                init = jax.lax.pvary(init, tuple(mesh.axis_names))
 
             acc, _ = jax.lax.scan(
                 scan_body,
@@ -313,6 +373,14 @@ class TPUSimulationEngine(SimulationEngine):
                     flux_blocks,
                 ),
             )
+
+            # Source-sharded SPMD: the fine grid (or direct partial sums)
+            # is the natural all-reduce point (SURVEY section 5: "the
+            # FFT-grid accumulation is the natural all-reduce"). Applied for
+            # any mesh (a size-1 axis reduce is free) so the output is
+            # provably replicated over the source axis.
+            if mesh is not None:
+                acc = jax.lax.psum(acc, self.source_axis)
 
             if plan.mode == "direct":
                 out_all = acc  # (C, nbl)
@@ -348,30 +416,55 @@ class TPUSimulationEngine(SimulationEngine):
                 vis_f = vis_f.at[jnp.asarray(sel)].set(vp)
             return vis_f
 
-        def per_time(carry, tinp):
-            mat, vel = tinp
-            eqa = eq_dev + vel[:, None]
-            eqa = eqa / jnp.linalg.norm(eqa, axis=0, keepdims=True)
-            topo = mat @ eqa  # (3, nsrc_pad)
-            mask_up = (topo[2] > 0).astype(real_dtype)
-            # Zero out padding sources.
-            if nsrc_pad > nsrc:
-                pad_mask = jnp.arange(nsrc_pad) < nsrc
-                mask_up = mask_up * pad_mask.astype(real_dtype)
-            az, za = enu_to_az_za(topo[0], topo[1], orientation="uvbeam")
+        def program(mats_a, abvel_a, eq_a, coh_a, valid_a):
+            def per_time(carry, tinp):
+                mat, vel = tinp
+                eqa = eq_a + vel[:, None]
+                eqa = eqa / jnp.linalg.norm(eqa, axis=0, keepdims=True)
+                topo = mat @ eqa  # (3, nsrc_local)
+                mask_up = (topo[2] > 0).astype(real_dtype) * valid_a
+                az, za = enu_to_az_za(topo[0], topo[1], orientation="uvbeam")
 
-            def freq_body(_, fi):
-                return None, per_freq(topo, az, za, mask_up, fi)
+                def freq_body(_, fi):
+                    return None, per_freq(topo, az, za, mask_up, coh_a, fi)
 
-            _, vis_t = jax.lax.scan(freq_body, None, jnp.arange(nfreqs))
-            return carry, vis_t  # (nfreq, nbl, nfeeds, nfeeds)
+                _, vis_t = jax.lax.scan(freq_body, None, jnp.arange(nfreqs))
+                return carry, vis_t  # (nfreq, nbl, nfeeds, nfeeds)
 
-        @jax.jit
-        def run_all(mats, abvel):
-            _, vis = jax.lax.scan(per_time, None, (mats, abvel))
-            return vis  # (nt, nfreq, nbl, nfeeds, nfeeds)
+            _, vis = jax.lax.scan(per_time, None, (mats_a, abvel_a))
+            return vis  # (nt_local, nfreq, nbl, nfeeds, nfeeds)
 
-        vis = np.asarray(run_all(mats, abvel))
+        if mesh is None:
+            run = jax.jit(program)
+        else:
+            from jax.sharding import PartitionSpec as P
+
+            try:
+                from jax import shard_map as _shard_map
+            except ImportError:  # pragma: no cover - older jax
+                from jax.experimental.shard_map import shard_map as _shard_map
+
+            T, S = self.time_axis, self.source_axis
+            run = jax.jit(
+                _shard_map(
+                    program,
+                    mesh=mesh,
+                    in_specs=(P(T), P(T), P(None, S), P(S), P(S)),
+                    out_specs=P(T),
+                )
+            )
+
+        inputs = (
+            jnp.asarray(mats_host),
+            jnp.asarray(abvel_host),
+            jnp.asarray(eq),
+            jnp.asarray(coh_host),
+            jnp.asarray(valid_host),
+        )
+        if return_program:
+            return run, inputs
+
+        vis = _fetch_complex(run(*inputs))[:ntimes]
 
         # Reference output layout (ref cpu_simulate.py:849-854):
         # polarized (nfreq, nt, nfeeds, nfeeds, nbl), else (nfreq, nt, nbl).

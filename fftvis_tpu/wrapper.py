@@ -92,6 +92,7 @@ def simulate_vis(
     min_chunks: int = 1,
     source_buffer: float = 1.0,
     beam_coefs: np.ndarray = None,
+    mesh=None,
 ) -> np.ndarray:
     """Simulate interferometric visibilities.
 
@@ -177,7 +178,12 @@ def simulate_vis(
         source_buffer=source_buffer,
     )
 
-    engine = create_simulation_engine(backend=backend)
+    engine_kwargs = {}
+    if mesh is not None:
+        if backend not in ("tpu", "cpu"):
+            raise ValueError("mesh sharding requires the tpu backend")
+        engine_kwargs["mesh"] = mesh
+    engine = create_simulation_engine(backend=backend, **engine_kwargs)
 
     return engine.simulate(
         ants=ants,

@@ -1,0 +1,71 @@
+"""SPMD sharding tests on the 8-virtual-device CPU mesh.
+
+Replaces the reference's "Ray remote result == direct in-process result"
+contract (ref tests/test_cpu_simulate.py:1007-1115) with its SPMD analogue:
+a mesh-sharded simulation must equal the single-device one exactly-ish.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from fftvis_tpu import TelescopeLocation, simulate_vis
+from fftvis_tpu.beams import GaussianBeam
+from fftvis_tpu.geometry import hex_array
+from fftvis_tpu.parallel.mesh import auto_mesh, make_mesh, simulate_vis_sharded
+
+LOC = TelescopeLocation(np.deg2rad(-30.72), np.deg2rad(21.43), 1000.0)
+JD0 = 2459863.2
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def _case(rng, nsrc=40, ntimes=3, polarized=False):
+    ants = {i: np.array([*rng.uniform(-60, 60, 2), 0.0]) for i in range(6)}
+    ra = rng.uniform(0, 2 * np.pi, nsrc)
+    dec = np.clip(LOC.lat + rng.normal(0, 0.4, nsrc), -np.pi / 2, np.pi / 2)
+    freqs = np.array([1.0e8, 1.1e8])
+    flux = rng.uniform(0.1, 1.0, (nsrc, len(freqs)))
+    times = JD0 + np.linspace(0, 0.03, ntimes)
+    return dict(
+        ants=ants, fluxes=flux, ra=ra, dec=dec, freqs=freqs, times=times,
+        beam=GaussianBeam(diameter=10.0), telescope_loc=LOC,
+        polarized=polarized, precision=2, force_use_type3=True,
+    )
+
+
+@pytest.mark.parametrize("tdev,sdev", [(4, 1), (1, 4), (2, 4), (4, 2)])
+def test_sharded_matches_single_device(tdev, sdev):
+    rng = np.random.default_rng(0)
+    kw = _case(rng, ntimes=3, polarized=(tdev == 2))
+    want = simulate_vis(backend="tpu", **kw)
+    mesh = make_mesh(time=tdev, source=sdev)
+    got = simulate_vis(backend="tpu", mesh=mesh, **kw)
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=1e-11 * scale, rtol=0)
+
+
+def test_sharded_gridded_type1():
+    rng = np.random.default_rng(1)
+    kw = _case(rng, ntimes=2)
+    kw["ants"] = hex_array(3)
+    kw["force_use_type3"] = False
+    want = simulate_vis(backend="tpu", **kw)
+    got = simulate_vis_sharded(mesh=make_mesh(time=2, source=4), **kw)
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=1e-11 * scale, rtol=0)
+
+
+def test_auto_mesh():
+    m = auto_mesh(8)
+    assert m.shape["time"] * m.shape["source"] == 8
+    m2 = auto_mesh(8, prefer_time=False)
+    assert m2.shape["time"] * m2.shape["source"] == 8
+
+
+def test_mesh_too_big_raises():
+    with pytest.raises(ValueError, match="exceeds"):
+        make_mesh(time=64, source=64)
