@@ -1,0 +1,96 @@
+"""Benchmark: gridded-array (type-1) visibility throughput.
+
+Reproduces the reference's headline gridded workload (BASELINE.md: hera-like
+hex_array(11, outriggers=2) ~320+ antennas, ALL baselines, 2 freqs x 3
+times, nside=64 HEALPix sky = 49152 sources, unpolarized) and reports
+visibility points per second:
+
+    baseline (finufft CPU, author machine): ~51k bls * 2 * 3 / 0.482 s
+                                            = 6.4e5 vis-points/s
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+BASELINE_VIS_POINTS_PER_S = 6.4e5
+
+
+def main():
+    import jax
+
+    from fftvis_tpu import TelescopeLocation, simulate_vis
+    from fftvis_tpu.beams import GaussianBeam
+    from fftvis_tpu.geometry import hex_array
+    from fftvis_tpu.utils.healpix import healpix_radec
+
+    hex_size = int(os.environ.get("FFTVIS_BENCH_HEX", "11"))
+    nside = int(os.environ.get("FFTVIS_BENCH_NSIDE", "64"))
+    repeats = int(os.environ.get("FFTVIS_BENCH_REPEATS", "3"))
+
+    ants = hex_array(hex_size, sep=14.6, outriggers=2)
+    nant = len(ants)
+    keys = list(ants.keys())
+    baselines = [
+        (keys[i], keys[j]) for i in range(nant) for j in range(i, nant)
+    ]
+
+    ra, dec = healpix_radec(nside)
+    nsrc = ra.size
+    freqs = np.array([1.0e8, 1.1e8])
+    times = 2459863.2 + np.linspace(0, 0.01, 3)
+    rng = np.random.default_rng(0)
+    flux = rng.uniform(0.1, 1.0, (nsrc, freqs.size))
+    loc = TelescopeLocation(np.deg2rad(-30.72), np.deg2rad(21.43), 1000.0)
+
+    kw = dict(
+        ants=ants,
+        fluxes=flux,
+        ra=ra,
+        dec=dec,
+        freqs=freqs,
+        times=times,
+        beam=GaussianBeam(diameter=14.0),
+        telescope_loc=loc,
+        baselines=baselines,
+        polarized=False,
+        precision=2,
+        backend="tpu",
+    )
+
+    # Warm-up: trace + compile (cached afterwards).
+    v = simulate_vis(**kw)
+    assert np.all(np.isfinite(v)), "benchmark produced non-finite output"
+
+    best = np.inf
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        simulate_vis(**kw)
+        best = min(best, time.perf_counter() - t0)
+
+    vis_points = len(baselines) * freqs.size * times.size
+    value = vis_points / best
+
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"gridded type-1 visibility throughput "
+                    f"(hex{hex_size}+outriggers {nant} ants, {len(baselines)} bls, "
+                    f"2 freqs x 3 times, nside={nside} sky = {nsrc} srcs, "
+                    f"unpolarized, {jax.default_backend()})"
+                ),
+                "value": value,
+                "unit": "vis_points/s",
+                "vs_baseline": value / BASELINE_VIS_POINTS_PER_S,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

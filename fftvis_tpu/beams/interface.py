@@ -186,7 +186,14 @@ def prepare_beam(
         gb = gb.as_power_beam()
 
     gb = gb.interp_freq(np.asarray(freqs, dtype=float))
-    data = jnp.asarray(gb.data_array)
+    # Ship complex beam tables as a stacked (re, im) real array: complex
+    # buffers cannot cross the host/device boundary on some experimental
+    # TPU runtimes, and interpolation distributes over re/im anyway.
+    host = gb.data_array
+    is_complex = np.iscomplexobj(host)
+    if is_complex:
+        host = np.stack([host.real, host.imag])
+    data = jnp.asarray(host)
     if order == 3:
         data = spline_prefilter_2d(data)
     az0 = float(gb.axis1_array[0])
@@ -198,8 +205,10 @@ def prepare_beam(
     feed_idx = _FEED_INDEX[use_feed]
     is_power = gb.beam_type == "power"
 
+    freq_axis = 3 if is_complex else 2
+
     def eval_grid(az, za, fv, fi):
-        dslice = jnp.take(data, fi, axis=2)  # (nvec, nfeed, nza, naz)
+        dslice = jnp.take(data, fi, axis=freq_axis)  # ([2,] nvec, nfeed, nza, naz)
         yy = (za - za0) / dza
         if wrap:
             xx = jnp.mod(az - az0, 2 * jnp.pi) / daz
@@ -207,7 +216,9 @@ def prepare_beam(
             xx = (az - az0) / daz
         vals = map_coordinates_2d(
             dslice, yy, xx, order=order, wrap_x=wrap, prefiltered=True
-        )  # (nvec, nfeed, nsrc)
+        )  # ([2,] nvec, nfeed, nsrc)
+        if is_complex:
+            vals = vals[0] + 1j * vals[1]
         if is_power:
             pol = min(feed_idx, vals.shape[1] - 1)
             return jnp.real(vals[0, pol])

@@ -56,6 +56,27 @@ logger = logging.getLogger(__name__)
 TWO_PI = 2.0 * np.pi
 
 
+def _ship_complex(arr: np.ndarray):
+    """Host-to-device transfer of a possibly-complex array.
+
+    Complex buffers cannot cross the host/device boundary on some
+    experimental TPU runtimes (the axon tunnel); ship real/imag stacked as a
+    leading axis and recombine with :func:`_unship_complex` inside the
+    program. Real arrays pass through unchanged.
+    """
+    import jax.numpy as jnp
+
+    if np.iscomplexobj(arr):
+        return jnp.asarray(np.stack([arr.real, arr.imag])), True
+    return jnp.asarray(arr), False
+
+
+def _unship_complex(x, was_complex: bool):
+    if not was_complex:
+        return x
+    return x[0] + 1j * x[1]
+
+
 def _fetch_complex(x) -> np.ndarray:
     """Device-to-host transfer of a complex array.
 
@@ -261,6 +282,7 @@ class TPUSimulationEngine(SimulationEngine):
         coh_host = pad_src(
             coherency.astype(complex_dtype if coherency.ndim > 2 else real_dtype)
         )
+        coh_was_complex = np.iscomplexobj(coh_host)
         valid_host = np.zeros(nsrc_pad, dtype=real_dtype)
         valid_host[:nsrc] = 1.0
 
@@ -280,7 +302,7 @@ class TPUSimulationEngine(SimulationEngine):
         freqs_dev = jnp.asarray(freqs.astype(real_dtype))
 
         if use_basis:
-            coefs_dev = jnp.asarray(beam_coefs.astype(complex_dtype))
+            coefs_ship, coefs_cx = _ship_complex(beam_coefs.astype(complex_dtype))
             ant1_dev = jnp.asarray(ant1_idx)
             ant2_dev = jnp.asarray(ant2_idx)
 
@@ -397,6 +419,7 @@ class TPUSimulationEngine(SimulationEngine):
             per_pair = out_all.reshape(npairs, nfeeds, nfeeds, nbl)
 
             if use_basis:
+                coefs_dev = _unship_complex(coefs_ship, coefs_cx)
                 c1 = jnp.conj(coefs_dev[ant1_dev, :, fi])  # (nbl, K)
                 c2 = coefs_dev[ant2_dev, :, fi]
                 vis_f = jnp.zeros((nbl, nfeeds, nfeeds), dtype=complex_dtype)
@@ -416,7 +439,9 @@ class TPUSimulationEngine(SimulationEngine):
                 vis_f = vis_f.at[jnp.asarray(sel)].set(vp)
             return vis_f
 
-        def program(mats_a, abvel_a, eq_a, coh_a, valid_a):
+        def program(mats_a, abvel_a, eq_a, coh_ship_a, valid_a):
+            coh_a = _unship_complex(coh_ship_a, coh_was_complex)
+
             def per_time(carry, tinp):
                 mat, vel = tinp
                 eqa = eq_a + vel[:, None]
@@ -445,20 +470,22 @@ class TPUSimulationEngine(SimulationEngine):
                 from jax.experimental.shard_map import shard_map as _shard_map
 
             T, S = self.time_axis, self.source_axis
+            coh_spec = P(None, S) if coh_was_complex else P(S)
             run = jax.jit(
                 _shard_map(
                     program,
                     mesh=mesh,
-                    in_specs=(P(T), P(T), P(None, S), P(S), P(S)),
+                    in_specs=(P(T), P(T), P(None, S), coh_spec, P(S)),
                     out_specs=P(T),
                 )
             )
 
+        coh_ship, _ = _ship_complex(coh_host)
         inputs = (
             jnp.asarray(mats_host),
             jnp.asarray(abvel_host),
             jnp.asarray(eq),
-            jnp.asarray(coh_host),
+            coh_ship,
             jnp.asarray(valid_host),
         )
         if return_program:
