@@ -240,7 +240,7 @@ class Type1Executor:
             jnp.mod(x[axis] / (2.0 * jnp.pi) * p.nf[axis], p.nf[axis])
             for axis in range(p.d)
         ]
-        return _spread_scatter(u, c, p.nf, p.kernel.w, p.kernel.beta)
+        return _spread_auto(u, c, p.nf, p.kernel.w, p.kernel.beta)
 
     def transform(self, g):
         return _forward_modes(g, self.plan.nf)
@@ -305,7 +305,7 @@ class Type3Executor:
             jnp.mod(x[axis] / jnp.asarray(p.h[axis], dtype=rdtype), p.nf[axis])
             for axis in range(d)
         ]
-        return _spread_scatter(u, wts, p.nf, w, beta)
+        return _spread_auto(u, wts, p.nf, w, beta)
 
     def transform(self, g):
         import jax.numpy as jnp
@@ -367,6 +367,57 @@ def _forward_modes(g, nf):
     d = len(nf)
     axes = tuple(range(1, 1 + d))
     return jnp.fft.ifftn(g, axes=axes) * float(np.prod(nf))
+
+
+def _spread_auto(u_list, weights, nf, w: int, beta: float):
+    """Spreading dispatch: Pallas VMEM kernel on TPU, XLA scatter elsewhere.
+
+    XLA's scatter-add lowers to a sequential per-index loop on TPU, which is
+    unusably slow for NUFFT spreading; the Pallas kernel
+    (nufft/pallas_spread.py) replaces it whenever the (channel-chunked)
+    padded grid fits VMEM. Selection is trace-time static. Override with
+    FFTVIS_SPREADER={auto,scatter,pallas,pallas-interpret}.
+    """
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from .pallas_spread import pallas_spread_fits, spread_pallas_2d
+
+    mode = os.environ.get("FFTVIS_SPREADER", "auto")
+    d = len(u_list)
+    use_pallas = False
+    interpret = False
+    if mode == "scatter":
+        use_pallas = False
+    elif mode in ("pallas", "pallas-interpret"):
+        use_pallas = d == 2
+        interpret = mode == "pallas-interpret" or jax.default_backend() != "tpu"
+    else:  # auto
+        use_pallas = d == 2 and jax.default_backend() == "tpu"
+
+    if not use_pallas:
+        return _spread_scatter(u_list, weights, nf, w, beta)
+
+    C = weights.shape[0]
+    # Chunk the channel axis until the padded grid fits the VMEM budget.
+    cc = C
+    while cc > 1 and not pallas_spread_fits(cc, nf, w):
+        cc = -(-cc // 2)
+    if not pallas_spread_fits(cc, nf, w):
+        # Grid too large even per-channel; fall back (slow on TPU -- the
+        # planner avoids this region via the direct path / cost model).
+        return _spread_scatter(u_list, weights, nf, w, beta)
+
+    outs = []
+    for lo in range(0, C, cc):
+        outs.append(
+            spread_pallas_2d(
+                u_list, weights[lo : lo + cc], nf, w, beta, interpret=interpret
+            )
+        )
+    return jnp.concatenate(outs, axis=0).astype(weights.dtype)
 
 
 def _spread_scatter(u_list, weights, nf, w: int, beta: float):

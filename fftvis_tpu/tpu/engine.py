@@ -77,23 +77,6 @@ def _unship_complex(x, was_complex: bool):
     return x[0] + 1j * x[1]
 
 
-def _fetch_complex(x) -> np.ndarray:
-    """Device-to-host transfer of a complex array.
-
-    Some experimental TPU runtimes (the axon tunnel) cannot transfer complex
-    buffers directly (UNIMPLEMENTED); split into real/imag floats on device
-    and recombine on host.
-    """
-    try:
-        return np.asarray(x)
-    except Exception:  # pragma: no cover - backend-specific
-        import jax
-        import jax.numpy as jnp
-
-        re, im = jax.jit(lambda a: (jnp.real(a), jnp.imag(a)))(x)
-        return np.asarray(re) + 1j * np.asarray(im)
-
-
 @dataclass
 class _SimPlan:
     """Static (host-side) configuration baked into the jitted program."""
@@ -457,7 +440,10 @@ class TPUSimulationEngine(SimulationEngine):
                 return carry, vis_t  # (nfreq, nbl, nfeeds, nfeeds)
 
             _, vis = jax.lax.scan(per_time, None, (mats_a, abvel_a))
-            return vis  # (nt_local, nfreq, nbl, nfeeds, nfeeds)
+            # (nt_local, nfreq, nbl, nfeeds, nfeeds); returned as (re, im)
+            # because complex buffers cannot cross the executable boundary
+            # on some experimental TPU runtimes.
+            return jnp.real(vis), jnp.imag(vis)
 
         if mesh is None:
             run = jax.jit(program)
@@ -476,7 +462,7 @@ class TPUSimulationEngine(SimulationEngine):
                     program,
                     mesh=mesh,
                     in_specs=(P(T), P(T), P(None, S), coh_spec, P(S)),
-                    out_specs=P(T),
+                    out_specs=(P(T), P(T)),
                 )
             )
 
@@ -491,7 +477,8 @@ class TPUSimulationEngine(SimulationEngine):
         if return_program:
             return run, inputs
 
-        vis = _fetch_complex(run(*inputs))[:ntimes]
+        vis_re, vis_im = run(*inputs)
+        vis = (np.asarray(vis_re) + 1j * np.asarray(vis_im))[:ntimes]
 
         # Reference output layout (ref cpu_simulate.py:849-854):
         # polarized (nfreq, nt, nfeeds, nfeeds, nbl), else (nfreq, nt, nbl).
