@@ -111,19 +111,20 @@ def es_kernel_ft(xi, w: int, beta: float, xp=np):
     return (0.5 * w) * xp.sum(xp.cos(phases) * envelope, axis=-1)
 
 
-def next_fast_size(n: int, prefer_pow2: bool = False) -> int:
-    """Smallest 5-smooth (2^a 3^b 5^c) even integer >= n.
+def next_fast_size(n: int, prefer_pow2: bool = False, multiple_of: int = 8) -> int:
+    """Smallest 5-smooth (2^a 3^b 5^c) multiple of ``multiple_of`` >= n.
 
-    XLA's FFT handles radix-2/3/5 well; even sizes keep mode symmetry simple.
+    XLA's FFT handles radix-2/3/5 well; the multiple-of-8 default matches
+    TPU sublane tiling (and the Pallas spreader's aligned-window scheme).
     """
     if prefer_pow2:
-        return 1 << int(np.ceil(np.log2(max(n, 2))))
-    n = max(int(n), 2)
+        return max(1 << int(np.ceil(np.log2(max(n, 2)))), multiple_of)
+    n = max(int(n), multiple_of)
     while True:
         m = n
         for p in (2, 3, 5):
             while m % p == 0:
                 m //= p
-        if m == 1 and n % 2 == 0:
+        if m == 1 and n % multiple_of == 0:
             return n
         n += 1

@@ -4,23 +4,26 @@ XLA lowers scatter-add with duplicate indices to a sequential per-index
 loop, which is catastrophic on TPU -- spreading is THE op that made the
 reference depend on finufft's hand-written C++/OpenMP spreader
 (ref /root/reference/src/fftvis/cpu/nufft.py). This kernel is the TPU-native
-equivalent: one pass over the sources, each accumulating a dense
-(w x nfx) ES-kernel tap patch into a VMEM-resident fine grid.
+equivalent: one pass over the sources, each accumulating a dense ES-kernel
+tap patch into a VMEM-resident fine grid.
 
-Design notes (see /opt/skills/guides/pallas_guide.md):
+Design (see /opt/skills/guides/pallas_guide.md): the grid lives fully in
+VMEM as (nfy, 2C * nfx) float32 (re/im channel planes side by side on the
+lane axis). Each source adds a rank-1 outer product
 
-  * The grid lives fully in VMEM (channels x (nfy + w) x nfx, float32
-    re/im planes). VMEM is ~16 MB; the planner picks this path only when
-    the padded grid fits (typical type-1 grids are ~100-512 per side).
-  * x-axis taps are a DENSE lane row: psi evaluated at the periodic lane
-    distance to the source, so azimuth wrap costs nothing and no dynamic
-    lane-offset slicing is needed (lane-dim dynamic slices relayout badly).
-  * y-axis taps use a dynamic sublane slice of width w at ceil(u - w/2),
-    on a grid padded by w rows; periodic wrap is restored by folding the
-    pad rows back onto the top after the kernel (one cheap add).
-  * Complex weights are shipped as stacked (re, im) channel planes: the
-    kernel is pure f32, and complex recombination happens in XLA where it
-    fuses away.
+    psi_y(periodic row distance) (nfy, 1)  x  psi_x(periodic lane distance)
+    * weight (1, 2C*nfx)
+
+over the WHOLE grid: the ES kernel is identically zero outside its w-wide
+support, so this is exact, handles both periodic wraps for free, and needs
+no dynamic indexing at all (Mosaic's dynamic sublane slices require
+alignments the spread pattern cannot guarantee). The cost per source is
+(nfy * 2C * nfx / 1024) vector ops -- for the grid sizes this path accepts
+(VMEM-resident), that is well below the HBM-bandwidth cost of any
+scatter-based alternative.
+
+Complex weights are shipped as stacked (re, im) planes: the kernel is pure
+f32; complex recombination happens in XLA where it fuses away.
 """
 
 from __future__ import annotations
@@ -31,17 +34,20 @@ import numpy as np
 
 from .kernels import es_kernel_grid
 
-# Keep the padded grid under this many bytes of VMEM (leave headroom for
-# the weights block and double buffering).
+# Keep the f32 re/im grid under this many bytes of VMEM (headroom for the
+# coordinate/weight blocks and compiler temporaries).
 VMEM_GRID_BUDGET = 8 * 1024 * 1024
 
 
 def pallas_spread_fits(n_channels: int, nf: tuple, w: int) -> bool:
-    """Whether the padded f32 re/im grid fits the VMEM budget (2D only)."""
+    """Whether the f32 re/im grid fits the VMEM budget (2D only)."""
+    del w
     if len(nf) != 2:
         return False
     nfy, nfx = nf
-    return 2 * n_channels * (nfy + w) * nfx * 4 <= VMEM_GRID_BUDGET
+    if nfy % 8 != 0:
+        return False
+    return nfy * 2 * n_channels * nfx * 4 <= VMEM_GRID_BUDGET
 
 
 def spread_pallas_2d(u_list, weights, nf, w: int, beta: float, interpret: bool = False):
@@ -62,7 +68,7 @@ def spread_pallas_2d(u_list, weights, nf, w: int, beta: float, interpret: bool =
 
     Returns
     -------
-    (C, nfy, nfx) complex grid, identical (to fp accuracy) to the XLA
+    (C, nfy, nfx) complex grid, identical (to f32 accuracy) to the XLA
     scatter implementation in transform._spread_scatter.
     """
     import jax
@@ -72,6 +78,7 @@ def spread_pallas_2d(u_list, weights, nf, w: int, beta: float, interpret: bool =
 
     nfy, nfx = int(nf[0]), int(nf[1])
     C, n = weights.shape
+    c2 = 2 * C
     uy = u_list[0].astype(jnp.float32)
     ux = u_list[1].astype(jnp.float32)
     vals = jnp.concatenate(
@@ -79,12 +86,12 @@ def spread_pallas_2d(u_list, weights, nf, w: int, beta: float, interpret: bool =
     ).astype(jnp.float32)  # (2C, n)
 
     kern = functools.partial(
-        _spread_kernel, n=n, w=w, beta=float(beta), nfy=nfy, nfx=nfx, c2=2 * C
+        _spread_kernel, n=n, w=w, beta=float(beta), nfy=nfy, nfx=nfx, c2=c2
     )
 
-    padded = pl.pallas_call(
+    flat = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((2 * C, nfy + w, nfx), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nfy, c2 * nfx), jnp.float32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -94,47 +101,40 @@ def spread_pallas_2d(u_list, weights, nf, w: int, beta: float, interpret: bool =
         interpret=interpret,
     )(uy, ux, vals)
 
-    # Fold the wrap pad rows back onto the grid top (periodic y).
-    grid = padded[:, :nfy, :]
-    grid = grid.at[:, :w, :].add(padded[:, nfy : nfy + w, :])
-    out = grid[:C] + 1j * grid[C:]
-    return out
+    grid = flat.reshape(nfy, c2, nfx).transpose(1, 0, 2)
+    return grid[:C] + 1j * grid[C:]
 
 
 def _spread_kernel(uy_ref, ux_ref, val_ref, out_ref, *, n, w, beta, nfy, nfx, c2):
     import jax
     import jax.numpy as jnp
-    from jax.experimental import pallas as pl
 
     out_ref[:] = jnp.zeros_like(out_ref)
 
-    # Dense lane positions for the x-axis taps.
-    lane = jax.lax.broadcasted_iota(jnp.float32, (1, nfx), 1)  # (1, nfx)
-    suby = jax.lax.broadcasted_iota(jnp.float32, (w, 1), 0)  # (w, 1)
+    # Dense row/lane positions (lanes replicated per channel plane).
+    lane_flat = jax.lax.broadcasted_iota(jnp.int32, (1, c2 * nfx), 1)
+    lane = (lane_flat % nfx).astype(jnp.float32)  # (1, c2*nfx)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nfy, 1), 0).astype(jnp.float32)
 
     def body(j, _):
         uyj = uy_ref[j]
         uxj = ux_ref[j]
 
-        # y taps: w rows starting at ceil(uy - w/2), on the padded grid
-        # (wrap restored after the kernel). Offsets stay in (-w/2, w/2].
-        iy0 = jnp.ceil(uyj - w / 2.0)
-        ky = es_kernel_grid(uyj - (iy0 + suby), w, beta, xp=jnp)  # (w, 1)
+        # Periodic distances; psi is zero outside |d| <= w/2, so the dense
+        # outer product is exactly the w x w tap patch with wraps included.
+        dy = rows - uyj
+        dy = dy - nfy * jnp.round(dy / nfy)
+        ky = es_kernel_grid(dy, w, beta, xp=jnp)  # (nfy, 1)
 
-        # x taps: periodic lane distance, dense across the row.
         dx = lane - uxj
         dx = dx - nfx * jnp.round(dx / nfx)
-        kx = es_kernel_grid(dx, w, beta, xp=jnp)  # (1, nfx)
+        kx = es_kernel_grid(dx, w, beta, xp=jnp)  # (1, c2*nfx)
 
-        patch = ky * kx  # (w, nfx)
-        vj = val_ref[:, j]  # (2C,)
-        contrib = vj[:, None, None] * patch[None, :, :]
+        # Per-channel weight expanded along its lane plane (broadcast only).
+        vj = val_ref[:, j]
+        vrow = jnp.broadcast_to(vj[:, None], (c2, nfx)).reshape(1, c2 * nfx)
 
-        iy = iy0.astype(jnp.int32)
-        # Map into the padded grid: rows in [0, nfy + w).
-        iy = jnp.where(iy < 0, iy + nfy, iy)
-        cur = out_ref[:, pl.ds(iy, w), :]
-        out_ref[:, pl.ds(iy, w), :] = cur + contrib
+        out_ref[:, :] = out_ref[:, :] + ky * (kx * vrow)
         return 0
 
     jax.lax.fori_loop(0, n, body, 0)

@@ -370,54 +370,68 @@ def _forward_modes(g, nf):
 
 
 def _spread_auto(u_list, weights, nf, w: int, beta: float):
-    """Spreading dispatch: Pallas VMEM kernel on TPU, XLA scatter elsewhere.
+    """Spreading dispatch, trace-time static.
 
     XLA's scatter-add lowers to a sequential per-index loop on TPU, which is
-    unusably slow for NUFFT spreading; the Pallas kernel
-    (nufft/pallas_spread.py) replaces it whenever the (channel-chunked)
-    padded grid fits VMEM. Selection is trace-time static. Override with
-    FFTVIS_SPREADER={auto,scatter,pallas,pallas-interpret}.
+    unusably slow for NUFFT spreading. On accelerators the 2D spread instead
+    runs as dense kernel-factor MATMULS on the MXU
+    (:func:`_spread_dense_matmul`) -- the ES kernel is zero outside its
+    support, so the dense outer-product formulation is exact, handles both
+    periodic wraps through periodic distances, and rides the systolic array.
+    CPU keeps the cheap scatter. Override with
+    FFTVIS_SPREADER={auto,scatter,dense,pallas-interpret}.
     """
     import os
 
     import jax
-    import jax.numpy as jnp
-
-    from .pallas_spread import pallas_spread_fits, spread_pallas_2d
 
     mode = os.environ.get("FFTVIS_SPREADER", "auto")
     d = len(u_list)
-    use_pallas = False
-    interpret = False
-    if mode == "scatter":
-        use_pallas = False
-    elif mode in ("pallas", "pallas-interpret"):
-        use_pallas = d == 2
-        interpret = mode == "pallas-interpret" or jax.default_backend() != "tpu"
-    else:  # auto
-        use_pallas = d == 2 and jax.default_backend() == "tpu"
+    if mode == "pallas-interpret" and d == 2:
+        from .pallas_spread import spread_pallas_2d
 
-    if not use_pallas:
-        return _spread_scatter(u_list, weights, nf, w, beta)
+        return spread_pallas_2d(u_list, weights, nf, w, beta, interpret=True)
+    if mode == "dense" and d == 2:
+        return _spread_dense_matmul(u_list, weights, nf, w, beta)
+    if mode == "auto" and d == 2 and jax.default_backend() == "tpu":
+        return _spread_dense_matmul(u_list, weights, nf, w, beta)
+    return _spread_scatter(u_list, weights, nf, w, beta)
 
-    C = weights.shape[0]
-    # Chunk the channel axis until the padded grid fits the VMEM budget.
-    cc = C
-    while cc > 1 and not pallas_spread_fits(cc, nf, w):
-        cc = -(-cc // 2)
-    if not pallas_spread_fits(cc, nf, w):
-        # Grid too large even per-channel; fall back (slow on TPU -- the
-        # planner avoids this region via the direct path / cost model).
-        return _spread_scatter(u_list, weights, nf, w, beta)
 
-    outs = []
-    for lo in range(0, C, cc):
-        outs.append(
-            spread_pallas_2d(
-                u_list, weights[lo : lo + cc], nf, w, beta, interpret=interpret
-            )
-        )
-    return jnp.concatenate(outs, axis=0).astype(weights.dtype)
+def _spread_dense_matmul(u_list, weights, nf, w: int, beta: float):
+    """2D ES spreading as two dense matmuls (MXU path).
+
+    grid[c, y, x] = sum_j psi_per(y - uy_j) * psi_per(x - ux_j) * w[c, j]
+
+    computed as  Ky(nfy, n) @ RHS(n, 2C*nfx)  in f32 re/im planes, where
+    psi_per uses the periodic grid distance (both wraps handled for free)
+    and RHS carries kx * weight. FLOPs are n * nfy * 2C * nfx * 2 -- for
+    VMEM/HBM-comfortable grid sizes this is far below the cost of any
+    scatter lowering, and it is exact (psi vanishes outside its support).
+    """
+    import jax.numpy as jnp
+
+    nfy, nfx = int(nf[0]), int(nf[1])
+    C, n = weights.shape
+    rdtype = jnp.finfo(jnp.result_type(weights, 0.0)).dtype
+    uy = u_list[0].astype(rdtype)
+    ux = u_list[1].astype(rdtype)
+
+    rows = jnp.arange(nfy, dtype=rdtype)
+    cols = jnp.arange(nfx, dtype=rdtype)
+    dy = rows[:, None] - uy[None, :]
+    dy = dy - nfy * jnp.round(dy / nfy)
+    ky = es_kernel_grid(dy, w, beta, xp=jnp)  # (nfy, n)
+    dx = cols[None, :] - ux[:, None]
+    dx = dx - nfx * jnp.round(dx / nfx)
+    kx = es_kernel_grid(dx, w, beta, xp=jnp)  # (n, nfx)
+
+    vals = jnp.concatenate([jnp.real(weights), jnp.imag(weights)], axis=0)
+    # RHS: (n, 2C, nfx) -> (n, 2C*nfx)
+    rhs = (kx[:, None, :] * vals.T[:, :, None]).reshape(n, 2 * C * nfx)
+    flat = ky @ rhs  # (nfy, 2C*nfx) on the MXU
+    grid = flat.reshape(nfy, 2 * C, nfx).transpose(1, 0, 2)
+    return (grid[:C] + 1j * grid[C:]).astype(weights.dtype)
 
 
 def _spread_scatter(u_list, weights, nf, w: int, beta: float):

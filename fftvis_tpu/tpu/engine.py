@@ -56,6 +56,20 @@ logger = logging.getLogger(__name__)
 TWO_PI = 2.0 * np.pi
 
 
+def _with_f32_matmuls(fn):
+    """Wrap a callable so tracing/compilation sees float32 matmul precision."""
+    import functools
+
+    import jax
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("float32"):
+            return fn(*args, **kwargs)
+
+    return wrapped
+
+
 def _ship_complex(arr: np.ndarray):
     """Host-to-device transfer of a possibly-complex array.
 
@@ -474,6 +488,10 @@ class TPUSimulationEngine(SimulationEngine):
             coh_ship,
             jnp.asarray(valid_host),
         )
+        # TPU matmuls default to bfloat16 operands; the NUFFT spread/interp
+        # contractions and coherency einsums need full f32.
+        run = _with_f32_matmuls(run)
+
         if return_program:
             return run, inputs
 

@@ -16,7 +16,7 @@ from fftvis_tpu.nufft.pallas_spread import pallas_spread_fits, spread_pallas_2d
 from fftvis_tpu.nufft.transform import _spread_scatter
 
 
-@pytest.mark.parametrize("nf", [(36, 48), (50, 128)])
+@pytest.mark.parametrize("nf", [(40, 48), (56, 128)])
 @pytest.mark.parametrize("C", [1, 4])
 def test_pallas_matches_scatter(nf, C):
     rng = np.random.default_rng(0)

@@ -1,0 +1,171 @@
+"""Public API contract tests (ref tests/test_wrapper.py:22-322):
+shapes, dtypes, validation error messages, factories, coherency prep."""
+
+import numpy as np
+import pytest
+
+from fftvis_tpu import (
+    TelescopeLocation,
+    create_beam_evaluator,
+    create_simulation_engine,
+    default_accuracy_dict,
+    simulate_vis,
+)
+from fftvis_tpu.beams import GaussianBeam
+from fftvis_tpu.core.coherency import prepare_source_catalog
+
+LOC = TelescopeLocation(np.deg2rad(-30.72), np.deg2rad(21.43), 1000.0)
+JD0 = 2459863.2
+
+
+def _kwargs(rng, nant=4, nsrc=12, nfreq=2, ntimes=2, **over):
+    ants = {i: np.array([*rng.uniform(-40, 40, 2), 0.0]) for i in range(nant)}
+    kw = dict(
+        ants=ants,
+        fluxes=rng.uniform(0.1, 1, (nsrc, nfreq)),
+        ra=rng.uniform(0, 2 * np.pi, nsrc),
+        dec=np.clip(LOC.lat + rng.normal(0, 0.4, nsrc), -np.pi / 2, np.pi / 2),
+        freqs=np.linspace(1e8, 1.2e8, nfreq),
+        times=JD0 + np.linspace(0, 0.01, ntimes),
+        beam=GaussianBeam(diameter=10.0),
+        telescope_loc=LOC,
+    )
+    kw.update(over)
+    return kw
+
+
+class TestShapes:
+    def test_unpolarized_shape_dtype(self):
+        rng = np.random.default_rng(0)
+        v = simulate_vis(**_kwargs(rng), polarized=False, precision=2)
+        assert v.dtype == np.complex128
+        nbl = v.shape[-1]
+        assert v.shape == (2, 2, nbl)
+
+    def test_polarized_shape(self):
+        rng = np.random.default_rng(0)
+        v = simulate_vis(**_kwargs(rng), polarized=True)
+        assert v.shape[:4] == (2, 2, 2, 2)
+        assert v.ndim == 5
+
+    def test_precision1_dtype(self):
+        rng = np.random.default_rng(0)
+        v = simulate_vis(**_kwargs(rng), precision=1)
+        assert v.dtype == np.complex64
+
+    def test_baselines_shape(self):
+        rng = np.random.default_rng(0)
+        v = simulate_vis(**_kwargs(rng), baselines=[(0, 1), (1, 2)])
+        assert v.shape == (2, 2, 2)
+
+    def test_scalar_freq_and_time(self):
+        rng = np.random.default_rng(0)
+        v = simulate_vis(**_kwargs(rng, nfreq=1, ntimes=1))
+        assert v.shape[0] == 1 and v.shape[1] == 1
+
+
+class TestValidation:
+    def test_default_eps(self):
+        assert default_accuracy_dict == {1: 6e-8, 2: 1e-13}
+
+    def test_bad_backend(self):
+        rng = np.random.default_rng(0)
+        with pytest.raises(ValueError, match="Unsupported backend"):
+            simulate_vis(**_kwargs(rng), backend="quantum")
+
+    def test_gpu_backend_stub(self):
+        """Parity with the reference's explicit GPU stubs
+        (ref tests/test_gpu_*.py: NotImplementedError)."""
+        with pytest.raises(NotImplementedError):
+            create_simulation_engine(backend="gpu")
+        with pytest.raises(NotImplementedError):
+            create_beam_evaluator(backend="gpu")
+
+    def test_beam_idx_inference_error(self):
+        rng = np.random.default_rng(0)
+        kw = _kwargs(rng)
+        kw["beam"] = [GaussianBeam(diameter=10.0), GaussianBeam(diameter=12.0)]
+        with pytest.raises(ValueError, match="beam_idx must be provided"):
+            simulate_vis(**kw)
+
+    def test_beam_idx_and_coefs_conflict(self):
+        rng = np.random.default_rng(0)
+        kw = _kwargs(rng)
+        kw["beam"] = [GaussianBeam(diameter=10.0)] * 2
+        with pytest.raises(ValueError, match="beam_idx should not be provided"):
+            simulate_vis(
+                **kw,
+                beam_idx=np.zeros(4, dtype=int),
+                beam_coefs=np.ones((4, 2, 2)),
+                polarized=True,
+            )
+
+    def test_polarized_sky_requires_polarized(self):
+        rng = np.random.default_rng(0)
+        kw = _kwargs(rng)
+        kw["fluxes"] = rng.uniform(0.1, 1, (12, 2, 4))
+        with pytest.raises(ValueError, match="requires sky_model to be 2D"):
+            simulate_vis(**kw, polarized=False)
+
+    def test_evaluator_factory(self):
+        ev = create_beam_evaluator(backend="tpu")
+        assert ev.beam_list == [] and ev.beam_idx is None
+
+
+class TestPrepareSourceCatalog:
+    def test_unpolarized_half(self):
+        flux = np.ones((5, 3))
+        coh, pol = prepare_source_catalog(flux, polarized_beam=False)
+        assert not pol
+        np.testing.assert_allclose(coh, 0.5)
+
+    def test_polarized_coherency(self):
+        sky = np.zeros((2, 1, 4))
+        sky[..., 0] = 2.0  # I
+        sky[..., 1] = 1.0  # Q
+        sky[..., 3] = 0.5  # V
+        coh, pol = prepare_source_catalog(sky, polarized_beam=True)
+        assert pol and coh.shape == (2, 1, 2, 2)
+        np.testing.assert_allclose(coh[0, 0, 0, 0], 1.5)  # (I+Q)/2
+        np.testing.assert_allclose(coh[0, 0, 1, 1], 0.5)  # (I-Q)/2
+        np.testing.assert_allclose(coh[0, 0, 0, 1], 0.25j)  # (U+iV)/2
+        np.testing.assert_allclose(coh[0, 0, 1, 0], -0.25j)
+
+    def test_bad_ndim(self):
+        with pytest.raises(ValueError, match="2D unpolarized"):
+            prepare_source_catalog(np.ones((3, 2, 3)), polarized_beam=True)
+
+
+class TestEvaluatorBridge:
+    def test_interp_bridge(self):
+        """The matvis-style interp() adapter (ref core/beams.py:106-139)."""
+        ev = create_beam_evaluator()
+        ev.beam_list = [GaussianBeam(diameter=10.0)]
+        ev.polarized = True
+        ev.freq = 1e8
+        tx = np.array([0.1, 0.0])
+        ty = np.array([0.0, 0.1])
+        out = np.zeros((1, 2, 2, 2), dtype=complex)
+        ev.interp(tx, ty, out)
+        assert np.all(np.isfinite(out)) and np.abs(out).max() > 0
+
+    def test_evaluate_beam_check(self):
+        ev = create_beam_evaluator()
+        vals = ev.evaluate_beam(
+            GaussianBeam(diameter=10.0),
+            az=np.zeros(3),
+            za=np.linspace(0, 0.4, 3),
+            polarized=True,
+            freq=1e8,
+            check=True,
+        )
+        assert vals.shape == (2, 2, 3)
+
+    def test_apparent_flux(self):
+        ev = create_beam_evaluator()
+        rng = np.random.default_rng(0)
+        beam = rng.normal(size=(2, 2, 5)) + 1j * rng.normal(size=(2, 2, 5))
+        flux = rng.uniform(1, 2, 5)
+        want = np.einsum("afs,s,ags->fgs", beam.conj(), flux, beam)
+        got = ev.get_apparent_flux_polarized(beam.copy(), flux)
+        np.testing.assert_allclose(got, want, atol=1e-12)
