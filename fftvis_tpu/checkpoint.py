@@ -1,0 +1,116 @@
+"""Block-wise simulation driver with checkpoint/resume.
+
+The reference runs each simulation to completion in one shot and has no
+recovery story (SURVEY section 5: Ray OOMs abort the whole run). For
+pod-scale sweeps (thousands of freqs x times) this module partitions the
+(time x freq) grid into blocks, simulates block by block, persists each
+finished block to disk, and resumes from whatever is already present.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def simulate_vis_checkpointed(
+    *,
+    checkpoint_dir: str,
+    time_block: int = 8,
+    freq_block: int | None = None,
+    overwrite: bool = False,
+    **kwargs,
+) -> np.ndarray:
+    """Run ``simulate_vis`` in (time, freq) blocks with on-disk checkpoints.
+
+    Parameters
+    ----------
+    checkpoint_dir
+        Directory for per-block ``.npy`` files and the manifest. A resumed
+        call with the same configuration skips completed blocks.
+    time_block, freq_block
+        Block sizes along times / freqs (freq defaults to all freqs).
+    overwrite
+        Ignore existing checkpoints and recompute everything.
+    kwargs
+        Everything ``fftvis_tpu.simulate_vis`` accepts.
+
+    Returns
+    -------
+    The assembled full visibility array, shaped exactly as simulate_vis
+    would return.
+    """
+    from .coords.erfa_lite import times_to_jd
+    from .wrapper import simulate_vis
+
+    freqs = np.atleast_1d(np.asarray(kwargs.pop("freqs"), dtype=float))
+    times = times_to_jd(kwargs.pop("times"))
+    nfreq, ntime = freqs.size, times.size
+    freq_block = freq_block or nfreq
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    manifest_path = os.path.join(checkpoint_dir, "manifest.json")
+
+    config_key = {
+        "nfreq": nfreq,
+        "ntime": ntime,
+        "time_block": time_block,
+        "freq_block": freq_block,
+        "polarized": bool(kwargs.get("polarized", False)),
+        "nant": len(kwargs["ants"]),
+        "nsrc": int(np.asarray(kwargs["fluxes"]).shape[0]),
+    }
+    if os.path.exists(manifest_path) and not overwrite:
+        with open(manifest_path) as fh:
+            manifest = json.load(fh)
+        if manifest.get("config") != config_key:
+            raise ValueError(
+                f"Checkpoint dir {checkpoint_dir} holds a different "
+                f"configuration; pass overwrite=True to discard it."
+            )
+    else:
+        manifest = {"config": config_key, "done": []}
+
+    done = set(tuple(b) for b in manifest["done"])
+    blocks = [
+        (t0, min(t0 + time_block, ntime), f0, min(f0 + freq_block, nfreq))
+        for t0 in range(0, ntime, time_block)
+        for f0 in range(0, nfreq, freq_block)
+    ]
+
+    out = None
+    for t0, t1, f0, f1 in blocks:
+        key = (t0, t1, f0, f1)
+        path = os.path.join(checkpoint_dir, f"block_t{t0}-{t1}_f{f0}-{f1}.npy")
+        if key in done and os.path.exists(path) and not overwrite:
+            block = np.load(path)
+            logger.info("resumed block %s from %s", key, path)
+        else:
+            # Slice every frequency-indexed input consistently.
+            block_kwargs = dict(kwargs)
+            block_kwargs["fluxes"] = np.asarray(kwargs["fluxes"])[:, f0:f1]
+            if kwargs.get("beam_coefs") is not None:
+                block_kwargs["beam_coefs"] = np.asarray(kwargs["beam_coefs"])[
+                    :, :, f0:f1
+                ]
+            block = simulate_vis(
+                freqs=freqs[f0:f1], times=times[t0:t1], **block_kwargs
+            )
+            np.save(path, block)
+            manifest["done"] = [list(k) for k in sorted(done | {key})]
+            with open(manifest_path, "w") as fh:
+                json.dump(manifest, fh)
+            done.add(key)
+            logger.info("checkpointed block %s -> %s", key, path)
+
+        if out is None:
+            shape = (nfreq, ntime) + block.shape[2:]
+            out = np.zeros(shape, dtype=block.dtype)
+        out[f0:f1, t0:t1] = block
+
+    return out

@@ -1,0 +1,75 @@
+"""Checkpoint/resume driver tests."""
+
+import numpy as np
+import pytest
+
+from fftvis_tpu import TelescopeLocation, simulate_vis
+from fftvis_tpu.beams import GaussianBeam
+from fftvis_tpu.checkpoint import simulate_vis_checkpointed
+
+LOC = TelescopeLocation(np.deg2rad(-30.72), np.deg2rad(21.43), 1000.0)
+JD0 = 2459863.2
+
+
+def _kwargs():
+    rng = np.random.default_rng(0)
+    nsrc = 15
+    return dict(
+        ants={i: np.array([*rng.uniform(-40, 40, 2), 0.0]) for i in range(4)},
+        fluxes=rng.uniform(0.1, 1, (nsrc, 3)),
+        ra=rng.uniform(0, 2 * np.pi, nsrc),
+        dec=np.clip(LOC.lat + rng.normal(0, 0.4, nsrc), -np.pi / 2, np.pi / 2),
+        beam=GaussianBeam(diameter=10.0),
+        telescope_loc=LOC,
+        polarized=False,
+    )
+
+
+def test_blocks_match_monolithic(tmp_path):
+    kw = _kwargs()
+    freqs = np.linspace(1e8, 1.2e8, 3)
+    times = JD0 + np.linspace(0, 0.02, 5)
+    want = simulate_vis(freqs=freqs, times=times, **kw)
+    got = simulate_vis_checkpointed(
+        checkpoint_dir=str(tmp_path / "ck"),
+        time_block=2,
+        freq_block=2,
+        freqs=freqs,
+        times=times,
+        **kw,
+    )
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-12 * np.abs(want).max())
+
+
+def test_resume_uses_checkpoints(tmp_path, monkeypatch):
+    kw = _kwargs()
+    freqs = np.linspace(1e8, 1.2e8, 2)
+    times = JD0 + np.linspace(0, 0.02, 4)
+    ckdir = str(tmp_path / "ck")
+    first = simulate_vis_checkpointed(
+        checkpoint_dir=ckdir, time_block=2, freqs=freqs, times=times, **kw
+    )
+
+    # A resumed run must not call simulate_vis at all.
+    import fftvis_tpu.checkpoint as ck
+
+    def boom(**_):
+        raise AssertionError("resume should not recompute")
+
+    monkeypatch.setattr("fftvis_tpu.wrapper.simulate_vis", boom)
+    second = simulate_vis_checkpointed(
+        checkpoint_dir=ckdir, time_block=2, freqs=freqs, times=times, **kw
+    )
+    np.testing.assert_array_equal(first, second)
+
+
+def test_config_mismatch_raises(tmp_path):
+    kw = _kwargs()
+    freqs = np.linspace(1e8, 1.2e8, 2)
+    times = JD0 + np.linspace(0, 0.02, 2)
+    ckdir = str(tmp_path / "ck")
+    simulate_vis_checkpointed(checkpoint_dir=ckdir, freqs=freqs, times=times, **kw)
+    with pytest.raises(ValueError, match="different"):
+        simulate_vis_checkpointed(
+            checkpoint_dir=ckdir, time_block=1, freqs=freqs, times=times, **kw
+        )
