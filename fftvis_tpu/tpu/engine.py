@@ -101,15 +101,9 @@ class _SimPlan:
     is_coplanar: bool
     rotation_matrix: np.ndarray  # (3, 3) applied to topo for NUFFT coords
     lattice_matrix: np.ndarray | None  # type-1: basis^T (3, 3) scaled
-    flipped: np.ndarray  # (nbl,) global conjugation mask
-    pair_slices: tuple  # per-pair (channel_start, bls_sel ndarray)
-    npairs: int
-    nfeeds: int
-    polarized: bool
-    polarized_sky: bool
-    nsrc_pad: int
-    nblocks: int
-    block: int
+    nsrc_pad: int = 0
+    nblocks: int = 1
+    block: int = 0
 
 
 class TPUSimulationEngine(SimulationEngine):
@@ -232,10 +226,6 @@ class TPUSimulationEngine(SimulationEngine):
             ants, baselines, freqs, eps, upsample_factor, flat_array_tol,
             force_use_type3, flipped_global, nbl, nsrc, nfeeds, npairs,
         )
-        plan.npairs = npairs
-        plan.nfeeds = nfeeds
-        plan.polarized = polarized
-        plan.polarized_sky = polarized_sky
 
         # Mesh geometry (SPMD): times data-parallel, sources psum-sharded.
         mesh = self.mesh
@@ -553,15 +543,6 @@ class TPUSimulationEngine(SimulationEngine):
                 is_coplanar=True,
                 rotation_matrix=np.eye(3),
                 lattice_matrix=lattice,
-                flipped=flipped_global,
-                pair_slices=(),
-                npairs=npairs,
-                nfeeds=nfeeds,
-                polarized=False,
-                polarized_sky=False,
-                nsrc_pad=0,
-                nblocks=1,
-                block=0,
             )
 
         # Type-3 (or direct) path: rotate a tilted plane into XY.
@@ -619,15 +600,6 @@ class TPUSimulationEngine(SimulationEngine):
                 is_coplanar=is_coplanar,
                 rotation_matrix=rotation,
                 lattice_matrix=None,
-                flipped=flipped_global,
-                pair_slices=(),
-                npairs=npairs,
-                nfeeds=nfeeds,
-                polarized=False,
-                polarized_sky=False,
-                nsrc_pad=0,
-                nblocks=1,
-                block=0,
             )
 
         logger.info("Using type-3 NUFFT path (nf=%s, w=%d)", probe.nf, w)
@@ -638,15 +610,6 @@ class TPUSimulationEngine(SimulationEngine):
             is_coplanar=is_coplanar,
             rotation_matrix=rotation,
             lattice_matrix=None,
-            flipped=flipped_global,
-            pair_slices=(),
-            npairs=npairs,
-            nfeeds=nfeeds,
-            polarized=False,
-            polarized_sky=False,
-            nsrc_pad=0,
-            nblocks=1,
-            block=0,
         )
 
     def _select_gridded_path(
