@@ -193,9 +193,15 @@ def prepare_beam(
     is_complex = np.iscomplexobj(host)
     if is_complex:
         host = np.stack([host.real, host.imag])
-    data = jnp.asarray(host)
     if order == 3:
-        data = spline_prefilter_2d(data)
+        # Prefilter once at prepare time, on the host CPU device: the table
+        # stays a NumPy closure constant (embedded into the program at trace
+        # time with no device round-trip).
+        import jax
+
+        with jax.default_device(jax.devices("cpu")[0]):
+            host = np.asarray(spline_prefilter_2d(jnp.asarray(host)))
+    data = host
     az0 = float(gb.axis1_array[0])
     daz = float(gb.axis1_array[1] - gb.axis1_array[0]) if gb.axis1_array.size > 1 else 1.0
     za0 = float(gb.axis2_array[0])
@@ -208,7 +214,7 @@ def prepare_beam(
     freq_axis = 3 if is_complex else 2
 
     def eval_grid(az, za, fv, fi):
-        dslice = jnp.take(data, fi, axis=freq_axis)  # ([2,] nvec, nfeed, nza, naz)
+        dslice = jnp.take(jnp.asarray(data), fi, axis=freq_axis)
         yy = (za - za0) / dza
         if wrap:
             xx = jnp.mod(az - az0, 2 * jnp.pi) / daz

@@ -286,21 +286,25 @@ class TPUSimulationEngine(SimulationEngine):
             abvel_host = np.concatenate(
                 [abvel_host, np.zeros((nt_pad - ntimes, 3), dtype=real_dtype)], axis=0
             )
-        freqs_dev = jnp.asarray(freqs.astype(real_dtype))
+        # Closure constants stay NumPy: jit embeds host arrays directly into
+        # the program, whereas eagerly-created device arrays must round-trip
+        # through the host at trace time (slow, and broken for some dtypes
+        # on the axon runtime).
+        freqs_dev = freqs.astype(real_dtype)
 
         if use_basis:
-            coefs_ship, coefs_cx = _ship_complex(beam_coefs.astype(complex_dtype))
-            ant1_dev = jnp.asarray(ant1_idx)
-            ant2_dev = jnp.asarray(ant2_idx)
+            coefs_host = beam_coefs.astype(complex_dtype)
+            ant1_dev = np.asarray(ant1_idx)
+            ant2_dev = np.asarray(ant2_idx)
 
         # ---------------- the jitted program ----------------
-        rotation_dev = jnp.asarray(plan.rotation_matrix.astype(real_dtype))
+        rotation_dev = plan.rotation_matrix.astype(real_dtype)
         lattice_dev = (
-            jnp.asarray(plan.lattice_matrix.astype(real_dtype))
+            plan.lattice_matrix.astype(real_dtype)
             if plan.lattice_matrix is not None
             else None
         )
-        flip_dev = jnp.asarray(flipped_global)
+        flip_dev = flipped_global
 
         def eval_pair_rows(evals, bi, bj, flux_f):
             return coh_mod.apparent_coherency_rows(
@@ -325,15 +329,15 @@ class TPUSimulationEngine(SimulationEngine):
         def nufft_coords(topo, fv):
             """Transform-space source coordinates for one block: (d, B)."""
             if plan.lattice_matrix is not None:
-                lat = lattice_dev @ topo  # (3, B)
+                lat = jnp.asarray(lattice_dev) @ topo  # (3, B)
                 return lat[:2] * (TWO_PI * fv)
-            xr = rotation_dev @ topo
+            xr = jnp.asarray(rotation_dev) @ topo
             scale = TWO_PI * fv / speed_of_light
             d = 2 if plan.is_coplanar else 3
             return xr[:d] * scale
 
         def per_freq(topo_t, az_t, za_t, mask_t, coh_a, fi):
-            fv = freqs_dev[fi]
+            fv = jnp.asarray(freqs_dev)[fi]
 
             # Reshape the (local) source axis into (nblocks, block).
             topo_blocks = topo_t.reshape(3, plan.nblocks, plan.block)
@@ -406,7 +410,7 @@ class TPUSimulationEngine(SimulationEngine):
             per_pair = out_all.reshape(npairs, nfeeds, nfeeds, nbl)
 
             if use_basis:
-                coefs_dev = _unship_complex(coefs_ship, coefs_cx)
+                coefs_dev = jnp.asarray(coefs_host)
                 c1 = jnp.conj(coefs_dev[ant1_dev, :, fi])  # (nbl, K)
                 c2 = coefs_dev[ant2_dev, :, fi]
                 vis_f = jnp.zeros((nbl, nfeeds, nfeeds), dtype=complex_dtype)
