@@ -56,6 +56,99 @@ logger = logging.getLogger(__name__)
 TWO_PI = 2.0 * np.pi
 
 
+# Compiled-program cache. Rebuilding jax.jit(program) on every simulate()
+# call would retrace AND recompile each time (the closures are fresh
+# objects); production sweeps call simulate_vis repeatedly with the same
+# configuration, so cache the jitted runner keyed by a fingerprint of every
+# static ingredient of the traced program.
+_PROGRAM_CACHE: "dict[str, object]" = {}
+_PROGRAM_CACHE_LIMIT = 16
+
+
+def _hash_parts(parts) -> str:
+    import hashlib
+
+    h = hashlib.sha1()
+
+    def feed(obj):
+        if obj is None or isinstance(obj, (str, int, float, bool, bytes)):
+            h.update(repr(obj).encode())
+        elif isinstance(obj, np.ndarray):
+            h.update(str(obj.dtype).encode())
+            h.update(str(obj.shape).encode())
+            h.update(np.ascontiguousarray(obj).tobytes())
+        elif isinstance(obj, (tuple, list)):
+            h.update(b"(")
+            for item in obj:
+                feed(item)
+            h.update(b")")
+        elif isinstance(obj, dict):
+            for k in sorted(obj, key=repr):
+                feed(k)
+                feed(obj[k])
+        else:
+            h.update(repr(obj).encode())
+
+    feed(parts)
+    return h.hexdigest()
+
+
+def _beam_fingerprint(bi) -> tuple:
+    """Static description of a beam for the program cache key."""
+    from ..beams.analytic import AnalyticBeam
+    from ..beams.gridded import GriddedBeam
+    from ..beams.interface import BeamInterface, PowerBeam
+
+    if isinstance(bi, BeamInterface):
+        return ("iface", bi.beam_type, _beam_fingerprint(bi.beam))
+    if isinstance(bi, PowerBeam):
+        return ("power", bi.use_feed, _beam_fingerprint(bi.base))
+    if isinstance(bi, GriddedBeam):
+        return (
+            "grid",
+            bi.beam_type,
+            bi.data_array,
+            bi.axis1_array,
+            bi.axis2_array,
+            bi.freq_array,
+        )
+    if isinstance(bi, AnalyticBeam):
+        return (
+            type(bi).__name__,
+            tuple(sorted((k, v) for k, v in vars(bi).items()
+                         if isinstance(v, (int, float, str, bool, type(None)))))
+        )
+    return ("other", repr(bi))
+
+
+def _plan_fingerprint(exec_plan) -> tuple:
+    """Full-array fingerprint of a transform plan (repr truncates arrays)."""
+    if exec_plan is None:
+        return ()
+    from ..nufft.transform import Type1Plan, Type3Plan
+
+    k = exec_plan.kernel
+    if isinstance(exec_plan, Type1Plan):
+        return (
+            "t1", exec_plan.nf, k.w, k.beta, k.sigma,
+            exec_plan.gather_idx, exec_plan.gather_deconv,
+        )
+    if isinstance(exec_plan, Type3Plan):
+        return (
+            "t3", exec_plan.nf, k.w, k.beta, k.sigma,
+            exec_plan.h, exec_plan.ds, exec_plan.s_center,
+            tuple(exec_plan.deconv),
+            tuple(exec_plan.tap_idx), tuple(exec_plan.tap_val),
+        )
+    return (repr(exec_plan),)
+
+
+def _cache_store(key: str, run) -> None:
+    if len(_PROGRAM_CACHE) >= _PROGRAM_CACHE_LIMIT:
+        _PROGRAM_CACHE.pop(next(iter(_PROGRAM_CACHE)))
+    _PROGRAM_CACHE[key] = run
+
+
 def _with_f32_matmuls(fn):
     """Wrap a callable so tracing/compilation sees float32 matmul precision."""
     import functools
@@ -453,26 +546,76 @@ class TPUSimulationEngine(SimulationEngine):
             # on some experimental TPU runtimes.
             return jnp.real(vis), jnp.imag(vis)
 
-        if mesh is None:
-            run = jax.jit(program)
-        else:
-            from jax.sharding import PartitionSpec as P
-
-            try:
-                from jax import shard_map as _shard_map
-            except ImportError:  # pragma: no cover - older jax
-                from jax.experimental.shard_map import shard_map as _shard_map
-
-            T, S = self.time_axis, self.source_axis
-            coh_spec = P(None, S) if coh_was_complex else P(S)
-            run = jax.jit(
-                _shard_map(
-                    program,
-                    mesh=mesh,
-                    in_specs=(P(T), P(T), P(None, S), coh_spec, P(S)),
-                    out_specs=(P(T), P(T)),
-                )
+        # ---------------- program cache ----------------
+        exec_plan = getattr(plan.executor, "plan", None)
+        cache_key = _hash_parts(
+            (
+                "v1",
+                plan.mode,
+                plan.is_coplanar,
+                plan.nsrc_pad,
+                plan.nblocks,
+                plan.block,
+                nt_pad,
+                nfreqs,
+                nbl,
+                nfeeds,
+                bool(polarized),
+                bool(polarized_sky),
+                bool(use_basis),
+                str(real_dtype),
+                str(complex_dtype),
+                float(eps),
+                float(upsample_factor),
+                plan.rotation_matrix,
+                plan.lattice_matrix,
+                flipped_global,
+                plan.targets,
+                _plan_fingerprint(exec_plan),
+                freqs_dev,
+                () if not use_basis else (tuple(kl_pairs), coefs_host, ant1_dev, ant2_dev),
+                ()
+                if pair_plan is None
+                else (tuple(pair_plan.pairs), tuple(s for s in pair_plan.bls_idxs)),
+                tuple(_beam_fingerprint(b) for b in beam_list),
+                repr(beam_spline_opts),
+                interpolation_function,
+                None
+                if mesh is None
+                else (
+                    tuple(mesh.axis_names),
+                    tuple(mesh.devices.shape),
+                    tuple(d.id for d in mesh.devices.flat),
+                ),
             )
+        )
+
+        run = _PROGRAM_CACHE.get(cache_key)
+        if run is None:
+            if mesh is None:
+                run = jax.jit(program)
+            else:
+                from jax.sharding import PartitionSpec as P
+
+                try:
+                    from jax import shard_map as _shard_map
+                except ImportError:  # pragma: no cover - older jax
+                    from jax.experimental.shard_map import shard_map as _shard_map
+
+                T, S = self.time_axis, self.source_axis
+                coh_spec = P(None, S) if coh_was_complex else P(S)
+                run = jax.jit(
+                    _shard_map(
+                        program,
+                        mesh=mesh,
+                        in_specs=(P(T), P(T), P(None, S), coh_spec, P(S)),
+                        out_specs=(P(T), P(T)),
+                    )
+                )
+            # TPU matmuls default to bfloat16 operands; the NUFFT
+            # spread/interp contractions and coherency einsums need full f32.
+            run = _with_f32_matmuls(run)
+            _cache_store(cache_key, run)
 
         coh_ship, _ = _ship_complex(coh_host)
         inputs = (
@@ -482,9 +625,6 @@ class TPUSimulationEngine(SimulationEngine):
             coh_ship,
             jnp.asarray(valid_host),
         )
-        # TPU matmuls default to bfloat16 operands; the NUFFT spread/interp
-        # contractions and coherency einsums need full f32.
-        run = _with_f32_matmuls(run)
 
         if return_program:
             return run, inputs

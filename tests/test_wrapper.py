@@ -169,3 +169,24 @@ class TestEvaluatorBridge:
         want = np.einsum("afs,s,ags->fgs", beam.conj(), flux, beam)
         got = ev.get_apparent_flux_polarized(beam.copy(), flux)
         np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+class TestGPUStubs:
+    """Stubs must fail loudly (ref tests/test_gpu_nufft.py:7-65)."""
+
+    def test_engine_stub(self):
+        from fftvis_tpu.gpu import GPUSimulationEngine
+
+        with pytest.raises(NotImplementedError):
+            GPUSimulationEngine()
+
+    def test_nufft_stubs(self):
+        from fftvis_tpu.gpu.gpu_simulate import (
+            gpu_beam_interpolation,
+            gpu_nufft2d,
+            gpu_nufft3d,
+        )
+
+        for fn in (gpu_nufft2d, gpu_nufft3d, gpu_beam_interpolation):
+            with pytest.raises(NotImplementedError):
+                fn()
