@@ -113,14 +113,20 @@ def plan_type1(
         for km in kmax
     )
 
-    # FFT-order flat gather index and per-target deconvolution.
+    # FFT-order flat gather index and per-target deconvolution. The kernel
+    # FT is evaluated once per unique |k| per axis (quadrature over every
+    # target would dominate planning for ~100k-baseline arrays).
     flat = np.zeros(m, dtype=np.int64)
     deconv = np.ones(m, dtype=np.float64)
     for axis in range(d):
         k = modes[axis]
         idx = np.mod(k, nf[axis])
         flat = flat * nf[axis] + idx
-        deconv /= es_kernel_ft(2.0 * np.pi * k / nf[axis], kernel.w, kernel.beta)
+        km = int(kmax[axis])
+        table = es_kernel_ft(
+            2.0 * np.pi * np.arange(km + 1) / nf[axis], kernel.w, kernel.beta
+        )
+        deconv /= table[np.abs(k)]
     return Type1Plan(
         kernel=kernel,
         d=d,

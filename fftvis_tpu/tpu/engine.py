@@ -62,6 +62,7 @@ TWO_PI = 2.0 * np.pi
 # configuration, so cache the jitted runner keyed by a fingerprint of every
 # static ingredient of the traced program.
 _PROGRAM_CACHE: "dict[str, object]" = {}
+_PLAN_CACHE: "dict[str, object]" = {}
 _PROGRAM_CACHE_LIMIT = 16
 
 
@@ -315,10 +316,40 @@ class TPUSimulationEngine(SimulationEngine):
                 flipped_global[sel] = fl
 
         # ---------------- geometry / transform planning ----------------
-        plan = self._plan_transform(
-            ants, baselines, freqs, eps, upsample_factor, flat_array_tol,
-            force_use_type3, flipped_global, nbl, nsrc, nfeeds, npairs,
+        # Host planning is itself cached: the kernel-FT quadrature and
+        # griddability analysis are pure functions of the array geometry.
+        import jax as _jax
+
+        plan_key = _hash_parts(
+            (
+                "plan-v1",
+                np.array([np.asarray(ants[a], dtype=float) for a in ants]),
+                tuple(baselines),
+                float(np.max(freqs)),
+                float(eps),
+                float(upsample_factor),
+                float(flat_array_tol),
+                bool(force_use_type3),
+                flipped_global,
+                nsrc,
+                nfeeds,
+                npairs,
+                self.nufft_mode,
+                _jax.default_backend(),
+            )
         )
+        plan = _PLAN_CACHE.get(plan_key)
+        if plan is None:
+            plan = self._plan_transform(
+                ants, baselines, freqs, eps, upsample_factor, flat_array_tol,
+                force_use_type3, flipped_global, nbl, nsrc, nfeeds, npairs,
+            )
+            if len(_PLAN_CACHE) >= _PROGRAM_CACHE_LIMIT:
+                _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
+            _PLAN_CACHE[plan_key] = plan
+        else:
+            # nsrc-derived blocking fields are (re)set below per call.
+            plan = _SimPlan(**{**plan.__dict__})
 
         # Mesh geometry (SPMD): times data-parallel, sources psum-sharded.
         mesh = self.mesh
