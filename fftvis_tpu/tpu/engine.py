@@ -150,6 +150,25 @@ def _cache_store(key: str, run) -> None:
     _PROGRAM_CACHE[key] = run
 
 
+_INPUT_CACHE: "dict[str, object]" = {}
+_INPUT_CACHE_LIMIT = 8
+
+
+def _cached_device_put(arr: np.ndarray):
+    """Device-put with content caching for large time-independent inputs."""
+    import jax.numpy as jnp
+
+    key = _hash_parts(arr)
+    hit = _INPUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    dev = jnp.asarray(arr)
+    if len(_INPUT_CACHE) >= _INPUT_CACHE_LIMIT:
+        _INPUT_CACHE.pop(next(iter(_INPUT_CACHE)))
+    _INPUT_CACHE[key] = dev
+    return dev
+
+
 def _with_f32_matmuls(fn):
     """Wrap a callable so tracing/compilation sees float32 matmul precision."""
     import functools
@@ -162,21 +181,6 @@ def _with_f32_matmuls(fn):
             return fn(*args, **kwargs)
 
     return wrapped
-
-
-def _ship_complex(arr: np.ndarray):
-    """Host-to-device transfer of a possibly-complex array.
-
-    Complex buffers cannot cross the host/device boundary on some
-    experimental TPU runtimes (the axon tunnel); ship real/imag stacked as a
-    leading axis and recombine with :func:`_unship_complex` inside the
-    program. Real arrays pass through unchanged.
-    """
-    import jax.numpy as jnp
-
-    if np.iscomplexobj(arr):
-        return jnp.asarray(np.stack([arr.real, arr.imag])), True
-    return jnp.asarray(arr), False
 
 
 def _unship_complex(x, was_complex: bool):
@@ -572,10 +576,11 @@ class TPUSimulationEngine(SimulationEngine):
                 return carry, vis_t  # (nfreq, nbl, nfeeds, nfeeds)
 
             _, vis = jax.lax.scan(per_time, None, (mats_a, abvel_a))
-            # (nt_local, nfreq, nbl, nfeeds, nfeeds); returned as (re, im)
-            # because complex buffers cannot cross the executable boundary
-            # on some experimental TPU runtimes.
-            return jnp.real(vis), jnp.imag(vis)
+            # (nt_local, nfreq, nbl, nfeeds, nfeeds); returned as one stacked
+            # (2, ...) real array -- complex buffers cannot cross the
+            # executable boundary on some experimental TPU runtimes, and a
+            # single transfer beats two on relayed links.
+            return jnp.stack([jnp.real(vis), jnp.imag(vis)])
 
         # ---------------- program cache ----------------
         exec_plan = getattr(plan.executor, "plan", None)
@@ -640,7 +645,7 @@ class TPUSimulationEngine(SimulationEngine):
                         program,
                         mesh=mesh,
                         in_specs=(P(T), P(T), P(None, S), coh_spec, P(S)),
-                        out_specs=(P(T), P(T)),
+                        out_specs=P(None, T),
                     )
                 )
             # TPU matmuls default to bfloat16 operands; the NUFFT
@@ -648,20 +653,26 @@ class TPUSimulationEngine(SimulationEngine):
             run = _with_f32_matmuls(run)
             _cache_store(cache_key, run)
 
-        coh_ship, _ = _ship_complex(coh_host)
+        # Time-independent inputs (source vectors, coherency, validity mask)
+        # are content-cached on device: parameter sweeps re-call simulate()
+        # with the same catalog, and relayed-link uploads are expensive.
+        if np.iscomplexobj(coh_host):
+            coh_send = np.stack([coh_host.real, coh_host.imag])
+        else:
+            coh_send = coh_host
         inputs = (
             jnp.asarray(mats_host),
             jnp.asarray(abvel_host),
-            jnp.asarray(eq),
-            coh_ship,
-            jnp.asarray(valid_host),
+            _cached_device_put(eq),
+            _cached_device_put(coh_send),
+            _cached_device_put(valid_host),
         )
 
         if return_program:
             return run, inputs
 
-        vis_re, vis_im = run(*inputs)
-        vis = (np.asarray(vis_re) + 1j * np.asarray(vis_im))[:ntimes]
+        stacked = np.asarray(run(*inputs))
+        vis = (stacked[0] + 1j * stacked[1])[:ntimes]
 
         # Reference output layout (ref cpu_simulate.py:849-854):
         # polarized (nfreq, nt, nfeeds, nfeeds, nbl), else (nfreq, nt, nbl).
