@@ -75,6 +75,34 @@ def main():
     vis_points = len(baselines) * freqs.size * times.size
     value = vis_points / best
 
+    # Supplementary: device-side rate excluding the host<->device result
+    # transfer (which dominates under relayed/tunneled runtimes). stderr
+    # only -- stdout stays a single JSON line.
+    try:
+        import sys
+
+        from fftvis_tpu.beams.interface import BeamInterface, prepare_beam_unpolarized
+        from fftvis_tpu.tpu.engine import TPUSimulationEngine
+
+        eng = TPUSimulationEngine()
+        beam_list = [prepare_beam_unpolarized(BeamInterface(kw["beam"]))]
+        ekw = {k: v2 for k, v2 in kw.items() if k not in ("beam", "backend")}
+        run, inputs = eng.simulate(beam_list=beam_list, return_program=True, **ekw)
+        jax.block_until_ready(run(*inputs))
+        t0 = time.perf_counter()
+        nrep = 5
+        for _ in range(nrep):
+            jax.block_until_ready(run(*inputs))
+        dev_t = (time.perf_counter() - t0) / nrep
+        print(
+            f"[bench] device-only per-call: {dev_t * 1e3:.2f} ms "
+            f"({vis_points / max(dev_t, 1e-9):.3e} vis_points/s); "
+            f"wall per-call incl transfers: {best:.3f} s",
+            file=sys.stderr,
+        )
+    except Exception as err:  # pragma: no cover
+        print(f"[bench] device-only measurement skipped: {err}", file=sys.stderr)
+
     print(
         json.dumps(
             {
