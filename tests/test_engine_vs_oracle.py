@@ -197,3 +197,60 @@ def test_source_chunking_invariance():
     b = _run("tpu", force_type3=True, min_chunks=4, **common)
     scale = np.abs(a).max()
     np.testing.assert_allclose(a, b, atol=1e-12 * scale, rtol=0)
+
+
+def test_simple_coord_method():
+    """The 'simple' (sidereal-spin-only) coordinate method: engine == oracle."""
+    rng = np.random.default_rng(12)
+    ants = _random_ants(rng, 4)
+    ra, dec, flux = _sky(rng, 20, len(FREQS))
+    common = dict(
+        ants=ants, fluxes=flux, ra=ra, dec=dec, beam=GaussianBeam(diameter=10.0),
+        polarized=False, coord_method="simple",
+    )
+    want = _run("direct", **common)
+    got = _run("tpu", force_type3=True, **common)
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=1e-5 * scale, rtol=0)
+
+
+def test_upsample_factor_125():
+    rng = np.random.default_rng(13)
+    ants = _random_ants(rng, 5)
+    ra, dec, flux = _sky(rng, 30, len(FREQS))
+    common = dict(
+        ants=ants, fluxes=flux, ra=ra, dec=dec, beam=GaussianBeam(diameter=10.0),
+        polarized=False,
+    )
+    want = _run("direct", **common)
+    got = _run("tpu", force_type3=True, upsample_factor=1.25, **common)
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=1e-5 * scale, rtol=0)
+
+
+def test_eps_loosened():
+    """A loose eps must still deliver roughly that accuracy."""
+    rng = np.random.default_rng(14)
+    ants = _random_ants(rng, 5)
+    ra, dec, flux = _sky(rng, 30, len(FREQS))
+    common = dict(
+        ants=ants, fluxes=flux, ra=ra, dec=dec, beam=GaussianBeam(diameter=10.0),
+        polarized=False,
+    )
+    want = _run("direct", **common)
+    # Force the actual type-3 NUFFT (the auto cost model would pick the
+    # exact direct path for a problem this small).
+    from fftvis_tpu.beams.interface import BeamInterface, prepare_beam_unpolarized
+    from fftvis_tpu.tpu.engine import TPUSimulationEngine
+
+    eng = TPUSimulationEngine(nufft_mode="type3")
+    beam_list = [prepare_beam_unpolarized(BeamInterface(common.pop("beam")))]
+    got = eng.simulate(
+        beam_list=beam_list, freqs=FREQS, times=TIMES, telescope_loc=LOC,
+        precision=2, eps=1e-4, **common,
+    )
+    scale = np.abs(want).max()
+    err = np.abs(got - want).max() / scale
+    assert err < 1e-2
+    # And it must NOT be accidentally exact (the NUFFT path really ran).
+    assert err > 1e-9
