@@ -674,6 +674,16 @@ class TPUSimulationEngine(SimulationEngine):
         stacked = np.asarray(run(*inputs))
         vis = (stacked[0] + 1j * stacked[1])[:ntimes]
 
+        if trace_mem:
+            # TPU-native analogue of the reference's per-worker memray
+            # tracker (ref cpu_simulate.py:900-901): a device memory profile.
+            from ..profiling import save_device_memory_profile
+
+            try:
+                save_device_memory_profile(f"fftvis-devmem-{id(self):x}.prof")
+            except Exception as err:  # pragma: no cover
+                logger.info("device memory profile unavailable: %s", err)
+
         # Reference output layout (ref cpu_simulate.py:849-854):
         # polarized (nfreq, nt, nfeeds, nfeeds, nbl), else (nfreq, nt, nbl).
         vis = np.transpose(vis, (1, 0, 3, 4, 2))
@@ -741,7 +751,11 @@ class TPUSimulationEngine(SimulationEngine):
         targets = blvec[:d]
         targets = np.where(flipped_global[None, :], -targets, targets)
 
-        # FLOP model: exact direct vs spread+FFT+interp.
+        # FLOP model: exact direct vs spread+FFT+interp. The spread term
+        # depends on the backend: the TPU dense-matmul spreader costs
+        # n * prod(nf) per channel, while the CPU scatter costs n * w^d.
+        import jax as _jax
+
         direct_cost = 8.0 * nsrc * nbl
         probe = plan_type3(
             targets,
@@ -751,8 +765,15 @@ class TPUSimulationEngine(SimulationEngine):
         )
         w = probe.kernel.w
         C = max(1, npairs * nfeeds**2)
+        on_tpu = _jax.default_backend() == "tpu"
+        if on_tpu and d == 2:
+            # Dense MXU spread; ~4x algebraic intensity advantage of the MXU
+            # over elementwise work is folded into the constant.
+            spread_cost = 1.0 * nsrc * float(np.prod(probe.nf))
+        else:
+            spread_cost = 16.0 * nsrc * w**d
         nufft_cost = (
-            16.0 * nsrc * w**d
+            spread_cost
             + 5.0 * np.prod(probe.nf) * np.log2(max(np.prod(probe.nf), 2)) / C
             + 16.0 * nbl * w**d
         )
