@@ -274,6 +274,19 @@ def make_type1_fn(plan: Type1Plan):
     return run
 
 
+def pick_strip_width(nfx: int, target: int = 128) -> int:
+    """Largest divisor of nfx that is <= ~1.5x the target lane width.
+
+    The strip spreader needs strip | nfx so every window stays inside the
+    padded grid; nfx is 5-smooth so good divisors always exist.
+    """
+    best = 1
+    for d in range(1, nfx + 1):
+        if nfx % d == 0 and d <= int(1.5 * target):
+            best = d
+    return best
+
+
 class Type3Executor:
     """Split-phase type-3 execution for jitted pipelines.
 
@@ -282,10 +295,15 @@ class Type3Executor:
     batched FFT + mode deconvolution once; ``interpolate`` evaluates any
     (static) subset of the planned targets -- the engine slices per beam
     pair (ref cpu_simulate.py:1030-1069 routes baselines by pair).
+
+    ``strip_config = (strip_width, capacity)`` may be set by the planner to
+    route large grids through the strip-binned spreader (the dense matmul
+    spread is quadratic in grid size).
     """
 
     def __init__(self, plan: Type3Plan):
         self.plan = plan
+        self.strip_config: tuple[int, int] | None = None
 
     def spread(self, x, c):
         """x: (d, n) source coords within the planned extent; c: (C, n)."""
@@ -311,7 +329,7 @@ class Type3Executor:
             jnp.mod(x[axis] / jnp.asarray(p.h[axis], dtype=rdtype), p.nf[axis])
             for axis in range(d)
         ]
-        return _spread_auto(u, wts, p.nf, w, beta)
+        return _spread_auto(u, wts, p.nf, w, beta, strip_config=self.strip_config)
 
     def transform(self, g):
         import jax.numpy as jnp
@@ -375,7 +393,12 @@ def _forward_modes(g, nf):
     return jnp.fft.ifftn(g, axes=axes) * float(np.prod(nf))
 
 
-def _spread_auto(u_list, weights, nf, w: int, beta: float):
+# Above this many grid cells the dense matmul spread (cost n * prod(nf))
+# yields to the strip-binned spreader when a capacity bound is available.
+DENSE_GRID_LIMIT = 512 * 512
+
+
+def _spread_auto(u_list, weights, nf, w: int, beta: float, strip_config=None):
     """Spreading dispatch, trace-time static.
 
     XLA's scatter-add lowers to a sequential per-index loop on TPU, which is
@@ -384,8 +407,9 @@ def _spread_auto(u_list, weights, nf, w: int, beta: float):
     (:func:`_spread_dense_matmul`) -- the ES kernel is zero outside its
     support, so the dense outer-product formulation is exact, handles both
     periodic wraps through periodic distances, and rides the systolic array.
-    CPU keeps the cheap scatter. Override with
-    FFTVIS_SPREADER={auto,scatter,dense,pallas-interpret}.
+    Large grids route through the strip-binned variant when the planner
+    supplied a per-strip capacity bound. CPU keeps the cheap scatter.
+    Override with FFTVIS_SPREADER={auto,scatter,dense,strip,pallas-interpret}.
     """
     import os
 
@@ -397,11 +421,106 @@ def _spread_auto(u_list, weights, nf, w: int, beta: float):
         from .pallas_spread import spread_pallas_2d
 
         return spread_pallas_2d(u_list, weights, nf, w, beta, interpret=True)
+    if mode == "strip" and d == 2 and strip_config is not None:
+        return _spread_strip_matmul(u_list, weights, nf, w, beta, *strip_config)
     if mode == "dense" and d == 2:
         return _spread_dense_matmul(u_list, weights, nf, w, beta)
     if mode == "auto" and d == 2 and jax.default_backend() == "tpu":
+        if strip_config is not None and int(np.prod(nf)) > DENSE_GRID_LIMIT:
+            return _spread_strip_matmul(u_list, weights, nf, w, beta, *strip_config)
         return _spread_dense_matmul(u_list, weights, nf, w, beta)
     return _spread_scatter(u_list, weights, nf, w, beta)
+
+
+def _spread_strip_matmul(
+    u_list,
+    weights,
+    nf,
+    w: int,
+    beta: float,
+    strip: int,
+    capacity: int,
+):
+    """2D ES spreading via x-strip binning + per-strip MXU matmuls.
+
+    The dense-matmul spreader costs n * nfy * nfx per channel -- fine for
+    VMEM-scale grids, quadratic pain for large type-3 grids. This variant
+    sorts sources into ``nfx / strip`` x-strips (device argsort), then runs
+    one (nfy x P) @ (P x 2C*(strip+w+2)) matmul per strip into a dynamic
+    window of the grid, cutting the x-extent of every product from nfx to
+    strip+w+2.
+
+    ``capacity`` is the static per-strip source capacity; the caller must
+    guarantee no strip holds more (the engine derives a rigorous bound from
+    a host-side sliding-window count). Periodic wraps in x are handled with
+    pad columns folded back afterwards; y uses periodic distances directly.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    nfy, nfx = int(nf[0]), int(nf[1])
+    C, n = weights.shape
+    c2 = 2 * C
+    rdtype = jnp.finfo(jnp.result_type(weights, 0.0)).dtype
+    uy = u_list[0].astype(rdtype)
+    ux = u_list[1].astype(rdtype)
+
+    nstrips = -(-nfx // strip)
+    P = int(capacity)
+    margin = w + 2
+    XW = strip + 2 * margin  # window: strip plus kernel halo each side
+
+    sid = jnp.clip((ux // strip).astype(jnp.int32), 0, nstrips - 1)
+    order = jnp.argsort(sid)
+    sid_sorted = sid[order]
+    # CSR offsets per strip.
+    starts = jnp.searchsorted(sid_sorted, jnp.arange(nstrips, dtype=jnp.int32))
+    ends = jnp.searchsorted(
+        sid_sorted, jnp.arange(1, nstrips + 1, dtype=jnp.int32)
+    )
+    pos = starts[:, None] + jnp.arange(P, dtype=jnp.int32)[None, :]
+    valid = pos < ends[:, None]  # (nstrips, P)
+    idx = order[jnp.clip(pos, 0, n - 1)]  # (nstrips, P)
+
+    vals = jnp.concatenate([jnp.real(weights), jnp.imag(weights)], axis=0)
+    rows = jnp.arange(nfy, dtype=rdtype)
+
+    def strip_body(grid, s_inp):
+        s, idx_s, valid_s = s_inp
+        uy_s = uy[idx_s]
+        ux_s = ux[idx_s]
+        v_s = vals[:, idx_s] * valid_s[None, :].astype(rdtype)  # (2C, P)
+
+        dy = rows[:, None] - uy_s[None, :]
+        dy = dy - nfy * jnp.round(dy / nfy)
+        ky = es_kernel_grid(dy, w, beta, xp=jnp)  # (nfy, P)
+
+        x0 = s * strip - margin  # window start (signed; pad handles edges)
+        cols = x0.astype(rdtype) + jnp.arange(XW, dtype=rdtype)
+        kx = es_kernel_grid(cols[None, :] - ux_s[:, None], w, beta, xp=jnp)
+
+        rhs = (kx[:, None, :] * v_s.T[:, :, None]).reshape(P, c2 * XW)
+        patch = ky @ rhs  # (nfy, 2C*XW)
+        patch = patch.reshape(nfy, c2, XW)
+
+        start = (x0 + margin).astype(jnp.int32)  # padded-grid position, >= 0
+        zero = jnp.int32(0)
+        cur = jax.lax.dynamic_slice(grid, (zero, zero, start), (nfy, c2, XW))
+        grid = jax.lax.dynamic_update_slice(grid, cur + patch, (zero, zero, start))
+        return grid, None
+
+    grid0 = jnp.zeros((nfy, c2, nfx + 2 * margin), dtype=rdtype)
+    grid, _ = jax.lax.scan(
+        strip_body, grid0, (jnp.arange(nstrips, dtype=jnp.int32), idx, valid)
+    )
+
+    # Fold the pad columns back periodically.
+    core = grid[:, :, margin : margin + nfx]
+    core = core.at[:, :, nfx - margin :].add(grid[:, :, :margin])
+    core = core.at[:, :, :margin].add(grid[:, :, margin + nfx :])
+
+    out = core.transpose(1, 0, 2)  # (2C, nfy, nfx)
+    return (out[:C] + 1j * out[C:]).astype(weights.dtype)
 
 
 def _spread_dense_matmul(u_list, weights, nf, w: int, beta: float):

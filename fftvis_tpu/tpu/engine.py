@@ -366,6 +366,11 @@ class TPUSimulationEngine(SimulationEngine):
         nsrc_pad = block * nchunks * n_sdev
         plan.nsrc_pad, plan.nblocks, plan.block = nsrc_pad, nchunks, block
 
+        # Large type-3 grids route through the strip-binned spreader; its
+        # static per-strip capacity comes from a host-side sliding-window
+        # bound over the (exactly known) rotated source coordinates.
+        self._configure_strip_spreader(plan, rot, freqs)
+
         nt_pad = int(np.ceil(ntimes / n_tdev)) * n_tdev
 
         # ---------------- prepared beams ----------------
@@ -608,6 +613,7 @@ class TPUSimulationEngine(SimulationEngine):
                 flipped_global,
                 plan.targets,
                 _plan_fingerprint(exec_plan),
+                getattr(plan.executor, "strip_config", None),
                 freqs_dev,
                 () if not use_basis else (tuple(kl_pairs), coefs_host, ant1_dev, ant2_dev),
                 ()
@@ -692,6 +698,57 @@ class TPUSimulationEngine(SimulationEngine):
         return vis[:, :, 0, 0, :].astype(complex_dtype)
 
     # ------------------------------------------------------------------
+    def _configure_strip_spreader(self, plan, rot, freqs) -> None:
+        """Set (strip, capacity) on a type-3 executor when the grid is large.
+
+        The capacity is a rigorous bound: the maximum number of sources in
+        ANY window of one strip's width (at the widest, lowest-frequency
+        scaling), computed per time from the same rotation chain the device
+        uses -- alignment-independent, so fp32 jitter at strip edges cannot
+        exceed it.
+        """
+        import os
+
+        import jax as _jax
+
+        from ..nufft.transform import DENSE_GRID_LIMIT, pick_strip_width
+
+        if plan.mode != "type3" or plan.executor is None:
+            return
+        eplan = plan.executor.plan
+        if eplan.d != 2:
+            plan.executor.strip_config = None
+            return
+        forced = os.environ.get("FFTVIS_SPREADER") == "strip"
+        wanted = forced or (
+            _jax.default_backend() == "tpu"
+            and int(np.prod(eplan.nf)) > DENSE_GRID_LIMIT
+        )
+        if not wanted:
+            plan.executor.strip_config = None
+            return
+
+        strip = pick_strip_width(eplan.nf[1])
+        scale_min = TWO_PI * float(np.min(freqs)) / speed_of_light
+        width_hat = strip * eplan.h[1] / scale_min * 1.05
+
+        cap = 0
+        for t in range(rot.ntimes):
+            topo = rot.matrices[t] @ rot.eq_vectors  # (3, nsrc) float64
+            y = (plan.rotation_matrix @ topo)[1]
+            ys = np.sort(y)
+            hi = np.searchsorted(ys, ys + width_hat, side="right")
+            cap = max(cap, int((hi - np.arange(ys.size)).max()))
+        # Padding sources land at one fixed location; account for them.
+        # Each spread call sees one source BLOCK, so the block size caps it.
+        pad_sources = max(plan.nsrc_pad - rot.nsrc, 0)
+        cap = max(16, min(cap + pad_sources + 16, plan.block))
+        plan.executor.strip_config = (strip, cap)
+        logger.info(
+            "type-3 strip spreader: strip=%d capacity=%d (nf=%s)",
+            strip, cap, eplan.nf,
+        )
+
     def _plan_transform(
         self,
         ants,

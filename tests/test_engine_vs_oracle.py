@@ -254,3 +254,28 @@ def test_eps_loosened():
     assert err < 1e-2
     # And it must NOT be accidentally exact (the NUFFT path really ran).
     assert err > 1e-9
+
+
+def test_strip_spreader_matches_oracle(monkeypatch):
+    """The strip-binned spreader (large-grid TPU path), forced on CPU."""
+    monkeypatch.setenv("FFTVIS_SPREADER", "strip")
+    rng = np.random.default_rng(15)
+    ants = _random_ants(rng, 6)
+    ra, dec, flux = _sky(rng, 60, len(FREQS))
+    common = dict(
+        ants=ants, fluxes=flux, ra=ra, dec=dec,
+        polarized=True,
+    )
+    want = _run("direct", beam=GaussianBeam(diameter=10.0), **common)
+
+    from fftvis_tpu.beams.interface import BeamInterface
+    from fftvis_tpu.tpu.engine import TPUSimulationEngine
+
+    eng = TPUSimulationEngine(nufft_mode="type3")
+    got = eng.simulate(
+        beam_list=[BeamInterface(GaussianBeam(diameter=10.0))],
+        freqs=FREQS, times=TIMES, telescope_loc=LOC, precision=2,
+        nchunks=2, **common,
+    )
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=1e-5 * scale, rtol=0)
