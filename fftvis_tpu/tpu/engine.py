@@ -362,6 +362,14 @@ class TPUSimulationEngine(SimulationEngine):
 
         # Source blocking (static-shape replacement for source chunking).
         nchunks = max(1, min(int(nchunks), nsrc))
+        if plan.mode == "direct":
+            # The exact path materializes a (block x nbl) phase matrix per
+            # scan step; cap its footprint (~12 bytes/element for phase +
+            # fringe) well below HBM.
+            budget = 1 * 1024**3
+            max_block = max(1024, budget // max(nbl * 12, 1))
+            nchunks = max(nchunks, -(-nsrc // (max_block * n_sdev)))
+            nchunks = min(nchunks, nsrc)
         block = int(np.ceil(nsrc / (nchunks * n_sdev)))
         nsrc_pad = block * nchunks * n_sdev
         plan.nsrc_pad, plan.nblocks, plan.block = nsrc_pad, nchunks, block
@@ -824,9 +832,17 @@ class TPUSimulationEngine(SimulationEngine):
         C = max(1, npairs * nfeeds**2)
         on_tpu = _jax.default_backend() == "tpu"
         if on_tpu and d == 2:
-            # Dense MXU spread; ~4x algebraic intensity advantage of the MXU
-            # over elementwise work is folded into the constant.
-            spread_cost = 1.0 * nsrc * float(np.prod(probe.nf))
+            # MXU spread: dense for small grids, strip-binned beyond
+            # DENSE_GRID_LIMIT (x extent of each product capped near the
+            # strip width). The MXU's algebraic-intensity advantage over
+            # elementwise work is folded into the unit constant.
+            from ..nufft.transform import DENSE_GRID_LIMIT
+
+            nfy, nfx = probe.nf
+            if nfy * nfx > DENSE_GRID_LIMIT:
+                spread_cost = 1.0 * nsrc * nfy * min(nfx, 192)
+            else:
+                spread_cost = 1.0 * nsrc * float(np.prod(probe.nf))
         else:
             spread_cost = 16.0 * nsrc * w**d
         nufft_cost = (
