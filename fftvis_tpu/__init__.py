@@ -7,6 +7,31 @@ eigenbeam primary beams, polarized or unpolarized, scalable over TPU device
 meshes.
 """
 
+import os as _os
+
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache (disable: FFTVIS_NO_COMPILE_CACHE=1).
+
+    Remote/relayed TPU runtimes can take minutes per compile; the on-disk
+    cache makes every process after the first start in seconds."""
+    if _os.environ.get("FFTVIS_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        path = _os.environ.get(
+            "FFTVIS_COMPILE_CACHE", _os.path.expanduser("~/.cache/fftvis_tpu_jax")
+        )
+        _os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - older jax or read-only fs
+        pass
+
+
+_enable_compile_cache()
+
 from . import beams, coords, geometry, nufft, parallel
 from .core.beam_basis import compute_beam_basis
 from .core.simulate import SimulationEngine, default_accuracy_dict

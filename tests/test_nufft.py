@@ -119,3 +119,55 @@ def test_next_fast_size():
         while m % p == 0:
             m //= p
     assert m == 1 and n >= 973 and n % 2 == 0
+
+
+def test_executor_subset_selection():
+    """Split-phase executors: gather/interpolate with a static target subset."""
+    from fftvis_tpu.nufft.transform import Type1Executor, Type3Executor
+
+    rng = np.random.default_rng(21)
+    n = 200
+    x1 = rng.uniform(0, 2 * np.pi, size=(2, n))
+    c = rng.normal(size=(2, n)) + 1j * rng.normal(size=(2, n))
+    modes = rng.integers(-10, 11, size=(2, 40))
+    p1 = plan_type1(modes, 1e-8)
+    ex1 = Type1Executor(p1)
+    G = ex1.transform(ex1.spread(jnp.asarray(x1), jnp.asarray(c)))
+    full = np.asarray(ex1.gather(G))
+    sel = np.array([3, 7, 20])
+    np.testing.assert_allclose(np.asarray(ex1.gather(G, sel)), full[:, sel], rtol=1e-12)
+
+    x3 = rng.uniform(-np.pi, np.pi, size=(2, n))
+    s = rng.uniform(-20, 20, size=(2, 50))
+    p3 = plan_type3(s, [np.pi, np.pi], 1e-8)
+    ex3 = Type3Executor(p3)
+    G3 = ex3.transform(ex3.spread(jnp.asarray(x3), jnp.asarray(c)))
+    full3 = np.asarray(ex3.interpolate(G3))
+    np.testing.assert_allclose(
+        np.asarray(ex3.interpolate(G3, sel)), full3[:, sel], rtol=1e-12
+    )
+
+
+def test_strip_spreader_unit():
+    """Strip-binned spread == scatter at exact capacity, with wrap sources."""
+    from fftvis_tpu.nufft.kernels import ESKernel
+    from fftvis_tpu.nufft.transform import (
+        _spread_scatter,
+        _spread_strip_matmul,
+        pick_strip_width,
+    )
+
+    rng = np.random.default_rng(22)
+    k = ESKernel.from_eps(1e-9, 2.0)
+    nf = (64, 120)
+    n = 700
+    uy = jnp.asarray(rng.uniform(0, nf[0], n))
+    ux = jnp.asarray(rng.uniform(0, nf[1], n))
+    c = jnp.asarray(rng.normal(size=(2, n)) + 1j * rng.normal(size=(2, n)))
+    strip = pick_strip_width(nf[1], 32)
+    assert nf[1] % strip == 0
+    sid = np.clip(np.asarray(ux) // strip, 0, nf[1] // strip - 1).astype(int)
+    cap = int(np.bincount(sid, minlength=nf[1] // strip).max())
+    a = np.asarray(_spread_scatter([uy, ux], c, nf, k.w, k.beta))
+    b = np.asarray(_spread_strip_matmul([uy, ux], c, nf, k.w, k.beta, strip, cap))
+    np.testing.assert_allclose(b, a, atol=1e-12 * np.abs(a).max(), rtol=0)
