@@ -279,3 +279,20 @@ def test_strip_spreader_matches_oracle(monkeypatch):
     )
     scale = np.abs(want).max()
     np.testing.assert_allclose(got, want, atol=1e-5 * scale, rtol=0)
+
+
+def test_gridded_polarized_type1():
+    """Type-1 gridded path with polarization + per-antenna beams."""
+    rng = np.random.default_rng(16)
+    ants = hex_array(2)  # 7 ants on the lattice
+    ra, dec, flux = _sky(rng, 30, len(FREQS))
+    beams = [GaussianBeam(diameter=10.0), GaussianBeam(diameter=12.0)]
+    beam_idx = np.array([0, 1, 0, 1, 0, 1, 0])
+    common = dict(
+        ants=ants, fluxes=flux, ra=ra, dec=dec, beam=beams, beam_idx=beam_idx,
+        polarized=True,
+    )
+    want = _run("direct", **common)
+    got = _run("tpu", **common)  # auto: type-1
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=1e-5 * scale, rtol=0)
