@@ -313,11 +313,22 @@ class TPUSimulationEngine(SimulationEngine):
             ant1_idx = np.array([antnums.index(b[0]) for b in baselines])
             ant2_idx = np.array([antnums.index(b[1]) for b in baselines])
         else:
-            pair_plan = plan_beam_pairs(antnums, baselines, beam_idx)
+            # Pair routing is a pure function of (ants, baselines, beam_idx)
+            # and loops the full baseline list in Python: cache it.
+            pp_key = _hash_parts(
+                (tuple(map(repr, antnums)), tuple(baselines),
+                 None if beam_idx is None else np.asarray(beam_idx))
+            )
+            cached_pp = _PLAN_CACHE.get(pp_key)
+            if cached_pp is None:
+                pair_plan = plan_beam_pairs(antnums, baselines, beam_idx)
+                flipped_global = np.zeros(nbl, dtype=bool)
+                for sel, fl in zip(pair_plan.bls_idxs, pair_plan.flipped):
+                    flipped_global[sel] = fl
+                _PLAN_CACHE[pp_key] = (pair_plan, flipped_global)
+            else:
+                pair_plan, flipped_global = cached_pp
             npairs = pair_plan.npairs
-            flipped_global = np.zeros(nbl, dtype=bool)
-            for sel, fl in zip(pair_plan.bls_idxs, pair_plan.flipped):
-                flipped_global[sel] = fl
 
         # ---------------- geometry / transform planning ----------------
         # Host planning is itself cached: the kernel-FT quadrature and
