@@ -504,28 +504,56 @@ class TPUSimulationEngine(SimulationEngine):
 
             C = npairs * nfeeds**2
 
+            # With several distinct beam pairs, each pair's channels are only
+            # needed at that pair's baselines: restrict the direct sums /
+            # gathers per pair instead of computing (C x nbl) everywhere.
+            multi = (not use_basis) and npairs > 1
+            nf2 = nfeeds**2
+
             def scan_body(carry, blk):
                 topo_b, az_b, za_b, mask_b, flux_b = blk
                 rows = source_block_weights(az_b, za_b, mask_b, flux_b, fv, fi)
                 x = nufft_coords(topo_b, fv)
                 if plan.mode == "direct":
-                    tg = jnp.asarray(
-                        plan.targets.astype(real_dtype)
-                    )  # (d, nbl) signed
-                    phase = jnp.einsum("db,dn->nb", tg, x)
+                    tg = plan.targets.astype(real_dtype)  # (d, nbl) signed
+                    if multi:
+                        outs = []
+                        for p in range(npairs):
+                            sel = pair_plan.bls_idxs[p]
+                            phase = jnp.einsum(
+                                "db,dn->nb", jnp.asarray(tg[:, sel]), x
+                            )
+                            e = (jnp.cos(phase) + 1j * jnp.sin(phase)).astype(
+                                complex_dtype
+                            )
+                            outs.append(
+                                carry[p] + rows[p * nf2 : (p + 1) * nf2] @ e
+                            )
+                        return tuple(outs), None
+                    phase = jnp.einsum("db,dn->nb", jnp.asarray(tg), x)
                     e = (jnp.cos(phase) + 1j * jnp.sin(phase)).astype(complex_dtype)
                     return carry + rows @ e, None
                 return carry + plan.executor.spread(x, rows), None
 
             if plan.mode == "direct":
-                init = jnp.zeros((C, nbl), dtype=complex_dtype)
+                if multi:
+                    init = tuple(
+                        jnp.zeros(
+                            (nf2, len(pair_plan.bls_idxs[p])), dtype=complex_dtype
+                        )
+                        for p in range(npairs)
+                    )
+                else:
+                    init = jnp.zeros((C, nbl), dtype=complex_dtype)
             else:
                 init = jnp.zeros((C,) + tuple(plan.executor.plan.nf), dtype=complex_dtype)
             if mesh is not None and hasattr(jax.lax, "pvary"):
                 # Under shard_map the scan carry varies over the mesh axes
                 # (its updates depend on sharded inputs); mark the zero init
                 # accordingly for the varying-manual-axes checker.
-                init = jax.lax.pvary(init, tuple(mesh.axis_names))
+                init = jax.tree.map(
+                    lambda a: jax.lax.pvary(a, tuple(mesh.axis_names)), init
+                )
 
             acc, _ = jax.lax.scan(
                 scan_body,
@@ -546,6 +574,35 @@ class TPUSimulationEngine(SimulationEngine):
             # provably replicated over the source axis.
             if mesh is not None:
                 acc = jax.lax.psum(acc, self.source_axis)
+
+            if multi:
+                # Per-pair (nf2, m_p) results, each restricted to the pair's
+                # own baselines.
+                if plan.mode == "direct":
+                    pair_outs = list(acc)
+                else:
+                    G = plan.executor.transform(acc)
+                    pair_outs = []
+                    for p in range(npairs):
+                        sel = pair_plan.bls_idxs[p]
+                        Gp = G[p * nf2 : (p + 1) * nf2]
+                        if plan.mode == "type1":
+                            pair_outs.append(plan.executor.gather(Gp, sel))
+                        else:
+                            pair_outs.append(plan.executor.interpolate(Gp, sel))
+
+                # Assemble with flip conjugation and the reference's feed
+                # transpose (ref cpu_simulate.py:298-300).
+                vis_f = jnp.zeros((nbl, nfeeds, nfeeds), dtype=complex_dtype)
+                for p in range(npairs):
+                    sel = pair_plan.bls_idxs[p]
+                    flip_p = flipped_global[sel]
+                    vp = jnp.where(flip_p[None, :], jnp.conj(pair_outs[p]), pair_outs[p])
+                    vp = jnp.transpose(
+                        vp.reshape(nfeeds, nfeeds, len(sel)), (2, 1, 0)
+                    )
+                    vis_f = vis_f.at[jnp.asarray(sel)].set(vp)
+                return vis_f
 
             if plan.mode == "direct":
                 out_all = acc  # (C, nbl)
