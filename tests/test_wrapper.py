@@ -190,3 +190,27 @@ class TestGPUStubs:
         for fn in (gpu_nufft2d, gpu_nufft3d, gpu_beam_interpolation):
             with pytest.raises(NotImplementedError):
                 fn()
+
+
+class TestEngineABC:
+    def test_evaluate_vis_chunk_not_supported(self):
+        from fftvis_tpu.tpu.engine import TPUSimulationEngine
+
+        with pytest.raises(NotImplementedError, match="jitted blocks"):
+            TPUSimulationEngine()._evaluate_vis_chunk()
+
+    def test_resolve_precision(self):
+        from fftvis_tpu.core.simulate import resolve_precision
+
+        r, c = resolve_precision(1)
+        assert r == np.float32 and c == np.complex64
+        r, c = resolve_precision(2)  # CPU tests have x64 enabled
+        assert r == np.float64 and c == np.complex128
+        with pytest.raises(ValueError):
+            resolve_precision(3)
+
+    def test_bad_nufft_mode(self):
+        from fftvis_tpu.tpu.engine import TPUSimulationEngine
+
+        with pytest.raises(ValueError, match="invalid nufft_mode"):
+            TPUSimulationEngine(nufft_mode="warp")
