@@ -129,14 +129,19 @@ class GriddedBeam:
         za_max: float = np.pi,
     ) -> "GriddedBeam":
         """Tabulate an analytic beam onto a grid (host, numpy)."""
+        import jax
+
         az = np.linspace(0.0, 2 * np.pi, n_az, endpoint=False)
         za = np.linspace(0.0, za_max, n_za)
         freqs = np.atleast_1d(np.asarray(freqs, dtype=float))
         azg, zag = np.meshgrid(az, za)  # (nza, naz)
         data = np.empty((2, 2, len(freqs), n_za, n_az), dtype=np.complex128)
-        for fi, f in enumerate(freqs):
-            e = np.asarray(beam.efield(azg.ravel(), zag.ravel(), f))
-            data[:, :, fi] = e.reshape(2, 2, n_za, n_az)
+        # Host tabulation: pin to the CPU device (complex arrays cannot be
+        # fetched from some accelerator runtimes, and this is setup work).
+        with jax.default_device(jax.devices("cpu")[0]):
+            for fi, f in enumerate(freqs):
+                e = np.asarray(beam.efield(azg.ravel(), zag.ravel(), f))
+                data[:, :, fi] = e.reshape(2, 2, n_za, n_az)
         return cls(data, az, za, freqs, "efield")
 
     @classmethod

@@ -54,18 +54,23 @@ class BeamInterface:
         (1, Npols, Nfreqs, Nsrc) for power beams -- matching the slicing the
         reference applies at cpu/beams.py:76-81.
         """
+        import jax
+
         freq_array = np.atleast_1d(np.asarray(freq_array, dtype=float))
-        prepared = prepare_beam(
-            self,
-            freqs=freq_array,
-            polarized=(self.beam_type == "efield"),
-            spline_opts=spline_opts,
-            interpolation_function=interpolation_function,
-        )
-        out = []
-        for fi, f in enumerate(freq_array):
-            resp = np.asarray(prepared.evaluate(az_array, za_array, f, fi))
-            out.append(resp)
+        # Host-facing evaluation: pin to the CPU device (complex arrays
+        # cannot be fetched from some accelerator runtimes).
+        with jax.default_device(jax.devices("cpu")[0]):
+            prepared = prepare_beam(
+                self,
+                freqs=freq_array,
+                polarized=(self.beam_type == "efield"),
+                spline_opts=spline_opts,
+                interpolation_function=interpolation_function,
+            )
+            out = []
+            for fi, f in enumerate(freq_array):
+                resp = np.asarray(prepared.evaluate(az_array, za_array, f, fi))
+                out.append(resp)
         out = np.stack(out, axis=0)  # (nfreq, ..., nsrc)
         if self.beam_type == "efield":
             return np.moveaxis(out, 0, 2)  # (2, 2, nfreq, nsrc)
