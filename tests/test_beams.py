@@ -188,3 +188,32 @@ class TestInterface:
         bi = BeamInterface(FakeUVBeam())
         assert bi._isuvbeam
         assert bi.beam.Nfreqs == 1
+
+
+def test_interp_function_names_agree_order1():
+    """'az_za_simple' and 'az_za_map_coordinates' agree at order 1
+    (reference contract: tests/test_cpu_beams.py:15-87)."""
+    gb = GriddedBeam.from_function(
+        GaussianBeam(diameter=6.0), n_az=90, n_za=91, freqs=(1e8,)
+    )
+    rng = np.random.default_rng(3)
+    az = rng.uniform(0, 2 * np.pi, 30)
+    za = rng.uniform(0, np.pi * 0.9, 30)
+    a = prepare_beam(
+        gb, freqs=np.array([1e8]), polarized=True,
+        interpolation_function="az_za_map_coordinates", spline_opts={"order": 1},
+    ).evaluate(jnp.asarray(az), jnp.asarray(za), 1e8, 0)
+    b = prepare_beam(
+        gb, freqs=np.array([1e8]), polarized=True,
+        interpolation_function="az_za_simple", spline_opts={"order": 1},
+    ).evaluate(jnp.asarray(az), jnp.asarray(za), 1e8, 0)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-14)
+
+
+def test_bad_interp_function_rejected():
+    gb = GriddedBeam.from_function(UniformBeam(), n_az=8, n_za=5, freqs=(1e8,))
+    with pytest.raises(ValueError, match="interpolation_function"):
+        prepare_beam(
+            gb, freqs=np.array([1e8]), polarized=True,
+            interpolation_function="nearest",
+        )
