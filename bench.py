@@ -103,6 +103,37 @@ def main():
     except Exception as err:  # pragma: no cover
         print(f"[bench] device-only measurement skipped: {err}", file=sys.stderr)
 
+    # Secondary reference headline (BASELINE.md "fftvis wall time, tutorial
+    # sim": 3.32 s): hex array, 20 freqs x 30 times, nside=64, unpolarized.
+    try:
+        import sys
+
+        from fftvis_tpu.beams import AiryBeam
+
+        ants_t = hex_array(3, sep=14.6)
+        freqs_t = np.linspace(1.0e8, 1.2e8, 20)
+        times_t = 2459863.2 + np.linspace(0, 30 / 60 / 24, 30)
+        flux_t = rng.lognormal(0, 0.5, nsrc)[:, None] * (freqs_t / 1e8) ** -2.7
+        kw_t = dict(
+            ants=ants_t, fluxes=flux_t, ra=ra, dec=dec, freqs=freqs_t,
+            times=times_t, beam=AiryBeam(diameter=14.0), telescope_loc=loc,
+            polarized=False, precision=2, backend="tpu",
+        )
+        vt = simulate_vis(**kw_t)
+        best_t = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            simulate_vis(**kw_t)
+            best_t = min(best_t, time.perf_counter() - t0)
+        print(
+            f"[bench] tutorial workload (hex {len(ants_t)} ants, 20f x 30t, "
+            f"nside=64): wall {best_t:.3f} s vs reference fftvis-CPU 3.32 s "
+            f"({3.32 / best_t:.1f}x) and matvis 19.5 s ({19.5 / best_t:.0f}x)",
+            file=sys.stderr,
+        )
+    except Exception as err:  # pragma: no cover
+        print(f"[bench] tutorial workload skipped: {err}", file=sys.stderr)
+
     print(
         json.dumps(
             {
