@@ -31,7 +31,7 @@ for types 1 and 3):  f(s) = sum_j c_j exp(+i s . x_j).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -27,7 +27,7 @@ from ..coords.rotation import SourceRotation, enu_to_az_za
 from ..core import coherency as coh_mod
 from ..core import utils as core_utils
 from ..core.beams import plan_beam_pairs
-from ..core.simulate import SimulationEngine, default_accuracy_dict
+from ..core.simulate import SimulationEngine
 from ..core.utils import speed_of_light
 
 

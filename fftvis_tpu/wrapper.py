@@ -17,7 +17,7 @@ output shapes. Backend selection maps onto this framework's engines:
 
 from __future__ import annotations
 
-from typing import Literal, Union
+from typing import Literal
 
 import numpy as np
 
