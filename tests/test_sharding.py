@@ -69,3 +69,15 @@ def test_auto_mesh():
 def test_mesh_too_big_raises():
     with pytest.raises(ValueError, match="exceeds"):
         make_mesh(time=64, source=64)
+
+
+def test_sharded_multi_pair_direct():
+    """Per-pair tuple scan carry under shard_map + psum."""
+    rng = np.random.default_rng(2)
+    kw = _case(rng, ntimes=2, polarized=True)
+    kw["beam"] = [GaussianBeam(diameter=10.0), GaussianBeam(diameter=12.0)]
+    kw["beam_idx"] = np.array([0, 1, 0, 1, 0, 1])
+    want = simulate_vis(backend="tpu", **kw)
+    got = simulate_vis(backend="tpu", mesh=make_mesh(time=2, source=2), **kw)
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=1e-11 * scale, rtol=0)
