@@ -639,6 +639,18 @@ class TPUSimulationEngine(SimulationEngine):
                 vis_f = vis_f.at[jnp.asarray(sel)].set(vp)
             return vis_f
 
+        # Frequency axis execution: vmap (one batched program) when the
+        # per-frequency live footprint allows, else a sequential scan.
+        _C_total = npairs * nfeeds**2
+        if plan.mode == "direct":
+            _per_freq_bytes = plan.block * nbl * 12 + _C_total * nbl * 16
+        else:
+            _per_freq_bytes = (
+                2 * _C_total * int(np.prod(plan.executor.plan.nf)) * 8
+                + plan.block * _C_total * 16
+            )
+        freq_vmap = nfreqs > 1 and nfreqs * _per_freq_bytes < 1 * 1024**3
+
         def program(mats_a, abvel_a, eq_a, coh_ship_a, valid_a):
             coh_a = _unship_complex(coh_ship_a, coh_was_complex)
 
@@ -650,10 +662,17 @@ class TPUSimulationEngine(SimulationEngine):
                 mask_up = (topo[2] > 0).astype(real_dtype) * valid_a
                 az, za = enu_to_az_za(topo[0], topo[1], orientation="uvbeam")
 
-                def freq_body(_, fi):
-                    return None, per_freq(topo, az, za, mask_up, coh_a, fi)
+                if freq_vmap:
+                    # Batch all frequencies into one program (MXU-friendly;
+                    # a scan of tiny per-freq bodies is dispatch-bound).
+                    vis_t = jax.vmap(
+                        lambda fi: per_freq(topo, az, za, mask_up, coh_a, fi)
+                    )(jnp.arange(nfreqs))
+                else:
+                    def freq_body(_, fi):
+                        return None, per_freq(topo, az, za, mask_up, coh_a, fi)
 
-                _, vis_t = jax.lax.scan(freq_body, None, jnp.arange(nfreqs))
+                    _, vis_t = jax.lax.scan(freq_body, None, jnp.arange(nfreqs))
                 return carry, vis_t  # (nfreq, nbl, nfeeds, nfeeds)
 
             _, vis = jax.lax.scan(per_time, None, (mats_a, abvel_a))
@@ -690,6 +709,7 @@ class TPUSimulationEngine(SimulationEngine):
                 plan.targets,
                 _plan_fingerprint(exec_plan),
                 getattr(plan.executor, "strip_config", None),
+                freq_vmap,
                 freqs_dev,
                 () if not use_basis else (tuple(kl_pairs), coefs_host, ant1_dev, ant2_dev),
                 ()
