@@ -133,6 +133,10 @@ class PreparedBeam:
         return self._fn(az, za, freq_value, freq_index)
 
 
+_PREPARED_CACHE: dict = {}
+_PREPARED_CACHE_LIMIT = 32
+
+
 def prepare_beam(
     beam,
     freqs: np.ndarray,
@@ -141,7 +145,44 @@ def prepare_beam(
     interpolation_function: str = "az_za_map_coordinates",
     use_feed: str = "x",
 ) -> PreparedBeam:
-    """Compile one beam into a :class:`PreparedBeam` for the given sim freqs."""
+    """Compile one beam into a :class:`PreparedBeam` for the given sim freqs.
+
+    Results are content-cached: frequency interpolation and (order-3) spline
+    prefiltering of large tabulated beams are pure functions of the inputs
+    and would otherwise repeat on every simulate() call of a sweep.
+    """
+    from ..core.hashing import beam_fingerprint, hash_parts
+
+    cache_key = hash_parts(
+        (
+            beam_fingerprint(beam),
+            np.asarray(freqs, dtype=float),
+            bool(polarized),
+            repr(spline_opts),
+            interpolation_function,
+            use_feed,
+        )
+    )
+    hit = _PREPARED_CACHE.get(cache_key)
+    if hit is not None:
+        return hit
+    prepared = _prepare_beam_uncached(
+        beam, freqs, polarized, spline_opts, interpolation_function, use_feed
+    )
+    if len(_PREPARED_CACHE) >= _PREPARED_CACHE_LIMIT:
+        _PREPARED_CACHE.pop(next(iter(_PREPARED_CACHE)))
+    _PREPARED_CACHE[cache_key] = prepared
+    return prepared
+
+
+def _prepare_beam_uncached(
+    beam,
+    freqs: np.ndarray,
+    polarized: bool,
+    spline_opts: dict | None = None,
+    interpolation_function: str = "az_za_map_coordinates",
+    use_feed: str = "x",
+) -> PreparedBeam:
     import jax.numpy as jnp
 
     bi = beam if isinstance(beam, BeamInterface) else BeamInterface(beam)

@@ -42,6 +42,8 @@ from ..core import coherency as coh_mod
 from ..core import utils as core_utils
 from ..core.antenna_gridding import check_antpos_griddability
 from ..core.beams import plan_beam_pairs
+from ..core.hashing import beam_fingerprint as _beam_fingerprint
+from ..core.hashing import hash_parts as _hash_parts
 from ..core.simulate import SimulationEngine, default_accuracy_dict, resolve_precision
 from ..core.utils import speed_of_light
 from ..nufft.transform import (
@@ -64,62 +66,6 @@ TWO_PI = 2.0 * np.pi
 _PROGRAM_CACHE: "dict[str, object]" = {}
 _PLAN_CACHE: "dict[str, object]" = {}
 _PROGRAM_CACHE_LIMIT = 16
-
-
-def _hash_parts(parts) -> str:
-    import hashlib
-
-    h = hashlib.sha1()
-
-    def feed(obj):
-        if obj is None or isinstance(obj, (str, int, float, bool, bytes)):
-            h.update(repr(obj).encode())
-        elif isinstance(obj, np.ndarray):
-            h.update(str(obj.dtype).encode())
-            h.update(str(obj.shape).encode())
-            h.update(np.ascontiguousarray(obj).tobytes())
-        elif isinstance(obj, (tuple, list)):
-            h.update(b"(")
-            for item in obj:
-                feed(item)
-            h.update(b")")
-        elif isinstance(obj, dict):
-            for k in sorted(obj, key=repr):
-                feed(k)
-                feed(obj[k])
-        else:
-            h.update(repr(obj).encode())
-
-    feed(parts)
-    return h.hexdigest()
-
-
-def _beam_fingerprint(bi) -> tuple:
-    """Static description of a beam for the program cache key."""
-    from ..beams.analytic import AnalyticBeam
-    from ..beams.gridded import GriddedBeam
-    from ..beams.interface import BeamInterface, PowerBeam
-
-    if isinstance(bi, BeamInterface):
-        return ("iface", bi.beam_type, _beam_fingerprint(bi.beam))
-    if isinstance(bi, PowerBeam):
-        return ("power", bi.use_feed, _beam_fingerprint(bi.base))
-    if isinstance(bi, GriddedBeam):
-        return (
-            "grid",
-            bi.beam_type,
-            bi.data_array,
-            bi.axis1_array,
-            bi.axis2_array,
-            bi.freq_array,
-        )
-    if isinstance(bi, AnalyticBeam):
-        return (
-            type(bi).__name__,
-            tuple(sorted((k, v) for k, v in vars(bi).items()
-                         if isinstance(v, (int, float, str, bool, type(None)))))
-        )
-    return ("other", repr(bi))
 
 
 def _plan_fingerprint(exec_plan) -> tuple:
