@@ -811,7 +811,11 @@ class TPUSimulationEngine(SimulationEngine):
         fmax = float(np.max(freqs))
 
         is_gridded = False
-        if np.abs(antvecs[:, -1]).max() <= flat_array_tol and not force_use_type3:
+        if (
+            np.abs(antvecs[:, -1]).max() <= flat_array_tol
+            and not force_use_type3
+            and self.nufft_mode != "type3"
+        ):
             is_gridded, gridded_pos, basis = check_antpos_griddability(ants)
 
         if is_gridded:
@@ -931,8 +935,6 @@ class TPUSimulationEngine(SimulationEngine):
     ):
         """Gridded arrays: ES type-1 vs exact factored small-case DFT."""
         plan = plan_type1(bls_signed, eps, upsample_factor)
-        if self.nufft_mode == "type3":
-            raise ValueError("nufft_mode='type3' conflicts with a gridded plan")
         if self.nufft_mode == "direct":
             return "direct", None, bls_signed.astype(float)
         return "type1", Type1Executor(plan), None
