@@ -178,6 +178,27 @@ def simulate_vis(
         source_buffer=source_buffer,
     )
 
+    # Honor the reference's nprocesses knob in spirit: with no explicit mesh
+    # and several devices available, parallelize times across a device mesh
+    # (the reference fans freq x time chunks out to that many processes;
+    # ref wrapper.py:188-191, cpu_simulate.py:711-714).
+    if (
+        mesh is None
+        and backend in ("tpu", "cpu")
+        and nprocesses is not None
+        and nprocesses > 1
+    ):
+        try:
+            import jax
+
+            ndev = len(jax.devices())
+            if ndev > 1:
+                from .parallel.mesh import make_mesh
+
+                mesh = make_mesh(time=min(int(nprocesses), ndev))
+        except Exception:  # pragma: no cover
+            mesh = None
+
     engine_kwargs = {}
     if mesh is not None:
         if backend not in ("tpu", "cpu"):

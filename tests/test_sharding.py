@@ -81,3 +81,12 @@ def test_sharded_multi_pair_direct():
     got = simulate_vis(backend="tpu", mesh=make_mesh(time=2, source=2), **kw)
     scale = np.abs(want).max()
     np.testing.assert_allclose(got, want, atol=1e-11 * scale, rtol=0)
+
+
+def test_nprocesses_maps_to_mesh():
+    """The reference's nprocesses knob parallelizes times over devices."""
+    rng = np.random.default_rng(3)
+    kw = _case(rng, ntimes=4)
+    a = simulate_vis(backend="tpu", nprocesses=1, **kw)
+    b = simulate_vis(backend="tpu", nprocesses=4, **kw)
+    np.testing.assert_allclose(b, a, atol=1e-11 * np.abs(a).max(), rtol=0)
