@@ -156,3 +156,32 @@ def test_radec_vectors_unit_norm():
     dec = rng.uniform(-np.pi / 2, np.pi / 2, 50)
     v = radec_to_icrs_vectors(ra, dec)
     np.testing.assert_allclose(np.linalg.norm(v, axis=0), 1.0, atol=1e-14)
+
+
+def test_gmst_j2000_literature_value():
+    """GMST at J2000.0 is 280.46061837 deg (Meeus/IAU); ERFA-lite matches
+    to <0.1 arcsec (residual = TT vs UT1 epoch subtleties)."""
+    from fftvis_tpu.coords import gmst_2006
+
+    g = gmst_2006(np.array([2451545.0]), np.array([0.0]))[0]
+    assert abs(np.rad2deg(g) - 280.46061837) < 0.1 / 3600
+
+
+def test_nutation_magnitudes():
+    """Nutation stays within its physical envelope (|dpsi| < 20 arcsec)."""
+    from fftvis_tpu.coords.erfa_lite import nutation_2000b_truncated
+
+    t = np.linspace(-0.5, 0.5, 50)  # +-50 years around J2000
+    dpsi, deps = nutation_2000b_truncated(t)
+    arcsec = np.pi / 180 / 3600
+    assert np.all(np.abs(dpsi) < 20 * arcsec)
+    assert np.all(np.abs(deps) < 12 * arcsec)
+    # And it actually varies (the series is alive).
+    assert np.ptp(dpsi) > 5 * arcsec
+
+
+def test_mean_obliquity_j2000():
+    from fftvis_tpu.coords import mean_obliquity
+
+    eps0 = mean_obliquity(np.array([0.0]))[0]
+    assert abs(eps0 - np.deg2rad(84381.406 / 3600)) < 1e-12
