@@ -73,3 +73,26 @@ def test_config_mismatch_raises(tmp_path):
         simulate_vis_checkpointed(
             checkpoint_dir=ckdir, time_block=1, freqs=freqs, times=times, **kw
         )
+
+
+def test_checkpoint_with_mesh(tmp_path):
+    """Checkpointed sweep over a device mesh (the pod-sweep pattern)."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from fftvis_tpu.parallel.mesh import make_mesh
+
+    kw = _kwargs()
+    freqs = np.linspace(1e8, 1.2e8, 2)
+    times = JD0 + np.linspace(0, 0.02, 4)
+    want = simulate_vis(freqs=freqs, times=times, **kw)
+    got = simulate_vis_checkpointed(
+        checkpoint_dir=str(tmp_path / "ck"),
+        time_block=2,
+        freqs=freqs,
+        times=times,
+        mesh=make_mesh(time=2, source=2),
+        **kw,
+    )
+    np.testing.assert_allclose(got, want, atol=1e-11 * np.abs(want).max(), rtol=0)
