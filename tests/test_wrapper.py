@@ -214,3 +214,29 @@ class TestEngineABC:
 
         with pytest.raises(ValueError, match="invalid nufft_mode"):
             TPUSimulationEngine(nufft_mode="warp")
+
+
+class TestCaches:
+    def test_program_cache_hits(self):
+        """Repeated identical simulations reuse the compiled program."""
+        from fftvis_tpu.tpu import engine as eng_mod
+
+        rng = np.random.default_rng(1)
+        kw = _kwargs(rng)
+        simulate_vis(**kw)
+        n_before = len(eng_mod._PROGRAM_CACHE)
+        a = simulate_vis(**kw)
+        assert len(eng_mod._PROGRAM_CACHE) == n_before
+        b = simulate_vis(**kw)
+        np.testing.assert_array_equal(a, b)
+
+    def test_program_cache_distinguishes_configs(self):
+        from fftvis_tpu.tpu import engine as eng_mod
+
+        rng = np.random.default_rng(1)
+        kw = _kwargs(rng)
+        simulate_vis(**kw)
+        n_before = len(eng_mod._PROGRAM_CACHE)
+        # Different polarization => different program.
+        simulate_vis(**{**kw, "polarized": True})
+        assert len(eng_mod._PROGRAM_CACHE) >= n_before
