@@ -425,10 +425,15 @@ def _spread_auto(u_list, weights, nf, w: int, beta: float, strip_config=None):
         return _spread_strip_matmul(u_list, weights, nf, w, beta, *strip_config)
     if mode == "dense" and d == 2:
         return _spread_dense_matmul(u_list, weights, nf, w, beta)
+    if mode == "ztaps" and d == 3:
+        return _spread_3d_ztaps(u_list, weights, nf, w, beta)
     if mode == "auto" and d == 2 and jax.default_backend() == "tpu":
         if strip_config is not None and int(np.prod(nf)) > DENSE_GRID_LIMIT:
             return _spread_strip_matmul(u_list, weights, nf, w, beta, *strip_config)
         return _spread_dense_matmul(u_list, weights, nf, w, beta)
+    if mode == "auto" and d == 3 and jax.default_backend() == "tpu":
+        # XLA scatter serializes on TPU; the z-tap scan is exact and dense.
+        return _spread_3d_ztaps(u_list, weights, nf, w, beta)
     return _spread_scatter(u_list, weights, nf, w, beta)
 
 
@@ -521,6 +526,36 @@ def _spread_strip_matmul(
 
     out = core.transpose(1, 0, 2)  # (2C, nfy, nfx)
     return (out[:C] + 1j * out[C:]).astype(weights.dtype)
+
+
+def _spread_3d_ztaps(u_list, weights, nf, w: int, beta: float):
+    """3D ES spreading as a scan of 2D dense-matmul spreads over z-planes.
+
+    For each plane p of the LAST grid axis, every source contributes its
+    full 2D tap patch weighted by psi(periodic distance of p to u_z) -- zero
+    outside the kernel support, so this is exact. Near-coplanar arrays have
+    a small z grid (the type-3 planner sizes nf_z from the tiny w-extent),
+    making the nf_z x (2D spread) cost acceptable where XLA scatter would
+    serialize. Used on TPU for d == 3; CPU keeps the scatter.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    nf0, nf1, nf2 = int(nf[0]), int(nf[1]), int(nf[2])
+    C = weights.shape[0]
+    rdtype = jnp.finfo(jnp.result_type(weights, 0.0)).dtype
+    uz = u_list[2].astype(rdtype)
+
+    def plane(_, p):
+        dz = p.astype(rdtype) - uz
+        dz = dz - nf2 * jnp.round(dz / nf2)
+        kz = es_kernel_grid(dz, w, beta, xp=jnp)  # (n,)
+        wp = weights * kz[None, :]
+        g2 = _spread_dense_matmul(u_list[:2], wp, (nf0, nf1), w, beta)
+        return None, g2  # (C, nf0, nf1)
+
+    _, planes = jax.lax.scan(plane, None, jnp.arange(nf2))
+    return jnp.moveaxis(planes, 0, -1)  # (C, nf0, nf1, nf2)
 
 
 def _spread_dense_matmul(u_list, weights, nf, w: int, beta: float):

@@ -881,6 +881,9 @@ class TPUSimulationEngine(SimulationEngine):
                 spread_cost = 1.0 * nsrc * nfy * min(nfx, 192)
             else:
                 spread_cost = 1.0 * nsrc * float(np.prod(probe.nf))
+        elif on_tpu and d == 3:
+            # z-tap scan of dense 2D spreads (transform._spread_3d_ztaps).
+            spread_cost = 1.0 * nsrc * float(np.prod(probe.nf))
         else:
             spread_cost = 16.0 * nsrc * w**d
         nufft_cost = (
@@ -888,22 +891,7 @@ class TPUSimulationEngine(SimulationEngine):
             + 5.0 * np.prod(probe.nf) * np.log2(max(np.prod(probe.nf), 2)) / C
             + 16.0 * nbl * w**d
         )
-        # 3D spreading currently has no MXU formulation; on TPU the XLA
-        # scatter fallback is unusable, so non-coplanar arrays take the
-        # exact direct path there (correct, and still fast for realistic
-        # baseline counts). CPU keeps the 3D type-3 transform.
-        force_direct_3d = False
-        if not is_coplanar and self.nufft_mode in ("auto", "type3"):
-            import jax
-
-            if jax.default_backend() == "tpu":
-                logger.info(
-                    "Non-coplanar array on TPU: using the exact direct path "
-                    "(3D spreading pending a tiled kernel)."
-                )
-                force_direct_3d = True
-
-        if self.nufft_mode == "direct" or force_direct_3d or (
+        if self.nufft_mode == "direct" or (
             self.nufft_mode == "auto" and direct_cost < nufft_cost
         ):
             logger.info(

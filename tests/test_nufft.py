@@ -171,3 +171,19 @@ def test_strip_spreader_unit():
     a = np.asarray(_spread_scatter([uy, ux], c, nf, k.w, k.beta))
     b = np.asarray(_spread_strip_matmul([uy, ux], c, nf, k.w, k.beta, strip, cap))
     np.testing.assert_allclose(b, a, atol=1e-12 * np.abs(a).max(), rtol=0)
+
+
+def test_ztaps_3d_spread_matches_scatter():
+    """The TPU 3D z-tap spreader == scatter reference, with wrap sources."""
+    from fftvis_tpu.nufft.kernels import ESKernel
+    from fftvis_tpu.nufft.transform import _spread_3d_ztaps, _spread_scatter
+
+    rng = np.random.default_rng(23)
+    k = ESKernel.from_eps(1e-8, 2.0)
+    nf = (40, 48, 24)
+    n = 300
+    u = [jnp.asarray(rng.uniform(0, nf[i], n)) for i in range(3)]
+    c = jnp.asarray(rng.normal(size=(2, n)) + 1j * rng.normal(size=(2, n)))
+    a = np.asarray(_spread_scatter(u, c, nf, k.w, k.beta))
+    b = np.asarray(_spread_3d_ztaps(u, c, nf, k.w, k.beta))
+    np.testing.assert_allclose(b, a, atol=1e-12 * np.abs(a).max(), rtol=0)
