@@ -433,6 +433,8 @@ def _spread_auto(u_list, weights, nf, w: int, beta: float, strip_config=None):
         return _spread_dense_matmul(u_list, weights, nf, w, beta)
     if mode == "auto" and d == 3 and jax.default_backend() == "tpu":
         # XLA scatter serializes on TPU; the z-tap scan is exact and dense.
+        # (The engine's FLOP model prefers the direct path for 3D unless
+        # explicitly overridden, so this branch is rarely reached.)
         return _spread_3d_ztaps(u_list, weights, nf, w, beta)
     return _spread_scatter(u_list, weights, nf, w, beta)
 

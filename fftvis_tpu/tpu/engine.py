@@ -883,7 +883,15 @@ class TPUSimulationEngine(SimulationEngine):
                 spread_cost = 1.0 * nsrc * float(np.prod(probe.nf))
         elif on_tpu and d == 3:
             # z-tap scan of dense 2D spreads (transform._spread_3d_ztaps).
-            spread_cost = 1.0 * nsrc * float(np.prod(probe.nf))
+            # Opt-in for now: the axon remote compiler has been observed to
+            # crash on this program shape, so the default model keeps the
+            # (validated) exact direct path preferred on 3D-TPU.
+            import os as _os
+
+            if _os.environ.get("FFTVIS_SPREADER") == "ztaps":
+                spread_cost = 1.0 * nsrc * float(np.prod(probe.nf))
+            else:
+                spread_cost = np.inf
         else:
             spread_cost = 16.0 * nsrc * w**d
         nufft_cost = (
