@@ -90,3 +90,34 @@ def test_cli_hera_gridded(capsys):
     assert rc == 0
     payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert payload["vis_points"] > 0
+
+
+def test_xla_trace_capture(tmp_path):
+    from fftvis_tpu.profiling import xla_trace
+
+    with xla_trace(str(tmp_path / "trace")):
+        np.ones(8).sum()
+    # jax writes a plugins/ or perfetto trace directory structure
+    import os
+
+    assert any(os.scandir(tmp_path / "trace"))
+
+
+def test_xla_trace_noop():
+    from fftvis_tpu.profiling import xla_trace
+
+    with xla_trace(None):
+        pass
+
+
+def test_save_device_memory_profile(tmp_path):
+    from fftvis_tpu.profiling import save_device_memory_profile
+
+    path = str(tmp_path / "mem.prof")
+    try:
+        save_device_memory_profile(path)
+    except Exception:
+        pytest.skip("device memory profiling unsupported on this backend")
+    import os
+
+    assert os.path.exists(path)
