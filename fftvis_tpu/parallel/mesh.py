@@ -22,25 +22,26 @@ from __future__ import annotations
 import numpy as np
 
 
-def make_mesh(time: int = 1, source: int = 1, devices=None):
-    """Build a (time, source) mesh over the available devices.
+def make_mesh(time: int = 1, source: int = 1, freq: int = 1, devices=None):
+    """Build a (time, freq, source) mesh over the available devices.
 
-    ``time * source`` must not exceed (and will use exactly that many of)
-    the available devices.
+    ``time * freq * source`` must not exceed (and will use exactly that many
+    of) the available devices. Axes of size 1 still appear in the mesh but
+    carry no sharding.
     """
     import jax
     from jax.sharding import Mesh
 
     if devices is None:
         devices = jax.devices()
-    need = time * source
+    need = time * source * freq
     if need > len(devices):
         raise ValueError(
-            f"mesh ({time} time x {source} source = {need}) exceeds "
-            f"{len(devices)} available devices"
+            f"mesh ({time} time x {freq} freq x {source} source = {need}) "
+            f"exceeds {len(devices)} available devices"
         )
-    arr = np.asarray(devices[:need]).reshape(time, source)
-    return Mesh(arr, axis_names=("time", "source"))
+    arr = np.asarray(devices[:need]).reshape(time, freq, source)
+    return Mesh(arr, axis_names=("time", "freq", "source"))
 
 
 def auto_mesh(n_devices: int | None = None, prefer_time: bool = True):

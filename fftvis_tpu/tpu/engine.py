@@ -159,6 +159,7 @@ class TPUSimulationEngine(SimulationEngine):
         mesh=None,
         time_axis: str = "time",
         source_axis: str = "source",
+        freq_axis: str = "freq",
     ):
         """Parameters
         ----------
@@ -178,6 +179,7 @@ class TPUSimulationEngine(SimulationEngine):
         self.mesh = mesh
         self.time_axis = time_axis
         self.source_axis = source_axis
+        self.freq_axis = freq_axis
 
     # ------------------------------------------------------------------
     def simulate(
@@ -316,6 +318,15 @@ class TPUSimulationEngine(SimulationEngine):
         mesh = self.mesh
         n_tdev = int(mesh.shape.get(self.time_axis, 1)) if mesh is not None else 1
         n_sdev = int(mesh.shape.get(self.source_axis, 1)) if mesh is not None else 1
+        n_fdev = int(mesh.shape.get(self.freq_axis, 1)) if mesh is not None else 1
+
+        # Frequency padding for the sharded axis (padded channels reuse the
+        # last frequency -- beams stay in range -- and are sliced off after).
+        nf_pad = int(np.ceil(nfreqs / n_fdev)) * n_fdev
+        freqs_padded = np.concatenate(
+            [freqs, np.full(nf_pad - nfreqs, freqs[-1])]
+        )
+        nfreqs_local = nf_pad // n_fdev
 
         # Source blocking (static-shape replacement for source chunking).
         nchunks = max(1, min(int(nchunks), nsrc))
@@ -367,6 +378,10 @@ class TPUSimulationEngine(SimulationEngine):
         coh_host = pad_src(
             coherency.astype(complex_dtype if coherency.ndim > 2 else real_dtype)
         )
+        if nf_pad > nfreqs:  # pad the (sharded) frequency axis; sliced after
+            widths = [(0, 0)] * coh_host.ndim
+            widths[1] = (0, nf_pad - nfreqs)
+            coh_host = np.pad(coh_host, widths)
         coh_was_complex = np.iscomplexobj(coh_host)
         valid_host = np.zeros(nsrc_pad, dtype=real_dtype)
         valid_host[:nsrc] = 1.0
@@ -388,7 +403,7 @@ class TPUSimulationEngine(SimulationEngine):
         # the program, whereas eagerly-created device arrays must round-trip
         # through the host at trace time (slow, and broken for some dtypes
         # on the axon runtime).
-        freqs_dev = freqs.astype(real_dtype)
+        freqs_dev = freqs_padded.astype(real_dtype)
 
         if use_basis:
             coefs_host = beam_coefs.astype(complex_dtype)
@@ -409,9 +424,9 @@ class TPUSimulationEngine(SimulationEngine):
                 evals[bi], evals[bj], flux_f, polarized, polarized_sky
             ).astype(complex_dtype)
 
-        def source_block_weights(az, za, mask, flux_f, fv, fi):
+        def source_block_weights(az, za, mask, flux_f, fv, gfi):
             """Evaluate beams + coherency for one source block: (C, B)."""
-            evals = [pb.evaluate(az, za, fv, fi) for pb in prepared]
+            evals = [pb.evaluate(az, za, fv, gfi) for pb in prepared]
             if use_basis:
                 rows = [
                     eval_pair_rows(evals, k, l, flux_f) for (k, l) in kl_pairs
@@ -434,8 +449,10 @@ class TPUSimulationEngine(SimulationEngine):
             d = 2 if plan.is_coplanar else 3
             return xr[:d] * scale
 
-        def per_freq(topo_t, az_t, za_t, mask_t, coh_a, fi):
-            fv = jnp.asarray(freqs_dev)[fi]
+        def per_freq(topo_t, az_t, za_t, mask_t, coh_a, freqs_a, gshift, fi):
+            fv = freqs_a[fi]
+            # Global frequency index for beam tables (clamped off the pad).
+            gfi = jnp.minimum(gshift + fi, nfreqs - 1)
 
             # Reshape the (local) source axis into (nblocks, block).
             topo_blocks = topo_t.reshape(3, plan.nblocks, plan.block)
@@ -458,7 +475,7 @@ class TPUSimulationEngine(SimulationEngine):
 
             def scan_body(carry, blk):
                 topo_b, az_b, za_b, mask_b, flux_b = blk
-                rows = source_block_weights(az_b, za_b, mask_b, flux_b, fv, fi)
+                rows = source_block_weights(az_b, za_b, mask_b, flux_b, fv, gfi)
                 x = nufft_coords(topo_b, fv)
                 if plan.mode == "direct":
                     tg = plan.targets.astype(real_dtype)  # (d, nbl) signed
@@ -566,8 +583,8 @@ class TPUSimulationEngine(SimulationEngine):
 
             if use_basis:
                 coefs_dev = jnp.asarray(coefs_host)
-                c1 = jnp.conj(coefs_dev[ant1_dev, :, fi])  # (nbl, K)
-                c2 = coefs_dev[ant2_dev, :, fi]
+                c1 = jnp.conj(coefs_dev[ant1_dev, :, gfi])  # (nbl, K)
+                c2 = coefs_dev[ant2_dev, :, gfi]
                 vis_f = jnp.zeros((nbl, nfeeds, nfeeds), dtype=complex_dtype)
                 for p, (k, l) in enumerate(kl_pairs):
                     vkl = jnp.transpose(per_pair[p], (2, 1, 0))  # (nbl, f2, f1)
@@ -595,10 +612,14 @@ class TPUSimulationEngine(SimulationEngine):
                 2 * _C_total * int(np.prod(plan.executor.plan.nf)) * 8
                 + plan.block * _C_total * 16
             )
-        freq_vmap = nfreqs > 1 and nfreqs * _per_freq_bytes < 1 * 1024**3
+        freq_vmap = nfreqs_local > 1 and nfreqs_local * _per_freq_bytes < 1 * 1024**3
 
-        def program(mats_a, abvel_a, eq_a, coh_ship_a, valid_a):
+        def program(mats_a, abvel_a, eq_a, coh_ship_a, valid_a, freqs_a):
             coh_a = _unship_complex(coh_ship_a, coh_was_complex)
+            if mesh is not None and n_fdev > 1:
+                gshift = jax.lax.axis_index(self.freq_axis) * nfreqs_local
+            else:
+                gshift = jnp.int32(0)
 
             def per_time(carry, tinp):
                 mat, vel = tinp
@@ -612,13 +633,19 @@ class TPUSimulationEngine(SimulationEngine):
                     # Batch all frequencies into one program (MXU-friendly;
                     # a scan of tiny per-freq bodies is dispatch-bound).
                     vis_t = jax.vmap(
-                        lambda fi: per_freq(topo, az, za, mask_up, coh_a, fi)
-                    )(jnp.arange(nfreqs))
+                        lambda fi: per_freq(
+                            topo, az, za, mask_up, coh_a, freqs_a, gshift, fi
+                        )
+                    )(jnp.arange(nfreqs_local))
                 else:
                     def freq_body(_, fi):
-                        return None, per_freq(topo, az, za, mask_up, coh_a, fi)
+                        return None, per_freq(
+                            topo, az, za, mask_up, coh_a, freqs_a, gshift, fi
+                        )
 
-                    _, vis_t = jax.lax.scan(freq_body, None, jnp.arange(nfreqs))
+                    _, vis_t = jax.lax.scan(
+                        freq_body, None, jnp.arange(nfreqs_local)
+                    )
                 return carry, vis_t  # (nfreq, nbl, nfeeds, nfeeds)
 
             _, vis = jax.lax.scan(per_time, None, (mats_a, abvel_a))
@@ -640,6 +667,8 @@ class TPUSimulationEngine(SimulationEngine):
                 plan.block,
                 nt_pad,
                 nfreqs,
+                nf_pad,
+                n_fdev,
                 nbl,
                 nfeeds,
                 bool(polarized),
@@ -687,13 +716,14 @@ class TPUSimulationEngine(SimulationEngine):
                     from jax.experimental.shard_map import shard_map as _shard_map
 
                 T, S = self.time_axis, self.source_axis
-                coh_spec = P(None, S) if coh_was_complex else P(S)
+                F = self.freq_axis if self.freq_axis in mesh.shape else None
+                coh_spec = P(None, S, F) if coh_was_complex else P(S, F)
                 run = jax.jit(
                     _shard_map(
                         program,
                         mesh=mesh,
-                        in_specs=(P(T), P(T), P(None, S), coh_spec, P(S)),
-                        out_specs=P(None, T),
+                        in_specs=(P(T), P(T), P(None, S), coh_spec, P(S), P(F)),
+                        out_specs=P(None, T, F),
                     )
                 )
             # TPU matmuls default to bfloat16 operands; the NUFFT
@@ -714,13 +744,14 @@ class TPUSimulationEngine(SimulationEngine):
             _cached_device_put(eq),
             _cached_device_put(coh_send),
             _cached_device_put(valid_host),
+            jnp.asarray(freqs_dev),
         )
 
         if return_program:
             return run, inputs
 
         stacked = np.asarray(run(*inputs))
-        vis = (stacked[0] + 1j * stacked[1])[:ntimes]
+        vis = (stacked[0] + 1j * stacked[1])[:ntimes, :nfreqs]
 
         if trace_mem:
             # TPU-native analogue of the reference's per-worker memray

@@ -90,3 +90,35 @@ def test_nprocesses_maps_to_mesh():
     a = simulate_vis(backend="tpu", nprocesses=1, **kw)
     b = simulate_vis(backend="tpu", nprocesses=4, **kw)
     np.testing.assert_allclose(b, a, atol=1e-11 * np.abs(a).max(), rtol=0)
+
+
+def test_sharded_freq_axis():
+    """Frequency-axis sharding, incl. gridded-beam global table indexing."""
+    from fftvis_tpu.beams import GriddedBeam
+
+    rng = np.random.default_rng(4)
+    kw = _case(rng, ntimes=2)
+    kw["freqs"] = np.linspace(1.0e8, 1.15e8, 4)
+    kw["fluxes"] = rng.uniform(0.1, 1.0, (40, 4))
+    # A tabulated beam makes per-frequency table indexing observable.
+    kw["beam"] = GriddedBeam.from_function(
+        GaussianBeam(diameter=8.0), n_az=60, n_za=61, freqs=(0.9e8, 1.3e8)
+    )
+    want = simulate_vis(backend="tpu", **kw)
+    got = simulate_vis(
+        backend="tpu", mesh=make_mesh(time=2, freq=2, source=2), **kw
+    )
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=1e-11 * scale, rtol=0)
+
+
+def test_sharded_freq_with_padding():
+    """nfreq not divisible by the freq axis: padded channels sliced off."""
+    rng = np.random.default_rng(5)
+    kw = _case(rng, ntimes=2)
+    kw["freqs"] = np.linspace(1.0e8, 1.1e8, 3)  # 3 freqs over 2 shards
+    kw["fluxes"] = rng.uniform(0.1, 1.0, (40, 3))
+    want = simulate_vis(backend="tpu", **kw)
+    got = simulate_vis(backend="tpu", mesh=make_mesh(time=2, freq=2), **kw)
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=1e-11 * scale, rtol=0)
