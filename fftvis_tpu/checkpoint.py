@@ -45,7 +45,8 @@ def simulate_vis_checkpointed(
     The assembled full visibility array, shaped exactly as simulate_vis
     would return.
     """
-    from .coords.erfa_lite import times_to_jd
+    from .coords.erfa_lite import TelescopeLocation, times_to_jd
+    from .core.hashing import beam_fingerprint, hash_parts
     from .wrapper import simulate_vis
 
     freqs = np.atleast_1d(np.asarray(kwargs.pop("freqs"), dtype=float))
@@ -56,6 +57,39 @@ def simulate_vis_checkpointed(
     os.makedirs(checkpoint_dir, exist_ok=True)
     manifest_path = os.path.join(checkpoint_dir, "manifest.json")
 
+    # Content hash over every input that affects the visibilities: same-shape
+    # but different-valued inputs must NOT silently reuse stale blocks.
+    beams = kwargs.get("beam")
+    beams = beams if isinstance(beams, list) else [beams]
+    telescope_loc = TelescopeLocation.from_any(kwargs.get("telescope_loc"))
+    content_hash = hash_parts(
+        (
+            freqs,
+            times,
+            np.asarray(kwargs["fluxes"], dtype=float),
+            np.asarray(kwargs["ra"], dtype=float),
+            np.asarray(kwargs["dec"], dtype=float),
+            sorted(
+                (repr(k), tuple(np.asarray(v, dtype=float)))
+                for k, v in kwargs["ants"].items()
+            ),
+            [beam_fingerprint(b) for b in beams],
+            None
+            if kwargs.get("beam_idx") is None
+            else np.asarray(kwargs["beam_idx"]),
+            None
+            if kwargs.get("beam_coefs") is None
+            else np.asarray(kwargs["beam_coefs"]),
+            None
+            if kwargs.get("baselines") is None
+            else [tuple(int(a) for a in b) for b in kwargs["baselines"]],
+            repr(telescope_loc),
+            bool(kwargs.get("polarized", False)),
+            int(kwargs.get("precision", 2)),
+            kwargs.get("eps"),
+        )
+    )
+
     config_key = {
         "nfreq": nfreq,
         "ntime": ntime,
@@ -64,6 +98,7 @@ def simulate_vis_checkpointed(
         "polarized": bool(kwargs.get("polarized", False)),
         "nant": len(kwargs["ants"]),
         "nsrc": int(np.asarray(kwargs["fluxes"]).shape[0]),
+        "content": content_hash,
     }
     if os.path.exists(manifest_path) and not overwrite:
         with open(manifest_path) as fh:

@@ -462,6 +462,8 @@ def _spread_strip_matmul(
     a host-side sliding-window count). Periodic wraps in x are handled with
     pad columns folded back afterwards; y uses periodic distances directly.
     """
+    import os
+
     import jax
     import jax.numpy as jnp
 
@@ -488,6 +490,20 @@ def _spread_strip_matmul(
     pos = starts[:, None] + jnp.arange(P, dtype=jnp.int32)[None, :]
     valid = pos < ends[:, None]  # (nstrips, P)
     idx = order[jnp.clip(pos, 0, n - 1)]  # (nstrips, P)
+
+    if os.environ.get("FFTVIS_DEBUG"):
+        # Capacity overflow silently drops sources (pos is clipped above);
+        # the engine's host-side bound should make this impossible, so the
+        # check is debug-only to keep it off the hot path.
+        def _check_capacity(maxcount, cap=P):
+            if int(maxcount) > cap:
+                raise RuntimeError(
+                    f"strip spreader capacity overflow: a strip holds "
+                    f"{int(maxcount)} sources > capacity {cap}; "
+                    f"sources were dropped"
+                )
+
+        jax.debug.callback(_check_capacity, (ends - starts).max())
 
     vals = jnp.concatenate([jnp.real(weights), jnp.imag(weights)], axis=0)
     rows = jnp.arange(nfy, dtype=rdtype)

@@ -223,10 +223,25 @@ class TPUSimulationEngine(SimulationEngine):
         freqs = np.atleast_1d(np.asarray(freqs, dtype=float))
         nfreqs = freqs.size
         real_dtype, complex_dtype = resolve_precision(precision)
+        # The wrapper pre-fills the default eps, so "explicit" means a value
+        # differing from this precision's default.
+        eps_explicit = eps is not None and eps != default_accuracy_dict[precision]
         if eps is None:
             eps = default_accuracy_dict[precision]
         # An eps beyond the compute precision only inflates the kernel width.
-        eps = max(eps, 5e-7 if real_dtype == np.float32 else 1e-13)
+        # (The precision=2-on-TPU default case is covered by the one-time
+        # resolve_precision warning; only an explicitly requested eps gets a
+        # per-call notice.)
+        eps_floor = 5e-7 if real_dtype == np.float32 else 1e-13
+        if eps_explicit and eps < eps_floor:
+            logger.warning(
+                "requested NUFFT eps=%.1e is below what %s can resolve; "
+                "using eps=%.1e",
+                eps,
+                np.dtype(real_dtype).name,
+                eps_floor,
+            )
+        eps = max(eps, eps_floor)
 
         nbeam = len(beam_list)
         nant = len(ants)
@@ -310,9 +325,10 @@ class TPUSimulationEngine(SimulationEngine):
             if len(_PLAN_CACHE) >= _PROGRAM_CACHE_LIMIT:
                 _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
             _PLAN_CACHE[plan_key] = plan
-        else:
-            # nsrc-derived blocking fields are (re)set below per call.
-            plan = _SimPlan(**{**plan.__dict__})
+        # Always work on a per-call copy: nsrc-derived blocking fields are
+        # (re)set below, and the strip-spreader config must not leak into
+        # the cached plan or into programs returned by earlier calls.
+        plan = _SimPlan(**{**plan.__dict__})
 
         # Mesh geometry (SPMD): times data-parallel, sources psum-sharded.
         mesh = self.mesh
@@ -788,6 +804,12 @@ class TPUSimulationEngine(SimulationEngine):
 
         if plan.mode != "type3" or plan.executor is None:
             return
+        from ..nufft.transform import Type3Executor
+
+        # Never mutate a shared executor: cached plans and programs returned
+        # via return_program=True close over the executor, so each simulate()
+        # call gets its own instance (the underlying Type3Plan is immutable).
+        plan.executor = Type3Executor(plan.executor.plan)
         eplan = plan.executor.plan
         if eplan.d != 2:
             plan.executor.strip_config = None

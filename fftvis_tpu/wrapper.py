@@ -17,6 +17,7 @@ output shapes. Backend selection maps onto this framework's engines:
 
 from __future__ import annotations
 
+import logging
 from typing import Literal
 
 import numpy as np
@@ -24,6 +25,8 @@ import numpy as np
 from .beams.interface import BeamInterface, prepare_beam_unpolarized
 from .core.simulate import SimulationEngine, default_accuracy_dict
 from .core.utils import get_desired_chunks, validate_beam_idx
+
+logger = logging.getLogger(__name__)
 
 
 def create_beam_evaluator(backend: str = "tpu", **kwargs):
@@ -192,11 +195,26 @@ def simulate_vis(
             import jax
 
             ndev = len(jax.devices())
-            if ndev > 1:
+            # Cap the time axis at ntimes: a larger mesh only pads the time
+            # axis and burns devices on throwaway work.
+            from .coords.erfa_lite import times_to_jd
+
+            ntimes_here = int(times_to_jd(times).size)
+            tdev = min(int(nprocesses), ndev, max(ntimes_here, 1))
+            if ndev > 1 and tdev > 1:
                 from .parallel.mesh import make_mesh
 
-                mesh = make_mesh(time=min(int(nprocesses), ndev))
+                mesh = make_mesh(time=tdev)
+                logger.info(
+                    "nprocesses=%d mapped to a %d-device time mesh "
+                    "(%d devices available, %d times)",
+                    nprocesses, tdev, ndev, ntimes_here,
+                )
         except Exception:  # pragma: no cover
+            logger.warning(
+                "nprocesses=%d requested but device-mesh construction "
+                "failed; running unsharded", nprocesses, exc_info=True,
+            )
             mesh = None
 
     engine_kwargs = {}

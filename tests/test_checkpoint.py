@@ -75,6 +75,46 @@ def test_config_mismatch_raises(tmp_path):
         )
 
 
+def test_content_change_rejects_stale_blocks(tmp_path):
+    """Same shapes but different input VALUES must not reuse stale blocks."""
+    kw = _kwargs()
+    freqs = np.linspace(1e8, 1.2e8, 2)
+    times = JD0 + np.linspace(0, 0.02, 2)
+    ckdir = str(tmp_path / "ck")
+    simulate_vis_checkpointed(checkpoint_dir=ckdir, freqs=freqs, times=times, **kw)
+
+    for mutate in (
+        lambda k: k.update(fluxes=k["fluxes"] * 2.0),
+        lambda k: k.update(ra=(k["ra"] + 0.1) % (2 * np.pi)),
+        lambda k: k.update(
+            ants={a: p + np.array([1.0, 0, 0]) for a, p in k["ants"].items()}
+        ),
+        lambda k: k.update(beam=GaussianBeam(diameter=14.0)),
+    ):
+        kw2 = dict(_kwargs())
+        mutate(kw2)
+        with pytest.raises(ValueError, match="different"):
+            simulate_vis_checkpointed(
+                checkpoint_dir=ckdir, freqs=freqs, times=times, **kw2
+            )
+
+    # Different freq/time values (same counts) likewise.
+    with pytest.raises(ValueError, match="different"):
+        simulate_vis_checkpointed(
+            checkpoint_dir=ckdir, freqs=freqs * 1.01, times=times, **_kwargs()
+        )
+    with pytest.raises(ValueError, match="different"):
+        simulate_vis_checkpointed(
+            checkpoint_dir=ckdir, freqs=freqs, times=times + 0.1, **_kwargs()
+        )
+
+    # overwrite=True recovers.
+    out = simulate_vis_checkpointed(
+        checkpoint_dir=ckdir, freqs=freqs, times=times, overwrite=True, **kw2
+    )
+    assert np.all(np.isfinite(out))
+
+
 def test_checkpoint_with_mesh(tmp_path):
     """Checkpointed sweep over a device mesh (the pod-sweep pattern)."""
     import jax
