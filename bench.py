@@ -37,6 +37,28 @@ def _steady(fn, repeats):
     return best
 
 
+def _device_compute_time(run, inputs, repeats):
+    """Device compute time of a jitted program, excluding bulk D2H.
+
+    On relayed dev runtimes ``block_until_ready`` does not force execution
+    (results materialize at fetch), so the honest measurement is fetching a
+    SCALAR reduction of the output -- full compute, 8-byte transfer -- and
+    subtracting the measured round-trip floor of a trivial scalar fetch.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    summed = jax.jit(lambda *a: run(*a).sum())
+    trivial = jax.jit(lambda x: (x + 1.0).sum())
+    x = jnp.ones((8, 8), jnp.float32)
+    float(summed(*inputs))  # compile
+    float(trivial(x))
+
+    t_sum = _steady(lambda: float(summed(*inputs)), repeats)
+    t_rtt = _steady(lambda: float(trivial(x)), repeats)
+    return max(t_sum - t_rtt, 1e-5), t_rtt
+
+
 def main():
     import jax
 
@@ -94,11 +116,32 @@ def main():
     vg = simulate_vis(**kw_g)
     assert np.all(np.isfinite(vg)), "gridded benchmark produced non-finite output"
     wall_g = _steady(lambda: simulate_vis(**kw_g), repeats)
-    rate_g = len(baselines) * freqs_g.size * times_g.size / wall_g
+    npts_g = len(baselines) * freqs_g.size * times_g.size
+    rate_g = npts_g / wall_g
     ratio_g = rate_g / GRIDDED_BASELINE_PTS_PER_S
+
+    # Device-compute rate for the same program: the wall above is bound by
+    # shipping the ~3 MB output over the dev relay link (~10 MB/s => ~0.25 s
+    # floor); production TPU hosts fetch over PCIe at GB/s.
+    from fftvis_tpu.beams.interface import BeamInterface
+    from fftvis_tpu.tpu.engine import TPUSimulationEngine
+
+    eng_kw = dict(kw_g)
+    for k in ("backend",):
+        eng_kw.pop(k)
+    beam_obj = BeamInterface(eng_kw.pop("beam"))
+    run_g, in_g = TPUSimulationEngine().simulate(
+        beam_list=[beam_obj], return_program=True, **eng_kw
+    )
+    dev_g, rtt = _device_compute_time(run_g, in_g, repeats)
+    rate_gd = npts_g / dev_g
+    ratio_gd = rate_gd / GRIDDED_BASELINE_PTS_PER_S
     print(
-        f"[bench] gridded: {len(baselines)} bls x 2f x 3t in {wall_g:.3f} s = "
-        f"{rate_g:.3e} pts/s ({ratio_g:.1f}x ref fftvis-CPU type-1 wall)",
+        f"[bench] gridded: {len(baselines)} bls x 2f x 3t in {wall_g:.3f} s "
+        f"wall = {rate_g:.3e} pts/s ({ratio_g:.1f}x ref fftvis-CPU type-1 "
+        f"wall); device compute {dev_g * 1e3:.1f} ms (dispatch RTT "
+        f"{rtt * 1e3:.0f} ms excluded) = {rate_gd:.3e} pts/s "
+        f"({ratio_gd:.1f}x ref)",
         file=sys.stderr,
     )
 
@@ -112,8 +155,12 @@ def main():
                     f"times, nside={nside} sky = {nsrc} srcs, unpol; ref "
                     f"3.32 s = 8313 pts/s); secondary gridded type-1 "
                     f"(hex{hex_size}+outriggers {nant} ants, {len(baselines)} "
-                    f"bls, 2f x 3t; ref 0.482 s): {rate_g:.3e} pts/s = "
-                    f"{ratio_g:.2f}x its baseline"
+                    f"bls, 2f x 3t; ref 0.482 s): wall {rate_g:.3e} pts/s = "
+                    f"{ratio_g:.2f}x baseline -- wall is bound by the dev "
+                    f"relay link (~{vg.nbytes / 1e6:.0f} MB output at "
+                    f"~10 MB/s, {rtt * 1e3:.0f} ms dispatch RTT), device "
+                    f"compute is {dev_g * 1e3:.1f} ms = {rate_gd:.3e} pts/s "
+                    f"= {ratio_gd:.1f}x baseline"
                 ),
                 "value": rate_t,
                 "unit": "vis_points/s",

@@ -254,6 +254,14 @@ class TPUSimulationEngine(SimulationEngine):
             baselines = [red[0] for red in reds]
         nbl = len(baselines)
         antnums = list(ants.keys())
+        # Canonical integer form of the baseline list: hashing/caching must
+        # not walk 10^4-10^5 Python tuples element by element (that alone
+        # cost ~0.2 s/call on the gridded headline workload).
+        ant_index = {a: i for i, a in enumerate(antnums)}
+        bl_index_arr = np.array(
+            [(ant_index[b0], ant_index[b1]) for b0, b1 in baselines],
+            dtype=np.int64,
+        ).reshape(nbl, 2)
 
         coherency, polarized_sky = coh_mod.prepare_source_catalog(
             np.asarray(fluxes), polarized_beam=polarized
@@ -273,13 +281,13 @@ class TPUSimulationEngine(SimulationEngine):
             pair_plan = None
             npairs = len(kl_pairs)
             flipped_global = np.zeros(nbl, dtype=bool)
-            ant1_idx = np.array([antnums.index(b[0]) for b in baselines])
-            ant2_idx = np.array([antnums.index(b[1]) for b in baselines])
+            ant1_idx = bl_index_arr[:, 0]
+            ant2_idx = bl_index_arr[:, 1]
         else:
             # Pair routing is a pure function of (ants, baselines, beam_idx)
             # and loops the full baseline list in Python: cache it.
             pp_key = _hash_parts(
-                (tuple(map(repr, antnums)), tuple(baselines),
+                (tuple(map(repr, antnums)), bl_index_arr,
                  None if beam_idx is None else np.asarray(beam_idx))
             )
             cached_pp = _PLAN_CACHE.get(pp_key)
@@ -302,7 +310,7 @@ class TPUSimulationEngine(SimulationEngine):
             (
                 "plan-v1",
                 np.array([np.asarray(ants[a], dtype=float) for a in ants]),
-                tuple(baselines),
+                bl_index_arr,
                 float(np.max(freqs)),
                 float(eps),
                 float(upsample_factor),
