@@ -49,8 +49,10 @@ from ..core.utils import speed_of_light
 from ..nufft.transform import (
     Type1Executor,
     Type3Executor,
+    Type3LowrankZExecutor,
     plan_type1,
     plan_type3,
+    plan_type3_lowrank_z,
 )
 
 logger = logging.getLogger(__name__)
@@ -88,6 +90,16 @@ def _plan_fingerprint(exec_plan) -> tuple:
             tuple(exec_plan.tap_idx), tuple(exec_plan.tap_val),
         )
     return (repr(exec_plan),)
+
+
+def _zplan_fingerprint(executor) -> tuple:
+    """Fingerprint of a lowrank-z executor's z configuration (if any)."""
+    zp = getattr(executor, "zplan", None)
+    if zp is None:
+        return ()
+    return (
+        "lrz", zp.K, zp.s_center_z, zp.x_center_z, zp.x_half_z, zp.g,
+    )
 
 
 def _cache_store(key: str, run) -> None:
@@ -533,7 +545,10 @@ class TPUSimulationEngine(SimulationEngine):
                 else:
                     init = jnp.zeros((C, nbl), dtype=complex_dtype)
             else:
-                init = jnp.zeros((C,) + tuple(plan.executor.plan.nf), dtype=complex_dtype)
+                CK = C * getattr(plan.executor, "channel_multiplier", 1)
+                init = jnp.zeros(
+                    (CK,) + tuple(plan.executor.plan.nf), dtype=complex_dtype
+                )
             if mesh is not None and hasattr(jax.lax, "pvary"):
                 # Under shard_map the scan carry varies over the mesh axes
                 # (its updates depend on sharded inputs); mark the zero init
@@ -632,9 +647,10 @@ class TPUSimulationEngine(SimulationEngine):
         if plan.mode == "direct":
             _per_freq_bytes = plan.block * nbl * 12 + _C_total * nbl * 16
         else:
+            _cmult = getattr(plan.executor, "channel_multiplier", 1)
             _per_freq_bytes = (
-                2 * _C_total * int(np.prod(plan.executor.plan.nf)) * 8
-                + plan.block * _C_total * 16
+                2 * _C_total * _cmult * int(np.prod(plan.executor.plan.nf)) * 8
+                + plan.block * _C_total * _cmult * 16
             )
         freq_vmap = nfreqs_local > 1 and nfreqs_local * _per_freq_bytes < 1 * 1024**3
 
@@ -707,6 +723,7 @@ class TPUSimulationEngine(SimulationEngine):
                 flipped_global,
                 plan.targets,
                 _plan_fingerprint(exec_plan),
+                _zplan_fingerprint(plan.executor),
                 getattr(plan.executor, "strip_config", None),
                 freq_vmap,
                 freqs_dev,
@@ -812,12 +829,13 @@ class TPUSimulationEngine(SimulationEngine):
 
         if plan.mode != "type3" or plan.executor is None:
             return
-        from ..nufft.transform import Type3Executor
-
         # Never mutate a shared executor: cached plans and programs returned
         # via return_program=True close over the executor, so each simulate()
-        # call gets its own instance (the underlying Type3Plan is immutable).
-        plan.executor = Type3Executor(plan.executor.plan)
+        # call gets its own instance (the underlying plan is immutable).
+        plan.executor = plan.executor.fresh_copy()
+        # .plan is the (inner) 2D spread plan for both Type3Executor and
+        # Type3LowrankZExecutor, so the strip capacity logic below applies
+        # to the 3D lowrank path unchanged.
         eplan = plan.executor.plan
         if eplan.d != 2:
             plan.executor.strip_config = None
@@ -921,16 +939,43 @@ class TPUSimulationEngine(SimulationEngine):
         import jax as _jax
 
         direct_cost = 8.0 * nsrc * nbl
-        probe = plan_type3(
-            targets,
-            x_extent=[TWO_PI * fmax / speed_of_light] * d,
-            eps=eps,
-            upsample_factor=upsample_factor,
-        )
+        x_ext = [TWO_PI * fmax / speed_of_light] * d
+        if d == 2:
+            probe = plan_type3(
+                targets, x_extent=x_ext, eps=eps, upsample_factor=upsample_factor
+            )
+            executor = Type3Executor(probe)
+            K = 1
+        else:
+            # 3D (non-coplanar, finufft nufft3d3 parity; ref cpu/nufft.py:
+            # 62-118) via the low-rank-z 2D factorization: a full 3D fine
+            # grid is HBM-infeasible and XLA scatter serializes, so the z
+            # phase factors as K Chebyshev modes batched through the 2D
+            # spread (transform.plan_type3_lowrank_z). The z range of the
+            # rotated upper-hemisphere source coordinates bounds the
+            # Chebyshev bandwidth: extremize rot[2] . v over |v| = 1,
+            # v_z >= 0 (interior max 1 when the row's z component points
+            # up, else on the horizon circle).
+            r = rotation[2]
+            rxy = float(np.hypot(r[0], r[1]))
+            zhi = 1.0 if r[2] >= 0 else rxy
+            zlo = -1.0 if r[2] <= 0 else -rxy
+            scale = TWO_PI * fmax / speed_of_light
+            pad = 1e-3  # aberration + fp slop before the executor's clamp
+            probe_z = plan_type3_lowrank_z(
+                targets,
+                x_extent=x_ext,
+                eps=eps,
+                upsample_factor=upsample_factor,
+                x_range_z=((zlo - pad) * scale, (zhi + pad) * scale),
+            )
+            executor = Type3LowrankZExecutor(probe_z)
+            probe = probe_z.plan2d
+            K = probe_z.K
         w = probe.kernel.w
         C = max(1, npairs * nfeeds**2)
         on_tpu = _jax.default_backend() == "tpu"
-        if on_tpu and d == 2:
+        if on_tpu:
             # MXU spread: dense for small grids, strip-binned beyond
             # DENSE_GRID_LIMIT (x extent of each product capped near the
             # strip width). The MXU's algebraic-intensity advantage over
@@ -939,26 +984,17 @@ class TPUSimulationEngine(SimulationEngine):
 
             nfy, nfx = probe.nf
             if nfy * nfx > DENSE_GRID_LIMIT:
-                spread_cost = 1.0 * nsrc * nfy * min(nfx, 192)
+                per_mode = 1.0 * nsrc * nfy * min(nfx, 192)
             else:
-                spread_cost = 1.0 * nsrc * float(np.prod(probe.nf))
-        elif on_tpu and d == 3:
-            # z-tap scan of dense 2D spreads (transform._spread_3d_ztaps).
-            # Opt-in for now: the axon remote compiler has been observed to
-            # crash on this program shape, so the default model keeps the
-            # (validated) exact direct path preferred on 3D-TPU.
-            import os as _os
-
-            if _os.environ.get("FFTVIS_SPREADER") == "ztaps":
-                spread_cost = 1.0 * nsrc * float(np.prod(probe.nf))
-            else:
-                spread_cost = np.inf
+                per_mode = 1.0 * nsrc * float(nfy * nfx)
         else:
-            spread_cost = 16.0 * nsrc * w**d
+            per_mode = 16.0 * nsrc * w**2
+        spread_cost = K * per_mode
+        nf_cells = float(np.prod(probe.nf))
         nufft_cost = (
             spread_cost
-            + 5.0 * np.prod(probe.nf) * np.log2(max(np.prod(probe.nf), 2)) / C
-            + 16.0 * nbl * w**d
+            + 5.0 * K * nf_cells * np.log2(max(nf_cells, 2)) / C
+            + 16.0 * nbl * w**2 * K
         )
         if self.nufft_mode == "direct" or (
             self.nufft_mode == "auto" and direct_cost < nufft_cost
@@ -977,10 +1013,16 @@ class TPUSimulationEngine(SimulationEngine):
                 lattice_matrix=None,
             )
 
-        logger.info("Using type-3 NUFFT path (nf=%s, w=%d)", probe.nf, w)
+        if d == 3:
+            logger.info(
+                "Using type-3 NUFFT path (3D lowrank-z: nf=%s, w=%d, K=%d)",
+                probe.nf, w, K,
+            )
+        else:
+            logger.info("Using type-3 NUFFT path (nf=%s, w=%d)", probe.nf, w)
         return _SimPlan(
             mode="type3",
-            executor=Type3Executor(probe),
+            executor=executor,
             targets=None,
             is_coplanar=is_coplanar,
             rotation_matrix=rotation,

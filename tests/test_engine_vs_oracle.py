@@ -296,3 +296,44 @@ def test_gridded_polarized_type1():
     got = _run("tpu", **common)  # auto: type-1
     scale = np.abs(want).max()
     np.testing.assert_allclose(got, want, atol=1e-5 * scale, rtol=0)
+
+
+@pytest.mark.parametrize("polarized", [False, True])
+def test_3d_lowrank_z_nufft_vs_oracle(polarized):
+    """Non-coplanar arrays through the forced 3D NUFFT (lowrank-z) path.
+
+    The reference treats nufft3d3 as a first-class path (ref cpu/nufft.py:
+    62-118, dispatched at cpu_simulate.py:284-295); here the equivalent is
+    the low-rank Chebyshev z factorization batched through the 2D type-3
+    (transform.plan_type3_lowrank_z). Forced via nufft_mode='type3' so the
+    FLOP model cannot fall back to the exact direct path.
+    """
+    from fftvis_tpu.beams.interface import BeamInterface, prepare_beam_unpolarized
+    from fftvis_tpu.nufft.transform import Type3LowrankZExecutor
+    from fftvis_tpu.tpu.engine import TPUSimulationEngine
+
+    rng = np.random.default_rng(17)
+    ants = _random_ants(rng, 9, tilted=True)
+    ra, dec, flux = _sky(rng, 60, len(FREQS))
+    common = dict(
+        ants=ants, fluxes=flux, ra=ra, dec=dec,
+        telescope_loc=LOC, freqs=FREQS, times=TIMES,
+        precision=2, polarized=polarized, force_use_type3=True,
+    )
+    want = simulate_vis(beam=GaussianBeam(diameter=10.0), backend="direct", **common)
+
+    eng = TPUSimulationEngine(nufft_mode="type3")
+    b = BeamInterface(GaussianBeam(diameter=10.0))
+    blist = [b if polarized else prepare_beam_unpolarized(b)]
+    got = eng.simulate(beam_list=blist, **common)
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=1e-5 * scale, rtol=0)
+
+    # The plan must actually be the 3D lowrank-z executor (not 2D/direct).
+    from fftvis_tpu.tpu.engine import _PLAN_CACHE
+
+    assert any(
+        isinstance(getattr(p, "executor", None), Type3LowrankZExecutor)
+        for p in _PLAN_CACHE.values()
+        if hasattr(p, "executor")
+    )

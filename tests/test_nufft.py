@@ -187,3 +187,124 @@ def test_ztaps_3d_spread_matches_scatter():
     a = np.asarray(_spread_scatter(u, c, nf, k.w, k.beta))
     b = np.asarray(_spread_3d_ztaps(u, c, nf, k.w, k.beta))
     np.testing.assert_allclose(b, a, atol=1e-12 * np.abs(a).max(), rtol=0)
+
+
+@pytest.mark.parametrize(
+    "zspread,eps,zlo",
+    [(5.0, 1e-6, 0.0), (5.0, 1e-10, 0.0), (30.0, 1e-8, 0.0), (0.5, 1e-12, -np.pi)],
+)
+def test_type3_lowrank_z_matches_direct(zspread, eps, zlo):
+    """3D type-3 via the low-rank Chebyshev z factorization == dense DFT.
+
+    TPU-native replacement for finufft nufft3d3 (ref cpu/nufft.py:62-118):
+    the error must track the requested eps and K must stay small for
+    near-coplanar targets.
+    """
+    import jax
+
+    from fftvis_tpu.nufft.transform import (
+        make_type3_lowrank_z_fn,
+        plan_type3_lowrank_z,
+    )
+
+    rng = np.random.default_rng(11)
+    n, m, C = 600, 250, 3
+    X = np.pi
+    x = np.stack(
+        [
+            rng.uniform(-X, X, n),
+            rng.uniform(-X, X, n),
+            rng.uniform(zlo, X, n),
+        ]
+    )
+    s = np.stack(
+        [
+            rng.uniform(-60, 60, m),
+            rng.uniform(-60, 60, m),
+            rng.uniform(-zspread, zspread, m),
+        ]
+    )
+    c = rng.normal(size=(C, n)) + 1j * rng.normal(size=(C, n))
+    plan = plan_type3_lowrank_z(s, [X, X, X], eps=eps, x_range_z=(zlo, X))
+    # Rank must scale like |s_z| * zh + O(log 1/eps), far below a 3D grid.
+    zh = 0.5 * (X - zlo)
+    assert plan.K <= zspread * zh + 14 * np.log10(1.0 / eps) + 16
+    fn = jax.jit(make_type3_lowrank_z_fn(plan))
+    got = np.asarray(fn(jnp.asarray(x), jnp.asarray(c)))
+    want = c @ np.exp(1j * (x.T @ s))
+    err = np.abs(got - want).max() / np.abs(want).max()
+    assert err < 50 * eps
+
+
+def test_type3_lowrank_z_out_of_range_sources_masked():
+    """Sources outside the planned z range with zero weight must not NaN.
+
+    (The engine masks below-horizon sources by zeroing weights while their
+    coordinates stay arbitrary; the Chebyshev recurrence would overflow
+    without the executor's clamp.)
+    """
+    import jax
+
+    from fftvis_tpu.nufft.transform import (
+        make_type3_lowrank_z_fn,
+        plan_type3_lowrank_z,
+    )
+
+    rng = np.random.default_rng(12)
+    n, m = 100, 50
+    X = np.pi
+    x = np.stack(
+        [
+            rng.uniform(-X, X, n),
+            rng.uniform(-X, X, n),
+            rng.uniform(0, X, n),
+        ]
+    )
+    x[2, 50:] = rng.uniform(-X, -0.2, 50)  # below-horizon coords
+    c = (rng.normal(size=(1, n)) + 1j * rng.normal(size=(1, n)))
+    c[:, 50:] = 0.0  # masked
+    s = np.stack(
+        [rng.uniform(-40, 40, m), rng.uniform(-40, 40, m), rng.uniform(-3, 3, m)]
+    )
+    plan = plan_type3_lowrank_z(s, [X, X, X], eps=1e-8, x_range_z=(0.0, X))
+    got = np.asarray(
+        jax.jit(make_type3_lowrank_z_fn(plan))(jnp.asarray(x), jnp.asarray(c))
+    )
+    assert np.all(np.isfinite(got))
+    want = c[:, :50] @ np.exp(1j * (x[:, :50].T @ s))
+    err = np.abs(got - want).max() / np.abs(want).max()
+    assert err < 1e-6
+
+
+def test_type3_lowrank_z_executor_subset():
+    """interpolate(sel) slices both the 2D taps and the z coefficients."""
+    import jax
+
+    from fftvis_tpu.nufft.transform import (
+        Type3LowrankZExecutor,
+        plan_type3_lowrank_z,
+    )
+
+    rng = np.random.default_rng(13)
+    n, m = 200, 60
+    X = np.pi
+    x = np.stack(
+        [rng.uniform(-X, X, n), rng.uniform(-X, X, n), rng.uniform(0, X, n)]
+    )
+    s = np.stack(
+        [rng.uniform(-40, 40, m), rng.uniform(-40, 40, m), rng.uniform(-4, 4, m)]
+    )
+    c = rng.normal(size=(2, n)) + 1j * rng.normal(size=(2, n))
+    plan = plan_type3_lowrank_z(s, [X, X, X], eps=1e-9, x_range_z=(0.0, X))
+    ex = Type3LowrankZExecutor(plan)
+    sel = np.array([3, 17, 41, 59])
+
+    def full(x, c):
+        return ex.interpolate(ex.transform(ex.spread(x, c)))
+
+    def subset(x, c):
+        return ex.interpolate(ex.transform(ex.spread(x, c)), sel=sel)
+
+    a = np.asarray(jax.jit(full)(jnp.asarray(x), jnp.asarray(c)))
+    b = np.asarray(jax.jit(subset)(jnp.asarray(x), jnp.asarray(c)))
+    np.testing.assert_allclose(b, a[:, sel], rtol=0, atol=1e-12 * np.abs(a).max())
