@@ -31,6 +31,7 @@ for types 1 and 3):  f(s) = sum_j c_j exp(+i s . x_j).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -398,6 +399,137 @@ def pick_strip_width(nfx: int, target: int = 128) -> int:
     return best
 
 
+class _TiledInterp:
+    """Host-planned, gather-free 2D tap interpolation.
+
+    The naive tap evaluation gathers G at (m, w, w) index pairs; TPU
+    gathers lower to per-element loops (~150 ns/element measured), making
+    that the hottest op of the whole type-3 pipeline. Everything about the
+    taps is static (targets are host data), so instead the targets are
+    binned into grid tiles AT PLAN TIME and each tile contracts a
+    contiguous dynamic-slice window of the (wrap-padded) grid with
+    host-built tap matrices -- MXU matmuls and VPU reductions only. The
+    final reordering back to target order is a static-index take, which
+    XLA compiles to plain copies.
+    """
+
+    def __init__(self, plan2d, sel=None, ity: int = 32, isx: int = 64):
+        ti0 = plan2d.tap_idx[0] if sel is None else plan2d.tap_idx[0][sel]
+        ti1 = plan2d.tap_idx[1] if sel is None else plan2d.tap_idx[1][sel]
+        tv0 = plan2d.tap_val[0] if sel is None else plan2d.tap_val[0][sel]
+        tv1 = plan2d.tap_val[1] if sel is None else plan2d.tap_val[1][sel]
+        nfy, nfx = plan2d.nf
+        w = plan2d.kernel.w
+        m = ti0.shape[0]
+        ity = min(ity, nfy)
+        isx = min(isx, nfx)
+
+        k0y = ti0[:, 0].astype(np.int64)  # window starts, already mod nf
+        k0x = ti1[:, 0].astype(np.int64)
+        tiy = k0y // ity
+        tix = k0x // isx
+        nty = -(-nfy // ity)
+        ntx = -(-nfx // isx)
+        tid = tiy * ntx + tix
+        order = np.argsort(tid, kind="stable")
+        tid_sorted = tid[order]
+        uniq, counts = np.unique(tid_sorted, return_counts=True)
+        T = uniq.size
+        P = int(counts.max()) if T else 1
+
+        self.w = w
+        self.m = m
+        self.T = T
+        self.P = P
+        self.ay = ity + w
+        self.ax = isx + w
+        self.nf = (int(nfy), int(nfx))
+        # Wrap-pad must cover the LAST tile's window, not just w: when
+        # nf % tile != 0 the final window ends at ntiles*tile + w > nf + w,
+        # and a clamped dynamic_slice would silently shift every offset.
+        self.pad_y = nty * ity + w - nfy
+        self.pad_x = ntx * isx + w - nfx
+        if self.pad_y > nfy or self.pad_x > nfx:
+            raise ValueError("interp tile larger than the grid period")
+        self.tile_y0 = (uniq // ntx * ity).astype(np.int32)
+        self.tile_x0 = (uniq % ntx * isx).astype(np.int32)
+        offy = np.zeros((T, P), dtype=np.int32)
+        offx = np.zeros((T, P), dtype=np.int32)
+        tvy = np.zeros((T, P, w), dtype=np.float64)
+        tvx = np.zeros((T, P, w), dtype=np.float64)
+        # Padding slots keep zero tap values -> contribute nothing.
+        pos_of_target = np.zeros(m, dtype=np.int64)
+        start = 0
+        for t in range(T):
+            c = counts[t]
+            js = order[start : start + c]
+            offy[t, :c] = k0y[js] - self.tile_y0[t]
+            offx[t, :c] = k0x[js] - self.tile_x0[t]
+            tvy[t, :c] = tv0[js]
+            tvx[t, :c] = tv1[js]
+            pos_of_target[js] = t * P + np.arange(c)
+            start += c
+        self.offy, self.offx, self.tvy, self.tvx = offy, offx, tvy, tvx
+        self.pos_of_target = pos_of_target.astype(np.int32)
+
+    def __call__(self, G):
+        """G: (C', nfy, nfx) complex -> (C', m) complex."""
+        import jax
+        import jax.numpy as jnp
+
+        nfy, nfx = self.nf
+        w, T, P, ay, ax = self.w, self.T, self.P, self.ay, self.ax
+        rdtype = jnp.finfo(G.dtype).dtype
+        C = G.shape[0]
+        # Real (re, im) planes: mixed complex x f32 einsums crash some
+        # experimental TPU runtimes, and real matmuls are faster anyway.
+        Gr = jnp.concatenate([jnp.real(G), jnp.imag(G)], axis=0)  # (2C,.,.)
+        # Wrap-pad so every tile window (through the last, possibly
+        # grid-overhanging tile) is contiguous.
+        Gr = jnp.concatenate([Gr, Gr[:, : self.pad_y, :]], axis=1)
+        Gr = jnp.concatenate([Gr, Gr[:, :, : self.pad_x]], axis=2)
+
+        iota_ay = jnp.arange(ay, dtype=jnp.int32)
+        iota_ax = jnp.arange(ax, dtype=jnp.int32)
+        tvy = jnp.asarray(self.tvy, dtype=rdtype)
+        tvx = jnp.asarray(self.tvx, dtype=rdtype)
+        offy = jnp.asarray(self.offy)
+        offx = jnp.asarray(self.offx)
+        y0s = jnp.asarray(self.tile_y0)
+        x0s = jnp.asarray(self.tile_x0)
+
+        def tile_body(_, t):
+            win = jax.lax.dynamic_slice(
+                Gr, (jnp.int32(0), y0s[t], x0s[t]), (2 * C, ay, ax)
+            )
+            # KY[p, a] = tvy[p, k] at a == offy[p] + k (static tap layout).
+            ky = jnp.zeros((P, ay), dtype=rdtype)
+            kx = jnp.zeros((P, ax), dtype=rdtype)
+            for k in range(w):
+                ky = ky + tvy[t, :, k, None] * (
+                    iota_ay[None, :] == (offy[t, :, None] + k)
+                )
+                kx = kx + tvx[t, :, k, None] * (
+                    iota_ax[None, :] == (offx[t, :, None] + k)
+                )
+            # (P, ay) @ (ay, 2C*ax) on the MXU, then a VPU tap reduction.
+            tmp = jax.lax.dot_general(
+                ky,
+                win.transpose(1, 0, 2).reshape(ay, 2 * C * ax),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=rdtype,
+            ).reshape(P, 2 * C, ax)
+            out_t = jnp.einsum("pcb,pb->cp", tmp, kx)  # (2C, P)
+            return None, out_t
+
+        _, outs = jax.lax.scan(
+            tile_body, None, jnp.arange(T, dtype=jnp.int32)
+        )  # (T, 2C, P)
+        flat = outs.transpose(1, 0, 2).reshape(2 * C, T * P)
+        res = flat[:, jnp.asarray(self.pos_of_target)]  # static take: copies
+        return (res[:C] + 1j * res[C:]).astype(G.dtype)
+
+
 class Type3Executor:
     """Split-phase type-3 execution for jitted pipelines.
 
@@ -415,6 +547,8 @@ class Type3Executor:
     def __init__(self, plan: Type3Plan):
         self.plan = plan
         self.strip_config: tuple[int, int] | None = None
+        self.tile_config: tuple[int, int, int] | None = None
+        self._interp_cache: dict = {}
 
     # Extra grid channels per weight channel (1 here; K for lowrank-z).
     channel_multiplier = 1
@@ -422,6 +556,15 @@ class Type3Executor:
     def fresh_copy(self):
         """New executor over the same (immutable) plan, no shared mutables."""
         return type(self)(self.plan)
+
+    def _tiled_interp(self, sel):
+        """Host-planned gather-free interpolation (cached per target set)."""
+        key = None if sel is None else hash(np.asarray(sel).tobytes())
+        ti = self._interp_cache.get(key)
+        if ti is None:
+            ti = _TiledInterp(self.plan, sel)
+            self._interp_cache[key] = ti
+        return ti
 
     def spread(self, x, c):
         """x: (d, n) source coords within the planned extent; c: (C, n)."""
@@ -447,7 +590,10 @@ class Type3Executor:
             jnp.mod(x[axis] / jnp.asarray(p.h[axis], dtype=rdtype), p.nf[axis])
             for axis in range(d)
         ]
-        return _spread_auto(u, wts, p.nf, w, beta, strip_config=self.strip_config)
+        return _spread_auto(
+            u, wts, p.nf, w, beta,
+            strip_config=self.strip_config, tile_config=self.tile_config,
+        )
 
     def transform(self, g):
         import jax.numpy as jnp
@@ -463,9 +609,21 @@ class Type3Executor:
 
     def interpolate(self, G, sel: np.ndarray | None = None):
         """Evaluate targets (optionally a static subset ``sel``) from G."""
+        import jax
         import jax.numpy as jnp
 
         p = self.plan
+        m_here = p.n_targets if sel is None else len(sel)
+        imode = os.environ.get("FFTVIS_INTERP", "auto")
+        if p.d == 2 and (
+            imode == "tiled"
+            or (
+                imode == "auto"
+                and jax.default_backend() == "tpu"
+                and m_here * p.kernel.w**2 > 32768
+            )
+        ):
+            return self._tiled_interp(sel)(G)
         rdtype = jnp.finfo(G.dtype).dtype
         ti = [t if sel is None else t[sel] for t in p.tap_idx]
         tv = [
@@ -517,6 +675,10 @@ class Type3LowrankZExecutor:
         self.zplan = zplan
         self.plan = zplan.plan2d
         self.strip_config: tuple[int, int] | None = None
+        self.tile_config: tuple[int, int, int] | None = None
+        self._interp_cache: dict = {}
+
+    _tiled_interp = Type3Executor._tiled_interp
 
     @property
     def channel_multiplier(self) -> int:
@@ -570,7 +732,8 @@ class Type3LowrankZExecutor:
             for axis in range(2)
         ]
         return _spread_auto(
-            u, wts_k, p2.nf, w, beta, strip_config=self.strip_config
+            u, wts_k, p2.nf, w, beta,
+            strip_config=self.strip_config, tile_config=self.tile_config,
         )
 
     def transform(self, g):
@@ -587,24 +750,35 @@ class Type3LowrankZExecutor:
 
     def interpolate(self, G, sel: np.ndarray | None = None):
         """(C*K, nf0, nf1) -> (C, m[sel]): 2D taps then z-mode contraction."""
+        import jax
         import jax.numpy as jnp
 
         p2 = self.plan
         zp = self.zplan
         rdtype = jnp.finfo(G.dtype).dtype
-        ti = [t if sel is None else t[sel] for t in p2.tap_idx]
-        tv = [
-            jnp.asarray(t if sel is None else t[sel], dtype=rdtype)
-            for t in p2.tap_val
-        ]
-        ti = [jnp.asarray(t) for t in ti]
-        sub = G[:, ti[0][:, :, None], ti[1][:, None, :]]
-        # Mixed complex x f32 einsums crash some experimental TPU runtimes
-        # (and complex constants cannot exist in the executable), so both
-        # the tap interpolation and the K-mode contraction run in real
-        # arithmetic on (re, im) planes.
-        o_re = jnp.einsum("cmab,ma,mb->cm", jnp.real(sub), tv[0], tv[1])
-        o_im = jnp.einsum("cmab,ma,mb->cm", jnp.imag(sub), tv[0], tv[1])
+        m_here = p2.n_targets if sel is None else len(sel)
+        imode = os.environ.get("FFTVIS_INTERP", "auto")
+        if imode == "tiled" or (
+            imode == "auto"
+            and jax.default_backend() == "tpu"
+            and m_here * p2.kernel.w**2 > 32768
+        ):
+            o = self._tiled_interp(sel)(G)  # (C*K, m)
+            o_re, o_im = jnp.real(o), jnp.imag(o)
+        else:
+            ti = [t if sel is None else t[sel] for t in p2.tap_idx]
+            tv = [
+                jnp.asarray(t if sel is None else t[sel], dtype=rdtype)
+                for t in p2.tap_val
+            ]
+            ti = [jnp.asarray(t) for t in ti]
+            sub = G[:, ti[0][:, :, None], ti[1][:, None, :]]
+            # Mixed complex x f32 einsums crash some experimental TPU
+            # runtimes (and complex constants cannot exist in the
+            # executable), so both the tap interpolation and the K-mode
+            # contraction run in real arithmetic on (re, im) planes.
+            o_re = jnp.einsum("cmab,ma,mb->cm", jnp.real(sub), tv[0], tv[1])
+            o_im = jnp.einsum("cmab,ma,mb->cm", jnp.imag(sub), tv[0], tv[1])
 
         g_host = zp.g if sel is None else zp.g[sel]
         gr = jnp.asarray(np.ascontiguousarray(g_host.real), dtype=rdtype)
@@ -645,7 +819,9 @@ def _forward_modes(g, nf):
 DENSE_GRID_LIMIT = 512 * 512
 
 
-def _spread_auto(u_list, weights, nf, w: int, beta: float, strip_config=None):
+def _spread_auto(
+    u_list, weights, nf, w: int, beta: float, strip_config=None, tile_config=None
+):
     """Spreading dispatch, trace-time static.
 
     XLA's scatter-add lowers to a sequential per-index loop on TPU, which is
@@ -654,9 +830,11 @@ def _spread_auto(u_list, weights, nf, w: int, beta: float, strip_config=None):
     (:func:`_spread_dense_matmul`) -- the ES kernel is zero outside its
     support, so the dense outer-product formulation is exact, handles both
     periodic wraps through periodic distances, and rides the systolic array.
-    Large grids route through the strip-binned variant when the planner
-    supplied a per-strip capacity bound. CPU keeps the cheap scatter.
-    Override with FFTVIS_SPREADER={auto,scatter,dense,strip,pallas-interpret}.
+    Large grids route through the (y, x) tile-binned variant when the
+    planner supplied a per-tile capacity bound (the strip form is its
+    dense-in-y predecessor, kept for comparison). CPU keeps the cheap
+    scatter. Override with
+    FFTVIS_SPREADER={auto,scatter,dense,strip,tiled,pallas-interpret}.
     """
     import os
 
@@ -670,18 +848,22 @@ def _spread_auto(u_list, weights, nf, w: int, beta: float, strip_config=None):
         return spread_pallas_2d(u_list, weights, nf, w, beta, interpret=True)
     if mode == "strip" and d == 2 and strip_config is not None:
         return _spread_strip_matmul(u_list, weights, nf, w, beta, *strip_config)
+    if mode == "tiled" and d == 2 and tile_config is not None:
+        return _spread_tiled_matmul(u_list, weights, nf, w, beta, *tile_config)
     if mode == "dense" and d == 2:
         return _spread_dense_matmul(u_list, weights, nf, w, beta)
     if mode == "ztaps" and d == 3:
         return _spread_3d_ztaps(u_list, weights, nf, w, beta)
     if mode == "auto" and d == 2 and jax.default_backend() == "tpu":
+        if tile_config is not None and int(np.prod(nf)) > DENSE_GRID_LIMIT:
+            return _spread_tiled_matmul(u_list, weights, nf, w, beta, *tile_config)
         if strip_config is not None and int(np.prod(nf)) > DENSE_GRID_LIMIT:
             return _spread_strip_matmul(u_list, weights, nf, w, beta, *strip_config)
         return _spread_dense_matmul(u_list, weights, nf, w, beta)
     if mode == "auto" and d == 3 and jax.default_backend() == "tpu":
         # XLA scatter serializes on TPU; the z-tap scan is exact and dense.
-        # (The engine's FLOP model prefers the direct path for 3D unless
-        # explicitly overridden, so this branch is rarely reached.)
+        # (The engine routes 3D through the lowrank-z 2D factorization, so
+        # this branch is only reached via the public make_type3_fn API.)
         return _spread_3d_ztaps(u_list, weights, nf, w, beta)
     return _spread_scatter(u_list, weights, nf, w, beta)
 
@@ -821,6 +1003,192 @@ def _spread_3d_ztaps(u_list, weights, nf, w: int, beta: float):
 
     _, planes = jax.lax.scan(plane, None, jnp.arange(nf2))
     return jnp.moveaxis(planes, 0, -1)  # (C, nf0, nf1, nf2)
+
+
+def pick_tile_shape(nf, w: int, c2: int):
+    """(TY, SX) tile shape for the 2D tiled spreader.
+
+    The per-tile matmul is (TYW, P) @ (P, c2 * XW) with TYW = TY + w + 2
+    rounded to the 8-sublane grain and XW = SX + w + 2; smaller tiles track
+    clustered source densities better (lower per-tile capacity slack) at
+    the price of a larger halo fraction. Override with FFTVIS_TILE=ty,sx
+    for experiments.
+    """
+    import os
+
+    env = os.environ.get("FFTVIS_TILE")
+    if env:
+        ty, sx = (int(v) for v in env.split(","))
+        return ty, sx
+    nfy, nfx = int(nf[0]), int(nf[1])
+    ty = 32 if nfy >= 64 else max(8, nfy)
+    # Keep the lane extent of one channel plane near 128.
+    sx = max(16, min(128 - w - 2, nfx))
+    return ty, sx
+
+
+def _spread_tiled_matmul(
+    u_list,
+    weights,
+    nf,
+    w: int,
+    beta: float,
+    ty: int,
+    sx: int,
+    capacity: int,
+):
+    """2D ES spreading via (y, x) tile binning + per-tile MXU matmuls.
+
+    Generalizes :func:`_spread_strip_matmul` (x strips, dense in y) by also
+    binning the y axis: each source is assigned to one (TY, SX) tile of the
+    grid by its coordinates, and the tile's (TYW, P) @ (P, c2*XW) matmul
+    covers every assigned source's full kernel patch (TYW = TY + w + 2
+    rounded to the sublane grain, XW = SX + w + 2). Work per source drops
+    from nfy * XW (strip) to TYW * XW -- the decisive factor for large
+    type-3 grids, where the strip form is ~nfy/TYW = 10-40x more FLOPs.
+
+    ``capacity`` bounds the source count of ANY tile (engine-derived from
+    the exactly-known rotated coordinates, like the strip bound). Edge and
+    periodic wraps are handled by padding the grid on all sides and folding
+    the pads back at the end.
+    """
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    nfy, nfx = int(nf[0]), int(nf[1])
+    C, n = weights.shape
+    c2 = 2 * C
+    rdtype = jnp.finfo(jnp.result_type(weights, 0.0)).dtype
+    uy = u_list[0].astype(rdtype)
+    ux = u_list[1].astype(rdtype)
+
+    m = w // 2 + 2  # kernel halo + rounding slack per side
+    nty = -(-nfy // ty)
+    ntx = -(-nfx // sx)
+    ntiles = nty * ntx
+    P = int(capacity)
+    tyw = -(-(ty + 2 * m) // 8) * 8  # sublane-grain row window
+    xw = sx + 2 * m
+
+    # Padded grid extents: halo m below/left, and above/right whatever the
+    # last tile's window reaches ((n-1) full tiles + one window).
+    pad_y_hi = max((nty - 1) * ty + tyw - m - nfy, 0)
+    pad_x_hi = max((ntx - 1) * sx + xw - m - nfx, 0)
+    if pad_y_hi > nfy or pad_x_hi > nfx or m > nfy or m > nfx:
+        # Pads would wrap more than one period: grid too small for tiling.
+        return _spread_dense_matmul(u_list, weights, nf, w, beta)
+    gy = nfy + m + pad_y_hi
+    gx = nfx + m + pad_x_hi
+
+    tiy = jnp.clip((uy // ty).astype(jnp.int32), 0, nty - 1)
+    tix = jnp.clip((ux // sx).astype(jnp.int32), 0, ntx - 1)
+    tid = tiy * ntx + tix
+
+    # Bin-sort with the payload PACKED into wide rows. TPU gathers lower to
+    # per-element loops, so per-tile index gathers (uy[idx], vals[:, idx])
+    # dominate everything else by 10x+ (measured); instead sort once, apply
+    # the permutation as ONE row-gather of a (n, D) matrix (wide rows
+    # amortize the gather), and slice each tile's sources CONTIGUOUSLY.
+    vals = jnp.concatenate(
+        [jnp.real(weights), jnp.imag(weights)], axis=0
+    ).astype(rdtype)  # (c2, n)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    tid_sorted, perm = jax.lax.sort((tid, iota), num_keys=1)
+    packed = jnp.concatenate([uy[None], ux[None], vals], axis=0).T  # (n, D)
+    packed_sorted = jnp.take(packed, perm, axis=0)
+    # Pad P zero rows so per-tile dynamic slices never clamp near the end.
+    packed_sorted = jnp.concatenate(
+        [packed_sorted, jnp.zeros((P, packed.shape[1]), dtype=rdtype)], axis=0
+    )
+    starts = jnp.searchsorted(tid_sorted, jnp.arange(ntiles, dtype=jnp.int32))
+    ends = jnp.searchsorted(
+        tid_sorted, jnp.arange(1, ntiles + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)
+    starts = starts.astype(jnp.int32)
+
+    if os.environ.get("FFTVIS_DEBUG"):
+
+        def _check_capacity(maxcount, cap=P):
+            if int(maxcount) > cap:
+                raise RuntimeError(
+                    f"tiled spreader capacity overflow: a tile holds "
+                    f"{int(maxcount)} sources > capacity {cap}; "
+                    f"sources were dropped"
+                )
+
+        jax.debug.callback(_check_capacity, (ends - starts).max())
+
+    rows_rel = jnp.arange(tyw, dtype=rdtype)
+    cols_rel = jnp.arange(xw, dtype=rdtype)
+    lane = jnp.arange(P, dtype=jnp.int32)
+
+    def tile_body(grid, t_inp):
+        t, s0, e0 = t_inp
+        y0 = (t // ntx) * ty - m  # window origin (absolute rows, signed)
+        x0 = (t % ntx) * sx - m
+        sl = jax.lax.dynamic_slice(
+            packed_sorted, (s0, jnp.int32(0)), (P, packed.shape[1])
+        )  # (P, D) contiguous
+        live = ((s0 + lane) < e0).astype(rdtype)  # (P,)
+        uy_t = sl[:, 0]
+        ux_t = sl[:, 1]
+        v_t = sl[:, 2:].T * live[None, :]  # (c2, P)
+
+        ky = es_kernel_grid(
+            (rows_rel[:, None] + y0.astype(rdtype)) - uy_t[None, :], w, beta,
+            xp=jnp,
+        )  # (tyw, P)
+        # Kill padding/overflow columns in ky too: zero coordinates can
+        # otherwise alias onto real grid rows when y0 is near the origin.
+        ky = ky * live[None, :]
+        kx = es_kernel_grid(
+            (cols_rel[None, :] + x0.astype(rdtype)) - ux_t[:, None], w, beta,
+            xp=jnp,
+        )  # (P, xw)
+
+        rhs = (kx[:, None, :] * v_t.T[:, :, None]).reshape(P, c2 * xw)
+        patch = (ky @ rhs).reshape(tyw, c2, xw)
+
+        ys = (y0 + m).astype(jnp.int32)  # padded-grid offsets, >= 0
+        xs = (x0 + m).astype(jnp.int32)
+        cur = jax.lax.dynamic_slice(grid, (ys, jnp.int32(0), xs), (tyw, c2, xw))
+        return (
+            jax.lax.dynamic_update_slice(grid, cur + patch, (ys, jnp.int32(0), xs)),
+            None,
+        )
+
+    grid0 = jnp.zeros((gy, c2, gx), dtype=rdtype)
+    grid, _ = jax.lax.scan(
+        tile_body,
+        grid0,
+        (jnp.arange(ntiles, dtype=jnp.int32), starts, ends),
+    )
+
+    # Fold pads back periodically (single wrap: pads are < one period).
+    core = grid[m : m + nfy, :, m : m + nfx]
+    # y: low pad rows [0, m) belong to rows nfy-m..; high pad to rows 0..
+    core = core.at[nfy - m :, :, :].add(grid[:m, :, m : m + nfx])
+    hi_y = grid[m + nfy :, :, m : m + nfx]
+    core = core.at[: hi_y.shape[0], :, :].add(hi_y)
+    # x folds (using y-folded pads would double-count; fold x pads over the
+    # full padded y extent first, then fold y of the x-pads separately).
+    left_x = grid[:, :, :m]
+    right_x = grid[:, :, m + nfx :]
+    lx = left_x[m : m + nfy]
+    lx = lx.at[nfy - m :].add(left_x[:m])
+    lx_hi = left_x[m + nfy :]
+    lx = lx.at[: lx_hi.shape[0]].add(lx_hi)
+    rx = right_x[m : m + nfy]
+    rx = rx.at[nfy - m :].add(right_x[:m])
+    rx_hi = right_x[m + nfy :]
+    rx = rx.at[: rx_hi.shape[0]].add(rx_hi)
+    core = core.at[:, :, nfx - m :].add(lx)
+    core = core.at[:, :, : rx.shape[2]].add(rx)
+
+    out = core.transpose(1, 0, 2)  # (c2, nfy, nfx)
+    return (out[:C] + 1j * out[C:]).astype(weights.dtype)
 
 
 def _spread_dense_matmul(u_list, weights, nf, w: int, beta: float):

@@ -32,6 +32,7 @@ Three transform paths, chosen per simulation by a FLOP model:
 from __future__ import annotations
 
 import logging
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -725,6 +726,11 @@ class TPUSimulationEngine(SimulationEngine):
                 _plan_fingerprint(exec_plan),
                 _zplan_fingerprint(plan.executor),
                 getattr(plan.executor, "strip_config", None),
+                getattr(plan.executor, "tile_config", None),
+                # Trace-time env switches bake the spread/interp lowering
+                # into the program; they must key the cache too.
+                os.environ.get("FFTVIS_SPREADER", "auto"),
+                os.environ.get("FFTVIS_INTERP", "auto"),
                 freq_vmap,
                 freqs_dev,
                 () if not use_basis else (tuple(kl_pairs), coefs_host, ant1_dev, ant2_dev),
@@ -813,19 +819,25 @@ class TPUSimulationEngine(SimulationEngine):
 
     # ------------------------------------------------------------------
     def _configure_strip_spreader(self, plan, rot, freqs) -> None:
-        """Set (strip, capacity) on a type-3 executor when the grid is large.
+        """Set binned-spreader capacities on a type-3 executor (large grids).
 
-        The capacity is a rigorous bound: the maximum number of sources in
-        ANY window of one strip's width (at the widest, lowest-frequency
-        scaling), computed per time from the same rotation chain the device
-        uses -- alignment-independent, so fp32 jitter at strip edges cannot
-        exceed it.
+        Default: the (y, x) tiled spreader; FFTVIS_SPREADER=strip selects
+        the legacy dense-in-y strip form. Capacities are rigorous bounds:
+        the maximum number of sources in ANY window of one tile/strip's
+        physical size (at the widest, lowest-frequency scaling), computed
+        per time from the same rotation chain the device uses --
+        alignment-independent, so fp32 jitter at tile edges cannot exceed
+        them.
         """
         import os
 
         import jax as _jax
 
-        from ..nufft.transform import DENSE_GRID_LIMIT, pick_strip_width
+        from ..nufft.transform import (
+            DENSE_GRID_LIMIT,
+            pick_strip_width,
+            pick_tile_shape,
+        )
 
         if plan.mode != "type3" or plan.executor is None:
             return
@@ -840,34 +852,69 @@ class TPUSimulationEngine(SimulationEngine):
         if eplan.d != 2:
             plan.executor.strip_config = None
             return
-        forced = os.environ.get("FFTVIS_SPREADER") == "strip"
-        wanted = forced or (
+        mode_env = os.environ.get("FFTVIS_SPREADER", "auto")
+        wanted = mode_env in ("strip", "tiled") or (
             _jax.default_backend() == "tpu"
             and int(np.prod(eplan.nf)) > DENSE_GRID_LIMIT
         )
         if not wanted:
             plan.executor.strip_config = None
+            plan.executor.tile_config = None
             return
 
-        strip = pick_strip_width(eplan.nf[1])
         scale_min = TWO_PI * float(np.min(freqs)) / speed_of_light
-        width_hat = strip * eplan.h[1] / scale_min * 1.05
-
-        cap = 0
-        for t in range(rot.ntimes):
-            topo = rot.matrices[t] @ rot.eq_vectors  # (3, nsrc) float64
-            y = (plan.rotation_matrix @ topo)[1]
-            ys = np.sort(y)
-            hi = np.searchsorted(ys, ys + width_hat, side="right")
-            cap = max(cap, int((hi - np.arange(ys.size)).max()))
         # Padding sources land at one fixed location; account for them.
         # Each spread call sees one source BLOCK, so the block size caps it.
         pad_sources = max(plan.nsrc_pad - rot.nsrc, 0)
+
+        if mode_env == "strip":
+            # Legacy dense-in-y strip form (kept for comparison): 1D
+            # sliding-window capacity over the axis-1 coordinates.
+            strip = pick_strip_width(eplan.nf[1])
+            width_hat = strip * eplan.h[1] / scale_min * 1.05
+            cap = 0
+            for t in range(rot.ntimes):
+                topo = rot.matrices[t] @ rot.eq_vectors  # (3, nsrc) float64
+                y = (plan.rotation_matrix @ topo)[1]
+                ys = np.sort(y)
+                hi = np.searchsorted(ys, ys + width_hat, side="right")
+                cap = max(cap, int((hi - np.arange(ys.size)).max()))
+            cap = max(16, min(cap + pad_sources + 16, plan.block))
+            plan.executor.strip_config = (strip, cap)
+            logger.info(
+                "type-3 strip spreader: strip=%d capacity=%d (nf=%s)",
+                strip, cap, eplan.nf,
+            )
+            return
+
+        # Tiled spreader (the production large-grid path): 2D sliding-window
+        # capacity via a half-window histogram -- any aligned (wy, wx) tile
+        # is covered by a 3x3 block of half-window bins, so the max 3x3 sum
+        # is a rigorous, alignment- and frequency-scaling-independent bound.
+        ty, sx = pick_tile_shape(eplan.nf, eplan.kernel.w, 2)
+        wy = ty * eplan.h[0] / scale_min * 1.05
+        wx = sx * eplan.h[1] / scale_min * 1.05
+        cap = 0
+        for t in range(rot.ntimes):
+            topo = rot.matrices[t] @ rot.eq_vectors  # (3, nsrc) float64
+            xr = plan.rotation_matrix @ topo
+            by = np.floor(xr[0] / (wy / 2)).astype(np.int64)
+            bx = np.floor(xr[1] / (wx / 2)).astype(np.int64)
+            by -= by.min()
+            bx -= bx.min()
+            H = np.zeros((int(by.max()) + 3, int(bx.max()) + 3), dtype=np.int64)
+            np.add.at(H, (by, bx), 1)
+            S = (
+                H[:-2, :-2] + H[:-2, 1:-1] + H[:-2, 2:]
+                + H[1:-1, :-2] + H[1:-1, 1:-1] + H[1:-1, 2:]
+                + H[2:, :-2] + H[2:, 1:-1] + H[2:, 2:]
+            )
+            cap = max(cap, int(S.max()))
         cap = max(16, min(cap + pad_sources + 16, plan.block))
-        plan.executor.strip_config = (strip, cap)
+        plan.executor.tile_config = (ty, sx, cap)
         logger.info(
-            "type-3 strip spreader: strip=%d capacity=%d (nf=%s)",
-            strip, cap, eplan.nf,
+            "type-3 tiled spreader: tile=(%d, %d) capacity=%d (nf=%s)",
+            ty, sx, cap, eplan.nf,
         )
 
     def _plan_transform(
@@ -976,15 +1023,19 @@ class TPUSimulationEngine(SimulationEngine):
         C = max(1, npairs * nfeeds**2)
         on_tpu = _jax.default_backend() == "tpu"
         if on_tpu:
-            # MXU spread: dense for small grids, strip-binned beyond
-            # DENSE_GRID_LIMIT (x extent of each product capped near the
-            # strip width). The MXU's algebraic-intensity advantage over
-            # elementwise work is folded into the unit constant.
-            from ..nufft.transform import DENSE_GRID_LIMIT
+            # MXU spread: dense for small grids, (y, x) tile-binned beyond
+            # DENSE_GRID_LIMIT (each source's work is one tile window, not
+            # a grid row). The factor 2 approximates tile-occupancy slack
+            # (capacity x ntiles / nsrc); the MXU's algebraic-intensity
+            # advantage over elementwise work is folded into the constant.
+            from ..nufft.transform import DENSE_GRID_LIMIT, pick_tile_shape
 
             nfy, nfx = probe.nf
             if nfy * nfx > DENSE_GRID_LIMIT:
-                per_mode = 1.0 * nsrc * nfy * min(nfx, 192)
+                ty, sx = pick_tile_shape(probe.nf, w, 2)
+                m2 = 2 * (w // 2 + 2)
+                tyw = -(-(ty + m2) // 8) * 8
+                per_mode = 2.0 * nsrc * tyw * (sx + m2)
             else:
                 per_mode = 1.0 * nsrc * float(nfy * nfx)
         else:

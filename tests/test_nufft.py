@@ -308,3 +308,130 @@ def test_type3_lowrank_z_executor_subset():
     a = np.asarray(jax.jit(full)(jnp.asarray(x), jnp.asarray(c)))
     b = np.asarray(jax.jit(subset)(jnp.asarray(x), jnp.asarray(c)))
     np.testing.assert_allclose(b, a[:, sel], rtol=0, atol=1e-12 * np.abs(a).max())
+
+
+@pytest.mark.parametrize(
+    "nf,n,C", [((64, 120), 700, 2), ((256, 384), 3000, 1), ((640, 1200), 9000, 2)]
+)
+def test_tiled_spreader_matches_scatter(nf, n, C):
+    """The (y, x) tile-binned MXU spreader == scatter reference exactly.
+
+    This is the production large-grid spread path (work per source is one
+    tile window instead of a full grid row; supersedes the strip form).
+    """
+    from fftvis_tpu.nufft.kernels import ESKernel
+    from fftvis_tpu.nufft.transform import (
+        _spread_scatter,
+        _spread_tiled_matmul,
+        pick_tile_shape,
+    )
+
+    rng = np.random.default_rng(31)
+    k = ESKernel.from_eps(1e-9, 2.0)
+    uy = jnp.asarray(rng.uniform(0, nf[0], n))
+    ux = jnp.asarray(rng.uniform(0, nf[1], n))
+    c = jnp.asarray(rng.normal(size=(C, n)) + 1j * rng.normal(size=(C, n)))
+    ty, sx = pick_tile_shape(nf, k.w, 2 * C)
+    nty, ntx = -(-nf[0] // ty), -(-nf[1] // sx)
+    tid = (
+        np.clip(np.asarray(uy) // ty, 0, nty - 1) * ntx
+        + np.clip(np.asarray(ux) // sx, 0, ntx - 1)
+    ).astype(int)
+    cap = int(np.bincount(tid, minlength=nty * ntx).max())
+    a = np.asarray(_spread_scatter([uy, ux], c, nf, k.w, k.beta))
+    b = np.asarray(
+        _spread_tiled_matmul([uy, ux], c, nf, k.w, k.beta, ty, sx, cap)
+    )
+    np.testing.assert_allclose(b, a, atol=1e-12 * np.abs(a).max(), rtol=0)
+
+
+def test_tiled_spreader_engine_path(monkeypatch):
+    """Engine end-to-end with the tiled spreader forced == direct oracle."""
+    from fftvis_tpu import TelescopeLocation, simulate_vis
+    from fftvis_tpu.beams import GaussianBeam
+
+    monkeypatch.setenv("FFTVIS_SPREADER", "tiled")
+    rng = np.random.default_rng(32)
+    loc = TelescopeLocation(np.deg2rad(-30.7), np.deg2rad(21.4), 1000.0)
+    nsrc = 120
+    kw = dict(
+        ants={i: np.array([*rng.uniform(-80, 80, 2), 0.0]) for i in range(8)},
+        fluxes=rng.uniform(0.1, 1, (nsrc, 2)),
+        ra=rng.uniform(0, 2 * np.pi, nsrc),
+        dec=np.clip(loc.lat + rng.normal(0, 0.4, nsrc), -np.pi / 2, np.pi / 2),
+        freqs=np.linspace(1e8, 1.2e8, 2),
+        times=2459863.2 + np.linspace(0, 0.01, 2),
+        beam=GaussianBeam(diameter=12.0),
+        telescope_loc=loc,
+        precision=2,
+        force_use_type3=True,
+    )
+    got = simulate_vis(**kw)
+    want = simulate_vis(backend="direct", **kw)
+    np.testing.assert_allclose(
+        got, want, atol=1e-10 * np.abs(want).max(), rtol=0
+    )
+
+
+@pytest.mark.parametrize("ity,isx", [(32, 64), (48, 80), (128, 128)])
+def test_tiled_interp_matches_gather(ity, isx):
+    """Host-planned tiled interpolation == the tap-gather formula.
+
+    Includes tile sizes that do NOT divide the grid (the last tile's
+    window overhangs the period and must be covered by the wrap pad --
+    regression for a clamped-dynamic-slice offset bug), plus subset
+    selection (the per-pair routing path).
+    """
+    import jax
+
+    from fftvis_tpu.nufft.transform import _TiledInterp, plan_type3
+
+    rng = np.random.default_rng(41)
+    m = 900
+    s = np.stack([rng.uniform(-60, 60, m), rng.uniform(-25, 60, m)])
+    plan = plan_type3(s, [np.pi, np.pi], eps=1e-9)
+    nfy, nfx = plan.nf
+    C = 2
+    G = jnp.asarray(
+        rng.normal(size=(C, nfy, nfx)) + 1j * rng.normal(size=(C, nfy, nfx))
+    )
+    ti = [jnp.asarray(t) for t in plan.tap_idx]
+    tv = [jnp.asarray(t) for t in plan.tap_val]
+    sub = G[:, ti[0][:, :, None], ti[1][:, None, :]]
+    want = np.asarray(jnp.einsum("cmab,ma,mb->cm", sub, tv[0], tv[1]))
+    got = np.asarray(jax.jit(_TiledInterp(plan, ity=ity, isx=isx))(G))
+    np.testing.assert_allclose(got, want, atol=1e-13 * np.abs(want).max(), rtol=0)
+
+    sel = np.sort(rng.choice(m, size=m // 4, replace=False))
+    got_s = np.asarray(jax.jit(_TiledInterp(plan, sel, ity=ity, isx=isx))(G))
+    np.testing.assert_allclose(
+        got_s, want[:, sel], atol=1e-13 * np.abs(want).max(), rtol=0
+    )
+
+
+def test_tiled_interp_engine_path(monkeypatch):
+    """Engine end-to-end with tiled interpolation forced == direct oracle."""
+    from fftvis_tpu import TelescopeLocation, simulate_vis
+    from fftvis_tpu.beams import GaussianBeam
+
+    monkeypatch.setenv("FFTVIS_INTERP", "tiled")
+    rng = np.random.default_rng(42)
+    loc = TelescopeLocation(np.deg2rad(-30.7), np.deg2rad(21.4), 1000.0)
+    nsrc = 150
+    kw = dict(
+        ants={i: np.array([*rng.uniform(-80, 80, 2), 0.0]) for i in range(7)},
+        fluxes=rng.uniform(0.1, 1, (nsrc, 2)),
+        ra=rng.uniform(0, 2 * np.pi, nsrc),
+        dec=np.clip(loc.lat + rng.normal(0, 0.4, nsrc), -np.pi / 2, np.pi / 2),
+        freqs=np.linspace(1e8, 1.2e8, 2),
+        times=2459863.2 + np.linspace(0, 0.01, 3),
+        beam=GaussianBeam(diameter=12.0),
+        telescope_loc=loc,
+        precision=2,
+        force_use_type3=True,
+    )
+    got = simulate_vis(**kw)
+    want = simulate_vis(backend="direct", **kw)
+    np.testing.assert_allclose(
+        got, want, atol=1e-10 * np.abs(want).max(), rtol=0
+    )
