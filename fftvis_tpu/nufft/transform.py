@@ -834,7 +834,12 @@ def _spread_auto(
     planner supplied a per-tile capacity bound (the strip form is its
     dense-in-y predecessor, kept for comparison). CPU keeps the cheap
     scatter. Override with
-    FFTVIS_SPREADER={auto,scatter,dense,strip,tiled,pallas-interpret}.
+    FFTVIS_SPREADER={auto,scatter,dense,strip,tiled}.
+
+    (A per-source Pallas kernel was evaluated and retired: its rank-1 VPU
+    patch updates cost n * grid-area work, while TPU dynamic gathers run
+    ~150 ns/element -- the measured winner is the bin-sorted tile-matmul
+    form here, which keeps everything on the MXU with contiguous slices.)
     """
     import os
 
@@ -842,10 +847,6 @@ def _spread_auto(
 
     mode = os.environ.get("FFTVIS_SPREADER", "auto")
     d = len(u_list)
-    if mode == "pallas-interpret" and d == 2:
-        from .pallas_spread import spread_pallas_2d
-
-        return spread_pallas_2d(u_list, weights, nf, w, beta, interpret=True)
     if mode == "strip" and d == 2 and strip_config is not None:
         return _spread_strip_matmul(u_list, weights, nf, w, beta, *strip_config)
     if mode == "tiled" and d == 2 and tile_config is not None:
@@ -1021,9 +1022,10 @@ def pick_tile_shape(nf, w: int, c2: int):
         ty, sx = (int(v) for v in env.split(","))
         return ty, sx
     nfy, nfx = int(nf[0]), int(nf[1])
-    ty = 32 if nfy >= 64 else max(8, nfy)
-    # Keep the lane extent of one channel plane near 128.
-    sx = max(16, min(128 - w - 2, nfx))
+    ty = 24 if nfy >= 64 else max(8, nfy)
+    # Wider x tiles amortize per-step dispatch; hardware-tuned on the
+    # hex-169 / 49k-source workload (59 ms vs 68 ms at sx ~ 118).
+    sx = max(16, min(248 - w - 2, nfx))
     return ty, sx
 
 
@@ -1072,15 +1074,16 @@ def _spread_tiled_matmul(
     tyw = -(-(ty + 2 * m) // 8) * 8  # sublane-grain row window
     xw = sx + 2 * m
 
-    # Padded grid extents: halo m below/left, and above/right whatever the
-    # last tile's window reaches ((n-1) full tiles + one window).
-    pad_y_hi = max((nty - 1) * ty + tyw - m - nfy, 0)
-    pad_x_hi = max((ntx - 1) * sx + xw - m - nfx, 0)
+    # Assembled frame: all tiles plus an m halo on every side. Row r of the
+    # grid lives at frame index r + m.
+    hw = ty + 2 * m  # nonzero window height (kernel support; tyw is padded)
+    gy = nty * ty + 2 * m
+    gx = ntx * sx + 2 * m
+    pad_y_hi = gy - m - nfy
+    pad_x_hi = gx - m - nfx
     if pad_y_hi > nfy or pad_x_hi > nfx or m > nfy or m > nfx:
         # Pads would wrap more than one period: grid too small for tiling.
         return _spread_dense_matmul(u_list, weights, nf, w, beta)
-    gy = nfy + m + pad_y_hi
-    gx = nfx + m + pad_x_hi
 
     tiy = jnp.clip((uy // ty).astype(jnp.int32), 0, nty - 1)
     tix = jnp.clip((ux // sx).astype(jnp.int32), 0, ntx - 1)
@@ -1124,7 +1127,7 @@ def _spread_tiled_matmul(
     cols_rel = jnp.arange(xw, dtype=rdtype)
     lane = jnp.arange(P, dtype=jnp.int32)
 
-    def tile_body(grid, t_inp):
+    def tile_body(_, t_inp):
         t, s0, e0 = t_inp
         y0 = (t // ntx) * ty - m  # window origin (absolute rows, signed)
         x0 = (t % ntx) * sx - m
@@ -1150,45 +1153,68 @@ def _spread_tiled_matmul(
 
         rhs = (kx[:, None, :] * v_t.T[:, :, None]).reshape(P, c2 * xw)
         patch = (ky @ rhs).reshape(tyw, c2, xw)
+        # Rows beyond the kernel-support window are identically zero
+        # (tyw is only sublane-rounded); drop them for the assembly.
+        return None, patch[:hw]
 
-        ys = (y0 + m).astype(jnp.int32)  # padded-grid offsets, >= 0
-        xs = (x0 + m).astype(jnp.int32)
-        cur = jax.lax.dynamic_slice(grid, (ys, jnp.int32(0), xs), (tyw, c2, xw))
-        return (
-            jax.lax.dynamic_update_slice(grid, cur + patch, (ys, jnp.int32(0), xs)),
-            None,
-        )
-
-    grid0 = jnp.zeros((gy, c2, gx), dtype=rdtype)
-    grid, _ = jax.lax.scan(
+    _, patches = jax.lax.scan(
         tile_body,
-        grid0,
+        None,
         (jnp.arange(ntiles, dtype=jnp.int32), starts, ends),
-    )
+    )  # (ntiles, hw, c2, xw)
+    patches = patches.reshape(nty, ntx, hw, c2, xw)
+
+    # Overlap-add assembly. A scan-carried dynamic-update-slice accumulator
+    # forces XLA to copy the whole grid every step (no in-place update for
+    # a batched carry); instead the regular tile lattice lets each of the
+    # 3x3 (core/halo) segment sets be placed DISJOINTLY by pad+reshape and
+    # summed -- pure dense ops, no scatter, no dynamic updates.
+    segs_y = ((0, m, 0), (m, ty, m), (m + ty, m, ty + m))  # (src, h, dst)
+    segs_x = ((0, m, 0), (m, sx, m), (m + sx, m, sx + m))
+    grid = jnp.zeros((c2, gy, gx), dtype=rdtype)
+    for sy, hy, oy in segs_y:
+        for sxo, hx, ox in segs_x:
+            seg = patches[:, :, sy : sy + hy, :, sxo : sxo + hx]
+            seg = seg.transpose(3, 0, 2, 1, 4)  # (c2, nty, hy, ntx, hx)
+            seg = jnp.pad(
+                seg, ((0, 0), (0, 0), (0, ty - hy), (0, 0), (0, sx - hx))
+            )
+            seg = seg.reshape(c2, nty * ty, ntx * sx)
+            # The last tile's zero padding may overhang the frame; the
+            # content itself always fits. Trim zeros, then place.
+            seg = seg[:, : min(nty * ty, gy - oy), : min(ntx * sx, gx - ox)]
+            seg = jnp.pad(
+                seg,
+                (
+                    (0, 0),
+                    (oy, gy - oy - seg.shape[1]),
+                    (ox, gx - ox - seg.shape[2]),
+                ),
+            )
+            grid = grid + seg
 
     # Fold pads back periodically (single wrap: pads are < one period).
-    core = grid[m : m + nfy, :, m : m + nfx]
+    core = grid[:, m : m + nfy, m : m + nfx]
     # y: low pad rows [0, m) belong to rows nfy-m..; high pad to rows 0..
-    core = core.at[nfy - m :, :, :].add(grid[:m, :, m : m + nfx])
-    hi_y = grid[m + nfy :, :, m : m + nfx]
-    core = core.at[: hi_y.shape[0], :, :].add(hi_y)
+    core = core.at[:, nfy - m :, :].add(grid[:, :m, m : m + nfx])
+    hi_y = grid[:, m + nfy :, m : m + nfx]
+    core = core.at[:, : hi_y.shape[1], :].add(hi_y)
     # x folds (using y-folded pads would double-count; fold x pads over the
     # full padded y extent first, then fold y of the x-pads separately).
     left_x = grid[:, :, :m]
     right_x = grid[:, :, m + nfx :]
-    lx = left_x[m : m + nfy]
-    lx = lx.at[nfy - m :].add(left_x[:m])
-    lx_hi = left_x[m + nfy :]
-    lx = lx.at[: lx_hi.shape[0]].add(lx_hi)
-    rx = right_x[m : m + nfy]
-    rx = rx.at[nfy - m :].add(right_x[:m])
-    rx_hi = right_x[m + nfy :]
-    rx = rx.at[: rx_hi.shape[0]].add(rx_hi)
+    lx = left_x[:, m : m + nfy]
+    lx = lx.at[:, nfy - m :].add(left_x[:, :m])
+    lx_hi = left_x[:, m + nfy :]
+    lx = lx.at[:, : lx_hi.shape[1]].add(lx_hi)
+    rx = right_x[:, m : m + nfy]
+    rx = rx.at[:, nfy - m :].add(right_x[:, :m])
+    rx_hi = right_x[:, m + nfy :]
+    rx = rx.at[:, : rx_hi.shape[1]].add(rx_hi)
     core = core.at[:, :, nfx - m :].add(lx)
     core = core.at[:, :, : rx.shape[2]].add(rx)
 
-    out = core.transpose(1, 0, 2)  # (c2, nfy, nfx)
-    return (out[:C] + 1j * out[C:]).astype(weights.dtype)
+    return (core[:C] + 1j * core[C:]).astype(weights.dtype)
 
 
 def _spread_dense_matmul(u_list, weights, nf, w: int, beta: float):
@@ -1241,8 +1267,8 @@ def _spread_scatter(u_list, weights, nf, w: int, beta: float):
     -------
     (C, *nf) complex fine grid.
 
-    This is the portable path; a Pallas tile-binned spreader can be swapped
-    in for large problems (see nufft/pallas_spread.py).
+    This is the portable path; accelerators route large problems through
+    :func:`_spread_tiled_matmul` instead.
     """
     import jax.numpy as jnp
 
