@@ -25,6 +25,13 @@ import numpy as np
 
 TUTORIAL_BASELINE_PTS_PER_S = 8313.0  # 46 bls * 600 (t,f) / 3.32 s
 GRIDDED_BASELINE_PTS_PER_S = 6.4e5
+# Reference "Type-3 forced, same sim": 6.69 s for the gridded workload
+# (fftvis_gridded_array.ipynb cell 19) -> 63190 * 6 / 6.69.
+TYPE3_BASELINE_PTS_PER_S = 5.67e4
+# Reference eigenbeam path (K=8): 3.47 s for 33 ants x 1f x 4t, polarized,
+# one baseline per redundant group (beam_decomposition.ipynb cells 5/19);
+# at the comparable ~64 groups of our hex array: 64 * 4 / 3.47.
+EIGEN_BASELINE_PTS_PER_S = 73.8
 
 
 def _steady(fn, repeats):
@@ -145,6 +152,75 @@ def main():
         file=sys.stderr,
     )
 
+    # ------------- 3. forced type-3 workload (secondary) -------------
+    # The reference forces type-3 on the same gridded sim: 6.69 s
+    # (vs 0.482 s type-1). Exercises the tile-binned MXU spread + tiled
+    # interpolation path. Smaller hex keeps bench wall sane; pts/s
+    # normalizes the comparison.
+    ants_3 = hex_array(8, sep=14.6)
+    k3 = list(ants_3.keys())
+    bl3 = [(k3[i], k3[j]) for i in range(len(k3)) for j in range(i, len(k3))]
+    kw_3 = dict(
+        ants=ants_3, fluxes=flux_g, ra=ra, dec=dec, freqs=freqs_g,
+        times=times_g, beam=GaussianBeam(diameter=14.0), telescope_loc=loc,
+        baselines=bl3, polarized=False, precision=2, backend="tpu",
+        force_use_type3=True,
+    )
+    from fftvis_tpu.tpu.engine import TPUSimulationEngine
+
+    eng3 = TPUSimulationEngine(nufft_mode="type3")
+    ekw3 = {k: v for k, v in kw_3.items() if k not in ("beam", "backend")}
+    from fftvis_tpu.beams.interface import BeamInterface, prepare_beam_unpolarized
+
+    b3 = prepare_beam_unpolarized(BeamInterface(GaussianBeam(diameter=14.0)))
+    run3, in3 = eng3.simulate(beam_list=[b3], return_program=True, **ekw3)
+    dev_3, _ = _device_compute_time(run3, in3, repeats)
+    npts_3 = len(bl3) * freqs_g.size * times_g.size
+    rate_3 = npts_3 / dev_3
+    ratio_3 = rate_3 / TYPE3_BASELINE_PTS_PER_S
+    print(
+        f"[bench] type-3 forced: {len(bl3)} bls x 2f x 3t device "
+        f"{dev_3 * 1e3:.1f} ms = {rate_3:.3e} pts/s ({ratio_3:.0f}x ref "
+        f"forced-type-3 wall)",
+        file=sys.stderr,
+    )
+
+    # ------------- 4. eigenbeam workload (secondary) -------------
+    # Reference: 33 distinct per-antenna beams, K=8 eigenbeams, polarized,
+    # 1 freq x 4 times, nside=64 (3.47 s; beam_decomposition.ipynb).
+    from fftvis_tpu import compute_beam_basis
+    from fftvis_tpu.beams import GaussianBeam as _GB
+
+    ants_e = hex_array(4, sep=14.6)
+    nant_e = len(ants_e)
+    ant_beams = [
+        _GB(diameter=13.0 + 0.05 * i) for i in range(nant_e)
+    ]
+    eig, coefs = compute_beam_basis(
+        ant_beams, float(freqs_g[0]), polarized=True, threshold=1e-8,
+        n_axis1=181, n_axis2=91,
+    )
+    times_e = 2459863.2 + np.linspace(0, 4 / 60 / 24, 4)
+    flux_e = rng.uniform(0.1, 1.0, (nsrc, 1))
+    kw_e = dict(
+        ants=ants_e, fluxes=flux_e, ra=ra, dec=dec,
+        freqs=np.array([freqs_g[0]]), times=times_e,
+        beam=eig, beam_coefs=coefs[:, :, None], telescope_loc=loc,
+        polarized=True, precision=2, backend="tpu",
+    )
+    ve = simulate_vis(**kw_e)
+    assert np.all(np.isfinite(ve)), "eigenbeam benchmark non-finite"
+    wall_e = _steady(lambda: simulate_vis(**kw_e), repeats)
+    npts_e = ve.shape[-1] * 1 * times_e.size
+    rate_e = npts_e / wall_e
+    ratio_e = rate_e / EIGEN_BASELINE_PTS_PER_S
+    print(
+        f"[bench] eigenbeam (K={len(eig)}): {ve.shape[-1]} bls x 1f x 4t in "
+        f"{wall_e:.3f} s wall = {rate_e:.3e} pts/s ({ratio_e:.0f}x ref "
+        f"eigenbeam wall)",
+        file=sys.stderr,
+    )
+
     print(
         json.dumps(
             {
@@ -160,7 +236,10 @@ def main():
                     f"relay link (~{vg.nbytes / 1e6:.0f} MB output at "
                     f"~10 MB/s, {rtt * 1e3:.0f} ms dispatch RTT), device "
                     f"compute is {dev_g * 1e3:.1f} ms = {rate_gd:.3e} pts/s "
-                    f"= {ratio_gd:.1f}x baseline"
+                    f"= {ratio_gd:.1f}x baseline; type-3 forced (ref 6.69 s "
+                    f"= 5.67e4 pts/s): device {rate_3:.3e} pts/s = "
+                    f"{ratio_3:.0f}x; eigenbeam K={len(eig)} (ref 3.47 s = "
+                    f"646 pts/s): wall {rate_e:.3e} pts/s = {ratio_e:.0f}x"
                 ),
                 "value": rate_t,
                 "unit": "vis_points/s",

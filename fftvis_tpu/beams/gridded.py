@@ -146,14 +146,43 @@ class GriddedBeam:
 
     @classmethod
     def from_uvbeam(cls, uvb) -> "GriddedBeam":
-        """Adapt a (duck-typed) pyuvdata UVBeam in az_za coordinates."""
+        """Adapt a (duck-typed) pyuvdata UVBeam in az_za coordinates.
+
+        Honors real UVBeam attribute semantics (ref tests/test_wrapper.py:
+        61-78 loads a CST UVBeam through this role):
+
+        - ``data_array`` in the modern 5D layout ``(Naxes_vec, Nfeeds,
+          Nfreqs, Nza, Naz)`` or the pre-3.0 6D layout with an Nspws axis
+          (squeezed, one spectral window only);
+        - ``freq_array`` shaped ``(Nfreqs,)`` or the legacy ``(1, Nfreqs)``;
+        - ``feed_array`` ordering: feeds are reordered so that x/east comes
+          first (the package's use_feed='x' indexes feed 0).
+        """
         if getattr(uvb, "pixel_coordinate_system", "az_za") != "az_za":
             raise ValueError("Only az_za UVBeams can be adapted.")
+        data = np.asarray(uvb.data_array)
+        if data.ndim == 6:
+            if data.shape[1] != 1:
+                raise ValueError(
+                    "Multi-spectral-window UVBeams are not supported"
+                )
+            data = data[:, 0]
+        if data.ndim != 5:
+            raise ValueError(
+                f"UVBeam data_array must be 5D or 6D, got {data.ndim}D"
+            )
+        feeds = [
+            str(f).lower() for f in np.atleast_1d(getattr(uvb, "feed_array", []))
+        ]
+        if feeds in (["n", "e"], ["y", "x"]):
+            data = data[:, ::-1]
+        elif feeds and feeds not in (["e", "n"], ["x", "y"], ["e"], ["x"], ["n"], ["y"]):
+            raise ValueError(f"Unrecognized UVBeam feed ordering: {feeds}")
         return cls(
-            np.asarray(uvb.data_array),
-            np.asarray(uvb.axis1_array),
-            np.asarray(uvb.axis2_array),
-            np.asarray(uvb.freq_array).ravel(),
+            data,
+            np.asarray(uvb.axis1_array, dtype=float).ravel(),
+            np.asarray(uvb.axis2_array, dtype=float).ravel(),
+            np.asarray(uvb.freq_array, dtype=float).ravel(),
             getattr(uvb, "beam_type", "efield"),
         )
 

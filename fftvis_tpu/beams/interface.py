@@ -10,11 +10,15 @@ simulation program -- the replacement for per-chunk host-side
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 
 from .analytic import AnalyticBeam
 from .gridded import GriddedBeam
 from .interp import map_coordinates_2d, spline_prefilter_2d
+
+logger = logging.getLogger(__name__)
 
 _FEED_INDEX = {"x": 0, "y": 1}
 
@@ -187,7 +191,23 @@ def _prepare_beam_uncached(
 
     bi = beam if isinstance(beam, BeamInterface) else BeamInterface(beam)
     inner = bi.beam
-    spline_opts = spline_opts or {}
+    spline_opts = dict(spline_opts or {})
+    # pyuvdata spells the spline order 'order' for az_za_map_coordinates and
+    # 'kx'/'ky' for az_za_simple (RectBivariateSpline); honor both.
+    if "kx" in spline_opts or "ky" in spline_opts:
+        kx = int(spline_opts.get("kx", spline_opts.get("ky", 3)))
+        ky = int(spline_opts.get("ky", kx))
+        if kx != ky:
+            raise ValueError(
+                f"anisotropic spline orders are not supported (kx={kx}, ky={ky})"
+            )
+        spline_opts.setdefault("order", kx)
+    known = {"order", "kx", "ky"}
+    unknown = set(spline_opts) - known
+    if unknown:
+        logger.info(
+            "ignoring unsupported beam_spline_opts keys: %s", sorted(unknown)
+        )
     order = int(spline_opts.get("order", 1))
     if interpolation_function == "az_za_simple":
         # The 'simple' backend is a cubic spline in the reference (pyuvdata
@@ -198,6 +218,8 @@ def _prepare_beam_uncached(
         raise ValueError(
             "interpolation_function must be 'az_za_simple' or 'az_za_map_coordinates'"
         )
+    if order not in (1, 3):
+        raise ValueError(f"spline order must be 1 or 3, got {order}")
 
     if isinstance(inner, PowerBeam) and not isinstance(inner.base, GriddedBeam):
         if polarized:
@@ -232,6 +254,19 @@ def _prepare_beam_uncached(
         gb = gb.as_power_beam()
 
     gb = gb.interp_freq(np.asarray(freqs, dtype=float))
+    # check_azza_domain equivalent (ref cpu/beams.py:69-74): the hot path
+    # cannot host-validate traced coordinates, but any above-horizon source
+    # can reach za = pi/2, so a beam grid ending short of that WILL be
+    # evaluated out of domain (values clamp to the edge row here; the
+    # reference would raise per chunk).
+    za_end = float(gb.axis2_array[-1])
+    if za_end < np.pi / 2 - 1e-9:
+        logger.warning(
+            "beam za grid ends at %.4f rad < pi/2: above-horizon sources "
+            "beyond it clamp to the edge row (reference check_azza_domain "
+            "would raise)",
+            za_end,
+        )
     # Ship complex beam tables as a stacked (re, im) real array: complex
     # buffers cannot cross the host/device boundary on some experimental
     # TPU runtimes, and interpolation distributes over re/im anyway.

@@ -93,6 +93,33 @@ def _plan_fingerprint(exec_plan) -> tuple:
     return (repr(exec_plan),)
 
 
+_MEMORY_LIMIT_CACHE: list = []
+
+
+def _device_memory_limit() -> int:
+    """Total memory of the default device in bytes (cached).
+
+    Working-set budgets (direct-path scan footprint, freq-vmap threshold)
+    scale with the actual chip (v5e 16 GB vs v5p 96 GB) instead of a
+    hardcoded constant (round-1 advisor finding). Falls back to a 16 GiB
+    HBM assumption when the runtime exposes no stats (e.g. CPU tests,
+    where the budget only shapes blocking, not correctness).
+    """
+    if _MEMORY_LIMIT_CACHE:
+        return _MEMORY_LIMIT_CACHE[0]
+    limit = 16 * 1024**3
+    try:
+        import jax
+
+        stats = jax.devices()[0].memory_stats()
+        if stats and stats.get("bytes_limit"):
+            limit = int(stats["bytes_limit"])
+    except Exception:  # pragma: no cover - exotic runtimes
+        pass
+    _MEMORY_LIMIT_CACHE.append(limit)
+    return limit
+
+
 def _zplan_fingerprint(executor) -> tuple:
     """Fingerprint of a lowrank-z executor's z configuration (if any)."""
     zp = getattr(executor, "zplan", None)
@@ -371,7 +398,7 @@ class TPUSimulationEngine(SimulationEngine):
             # The exact path materializes a (block x nbl) phase matrix per
             # scan step; cap its footprint (~12 bytes/element for phase +
             # fringe) well below HBM.
-            budget = 1 * 1024**3
+            budget = int(_device_memory_limit() // 12)
             max_block = max(1024, budget // max(nbl * 12, 1))
             nchunks = max(nchunks, -(-nsrc // (max_block * n_sdev)))
             nchunks = min(nchunks, nsrc)
@@ -653,7 +680,10 @@ class TPUSimulationEngine(SimulationEngine):
                 2 * _C_total * _cmult * int(np.prod(plan.executor.plan.nf)) * 8
                 + plan.block * _C_total * _cmult * 16
             )
-        freq_vmap = nfreqs_local > 1 and nfreqs_local * _per_freq_bytes < 1 * 1024**3
+        freq_vmap = (
+            nfreqs_local > 1
+            and nfreqs_local * _per_freq_bytes < _device_memory_limit() // 12
+        )
 
         def program(mats_a, abvel_a, eq_a, coh_ship_a, valid_a, freqs_a):
             coh_a = _unship_complex(coh_ship_a, coh_was_complex)

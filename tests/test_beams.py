@@ -217,3 +217,226 @@ def test_bad_interp_function_rejected():
             gb, freqs=np.array([1e8]), polarized=True,
             interpolation_function="nearest",
         )
+
+
+class MockUVBeam:
+    """A pyuvdata-UVBeam-faithful mock (attribute semantics, not methods).
+
+    Mirrors what /root/reference/tests/test_wrapper.py:61-78 exercises by
+    loading a CST beam file: an efield beam with data_array
+    (Naxes_vec, Nfeeds, Nfreqs, Nza, Naz), axis1/axis2/freq arrays, a
+    feed_array, and pixel_coordinate_system='az_za'.
+    """
+
+    pixel_coordinate_system = "az_za"
+    beam_type = "efield"
+
+    def __init__(self, nfreq=3, legacy_6d=False, feeds=("e", "n"), freq_2d=False):
+        from fftvis_tpu.beams import ShortDipoleBeam
+        from fftvis_tpu.beams.gridded import GriddedBeam
+
+        freqs = np.linspace(1.0e8, 1.3e8, nfreq)
+        gb = GriddedBeam.from_function(
+            ShortDipoleBeam(), n_az=180, n_za=91, freqs=freqs, za_max=np.pi / 2
+        )
+        data = gb.data_array
+        # Frequency structure so interp_freq actually matters.
+        data = data * (freqs / freqs[0])[None, None, :, None, None] ** -0.5
+        if feeds in (("n", "e"), ("y", "x")):
+            data = data[:, ::-1]
+        if legacy_6d:
+            data = data[:, None]  # (Naxes_vec, Nspws=1, Nfeeds, ...)
+        self.data_array = data
+        self.axis1_array = gb.axis1_array
+        self.axis2_array = gb.axis2_array
+        self.freq_array = freqs[None, :] if freq_2d else freqs
+        self.feed_array = np.array(feeds)
+        self.Nfreqs = nfreq
+
+
+@pytest.mark.parametrize(
+    "legacy_6d,feeds,freq_2d",
+    [(False, ("e", "n"), False), (True, ("n", "e"), True), (False, ("x", "y"), False)],
+)
+def test_from_uvbeam_layouts(legacy_6d, feeds, freq_2d):
+    """from_uvbeam handles modern/legacy layouts and feed orderings."""
+    from fftvis_tpu.beams import ShortDipoleBeam
+    from fftvis_tpu.beams.gridded import GriddedBeam
+
+    uvb = MockUVBeam(legacy_6d=legacy_6d, feeds=feeds, freq_2d=freq_2d)
+    gb = GriddedBeam.from_uvbeam(uvb)
+    assert gb.data_array.ndim == 5
+    assert gb.freq_array.shape == (3,)
+    # Feed 0 must be the x/east dipole regardless of the source ordering.
+    ref = GriddedBeam.from_uvbeam(MockUVBeam())
+    np.testing.assert_allclose(gb.data_array, ref.data_array, rtol=0, atol=0)
+
+
+def test_from_uvbeam_rejects_bad_inputs():
+    uvb = MockUVBeam()
+    uvb.pixel_coordinate_system = "healpix"
+    from fftvis_tpu.beams.gridded import GriddedBeam
+
+    with pytest.raises(ValueError, match="az_za"):
+        GriddedBeam.from_uvbeam(uvb)
+    uvb2 = MockUVBeam()
+    uvb2.feed_array = np.array(["r", "l"])
+    with pytest.raises(ValueError, match="feed ordering"):
+        GriddedBeam.from_uvbeam(uvb2)
+
+
+def test_uvbeam_simulation_vs_oracle():
+    """End-to-end simulate with an adapted UVBeam == direct oracle.
+
+    The fftvis counterpart of loading a CST UVBeam and simulating
+    (ref tests/test_wrapper.py:61-100): same adapted beam through the TPU
+    engine and the exact direct engine, polarized, with frequency
+    interpolation exercised (sim freqs between the beam's tabulated ones).
+    """
+    from fftvis_tpu import TelescopeLocation, simulate_vis
+    from fftvis_tpu.beams.gridded import GriddedBeam
+
+    uvb = MockUVBeam(legacy_6d=True, feeds=("n", "e"), freq_2d=True)
+    beam = GriddedBeam.from_uvbeam(uvb)
+    rng = np.random.default_rng(5)
+    loc = TelescopeLocation(np.deg2rad(-30.7), np.deg2rad(21.4), 1000.0)
+    nsrc = 40
+    kw = dict(
+        ants={i: np.array([*rng.uniform(-50, 50, 2), 0.0]) for i in range(4)},
+        fluxes=rng.uniform(0.1, 1, (nsrc, 2)),
+        ra=rng.uniform(0, 2 * np.pi, nsrc),
+        dec=np.clip(loc.lat + rng.normal(0, 0.4, nsrc), -np.pi / 2, np.pi / 2),
+        freqs=np.array([1.05e8, 1.25e8]),  # between beam grid freqs
+        times=2459863.2 + np.linspace(0, 0.01, 2),
+        beam=beam,
+        telescope_loc=loc,
+        polarized=True,
+        precision=2,
+        beam_spline_opts={"kx": 3, "ky": 3},  # pyuvdata spelling
+        interpolation_function="az_za_simple",
+    )
+    got = simulate_vis(**kw)
+    want = simulate_vis(backend="direct", **kw)
+    np.testing.assert_allclose(got, want, atol=2e-5 * np.abs(want).max(), rtol=0)
+
+
+def test_spline_opts_validation():
+    from fftvis_tpu.beams import GaussianBeam
+    from fftvis_tpu.beams.gridded import GriddedBeam
+    from fftvis_tpu.beams.interface import prepare_beam
+
+    gb = GriddedBeam.from_function(GaussianBeam(diameter=12.0), freqs=(1e8,))
+    with pytest.raises(ValueError, match="anisotropic"):
+        prepare_beam(gb, freqs=np.array([1e8]), polarized=True,
+                     spline_opts={"kx": 1, "ky": 3})
+    with pytest.raises(ValueError, match="order must be"):
+        prepare_beam(gb, freqs=np.array([1e8]), polarized=True,
+                     spline_opts={"order": 2})
+
+
+def test_short_za_grid_warns(caplog):
+    """A beam grid ending short of the horizon triggers the domain notice
+    (check_azza_domain equivalent; ref cpu/beams.py:69-74)."""
+    import logging
+
+    from fftvis_tpu.beams import GaussianBeam
+    from fftvis_tpu.beams.gridded import GriddedBeam
+    from fftvis_tpu.beams.interface import _PREPARED_CACHE, prepare_beam
+
+    gb = GriddedBeam.from_function(
+        GaussianBeam(diameter=12.0), n_za=46, za_max=np.pi / 4, freqs=(1e8,)
+    )
+    _PREPARED_CACHE.clear()
+    with caplog.at_level(logging.WARNING, logger="fftvis_tpu.beams.interface"):
+        prepare_beam(gb, freqs=np.array([1e8]), polarized=True)
+    assert any("za grid ends" in r.message for r in caplog.records)
+
+
+class TestPlanBeamPairs:
+    """Beam-pair routing/flip bookkeeping, mirroring the reference's
+    11-case prepare_beam_evaluation suite (ref tests/test_cpu_beams.py:
+    708-854). Our plan keeps only pairs that own at least one baseline
+    (empty pairs contribute nothing to the sum)."""
+
+    @staticmethod
+    def _plan(antnums, baselines, beam_idx):
+        from fftvis_tpu.core.beams import plan_beam_pairs
+
+        return plan_beam_pairs(
+            antnums, baselines, None if beam_idx is None else np.asarray(beam_idx)
+        )
+
+    def test_none_beam_idx_returns_single_pair(self):
+        plan = self._plan([0, 1, 2], [(0, 1), (1, 2), (0, 2)], None)
+        assert plan.pairs == ((0, 0),)
+
+    def test_none_beam_idx_maps_all_baselines(self):
+        plan = self._plan([0, 1, 2], [(0, 1), (1, 2), (0, 2)], None)
+        np.testing.assert_array_equal(plan.bls_idxs[0], np.arange(3))
+
+    def test_none_beam_idx_no_flipped(self):
+        plan = self._plan([0, 1, 2], [(0, 1), (1, 2), (0, 2)], None)
+        assert not plan.flipped[0].any()
+
+    def test_single_beam_type(self):
+        plan = self._plan([0, 1, 2], [(0, 1), (1, 2), (0, 2)], [0, 0, 0])
+        assert plan.pairs == ((0, 0),)
+        assert list(plan.bls_idxs[0]) == [0, 1, 2]
+        assert not plan.flipped[0].any()
+
+    def test_two_beam_types_unique_pairs(self):
+        plan = self._plan([0, 1], [(0, 1)], [0, 1])
+        assert set(plan.pairs) == {(0, 1)}  # only occupied pairs kept
+
+    def test_two_beam_types_baseline_routing(self):
+        plan = self._plan([0, 1], [(0, 1)], [0, 1])
+        p = plan.pairs.index((0, 1))
+        assert list(plan.bls_idxs[p]) == [0]
+        assert list(plan.flipped[p]) == [False]
+
+    def test_flipped_baseline_detected(self):
+        plan = self._plan([0, 1], [(1, 0)], [0, 1])
+        p = plan.pairs.index((0, 1))
+        assert list(plan.bls_idxs[p]) == [0]
+        assert list(plan.flipped[p]) == [True]
+
+    def test_mixed_flipped_and_not_flipped(self):
+        plan = self._plan([0, 1], [(0, 1), (1, 0)], [0, 1])
+        p = plan.pairs.index((0, 1))
+        assert list(plan.bls_idxs[p]) == [0, 1]
+        assert list(plan.flipped[p]) == [False, True]
+
+    def test_multiple_baselines_same_pair(self):
+        plan = self._plan(
+            [0, 1, 2, 3], [(0, 2), (0, 3), (1, 2), (1, 3)], [0, 0, 1, 1]
+        )
+        p = plan.pairs.index((0, 1))
+        assert sorted(plan.bls_idxs[p]) == [0, 1, 2, 3]
+        assert not plan.flipped[p].any()
+
+    def test_empty_baselines(self):
+        plan = self._plan([0, 1], [], [0, 1])
+        assert plan.pairs == ()
+
+    def test_three_beam_types_pair_coverage(self):
+        plan = self._plan([0, 1, 2], [(0, 1), (0, 2), (1, 2)], [0, 1, 2])
+        assert set(plan.pairs) == {(0, 1), (0, 2), (1, 2)}
+
+    def test_non_contiguous_beam_idx(self):
+        """Non-contiguous beam indices (e.g. [0, 2, 2]) must route correctly
+        (the reference had a ValueError bug here; ref test_cpu_beams.py:
+        831-854)."""
+        plan = self._plan([0, 1, 2], [(0, 1), (0, 2), (1, 2)], [0, 2, 2])
+        assert set(plan.pairs) == {(0, 2), (2, 2)}
+        p02 = plan.pairs.index((0, 2))
+        assert sorted(plan.bls_idxs[p02]) == [0, 1]
+        assert not plan.flipped[p02].any()
+        p22 = plan.pairs.index((2, 2))
+        assert list(plan.bls_idxs[p22]) == [2]
+
+    def test_nonint_antenna_names(self):
+        """Antenna keys need not be integers (dict keys are arbitrary)."""
+        plan = self._plan(["a", "b"], [("a", "b")], [1, 0])
+        p = plan.pairs.index((0, 1))
+        # ("a","b") maps to beams (1, 0) -> stored as (0, 1) flipped.
+        assert list(plan.flipped[p]) == [True]

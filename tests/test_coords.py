@@ -185,3 +185,60 @@ def test_mean_obliquity_j2000():
 
     eps0 = mean_obliquity(np.array([0.0]))[0]
     assert abs(eps0 - np.deg2rad(84381.406 / 3600)) < 1e-12
+
+
+def test_precession_fw_angles_iau2006_literature():
+    """Fukushima-Williams precession angles vs published IAU2006 rates.
+
+    psi_bar ~ 5038.481507" t and eps_A ~ 84381.406" - 46.836769" t are the
+    standard IAU2006 linear coefficients (Hilton et al. 2006); checking at
+    t = 0.1 century keeps quadratic terms below the tolerance. Anchors the
+    composed-chain golden snapshot (below) to absolute values.
+    """
+    from fftvis_tpu.coords.erfa_lite import ARCSEC, precession_fw_angles
+
+    t = 0.1  # Julian centuries TT since J2000
+    gam, phi, psi, eps = (np.asarray(a).item() for a in precession_fw_angles(np.array([t])))
+    assert abs(psi / ARCSEC - 5038.481507 * t) < 0.05
+    assert abs(eps / ARCSEC - (84381.406 - 46.836769 * t)) < 0.05
+    assert abs(gam / ARCSEC - (-0.052928 + 10.556403 * t)) < 0.05
+    assert abs(phi / ARCSEC - (84381.412819 - 46.811016 * t)) < 0.05
+
+
+def test_golden_coordinate_chain_snapshot():
+    """Composed ICRS->ENU chain matches the checked-in golden snapshot.
+
+    Drift detection for erfa_lite (VERDICT round-1 item 5): any numerical
+    change to precession/nutation/ERA/site-basis composition beyond 0.01
+    arcsec fails here, with no astropy needed at test time. Regenerate
+    deliberately with tests/data/make_golden_coords.py.
+    """
+    import os
+
+    from fftvis_tpu.coords.erfa_lite import (
+        TelescopeLocation,
+        aberration_velocities,
+        icrs_to_enu_matrices,
+    )
+
+    path = os.path.join(os.path.dirname(__file__), "data", "golden_coords.npz")
+    gold = np.load(path)
+    jds = gold["jds"]
+    sites = {
+        "hera": TelescopeLocation(np.deg2rad(-30.721), np.deg2rad(21.428), 1051.0),
+        "vla": TelescopeLocation(np.deg2rad(34.0784), np.deg2rad(-107.6184), 2124.0),
+        "pole": TelescopeLocation(np.deg2rad(-89.99), 0.0, 2835.0),
+        "equator": TelescopeLocation(0.0, np.deg2rad(120.0), 0.0),
+    }
+    tol = 0.01 * np.pi / 180 / 3600  # 0.01 arcsec
+    for name, loc in sites.items():
+        got = icrs_to_enu_matrices(jds, loc)
+        want = gold[f"mat_{name}"]
+        # Angular deviation between rotations: |R1 R2^T - I| ~ rotation angle.
+        for g, w in zip(got, want):
+            delta = g @ w.T - np.eye(3)
+            angle = np.sqrt((delta**2).sum() / 2.0)
+            assert angle < tol, f"{name}: drift {angle / (np.pi/180/3600):.4f} arcsec"
+    np.testing.assert_allclose(
+        aberration_velocities(jds), gold["abvel"], rtol=0, atol=1e-9
+    )

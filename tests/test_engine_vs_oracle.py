@@ -59,11 +59,23 @@ def _run(backend, force_type3=False, **overrides):
 @pytest.mark.parametrize("polarized", [False, True])
 @pytest.mark.parametrize("precision", [2, 1])
 @pytest.mark.parametrize("tilted", [False, True])
-def test_type3_vs_oracle(polarized, precision, tilted):
+@pytest.mark.parametrize("beam_kind", ["analytic", "gridded", "dipole"])
+def test_type3_vs_oracle(polarized, precision, tilted, beam_kind):
+    """The reference's backbone oracle matrix: polarized x precision x
+    beam-type x array-geometry, atol 1e-5 fp64 / 1e-4 fp32 (ref
+    tests/test_cpu_simulate.py:75-196, 24 cases here)."""
     rng = np.random.default_rng(10)
     ants = _random_ants(rng, 7, tilted=tilted)
     ra, dec, flux = _sky(rng, 40, len(FREQS))
-    beam = GaussianBeam(diameter=10.0)
+    if beam_kind == "analytic":
+        beam = GaussianBeam(diameter=10.0)
+    elif beam_kind == "dipole":
+        beam = ShortDipoleBeam()
+    else:
+        beam = GriddedBeam.from_function(
+            GaussianBeam(diameter=10.0), n_az=180, n_za=91,
+            freqs=FREQS, za_max=np.pi / 2,
+        )
     common = dict(
         ants=ants, fluxes=flux, ra=ra, dec=dec, beam=beam,
         polarized=polarized, precision=precision,
@@ -74,6 +86,34 @@ def test_type3_vs_oracle(polarized, precision, tilted):
     atol = 1e-5 if precision == 2 else 1e-4
     scale = np.abs(want).max()
     np.testing.assert_allclose(got, want, atol=atol * scale, rtol=0)
+
+
+@pytest.mark.parametrize("polarized", [False, True])
+@pytest.mark.parametrize("mesh_shape", [(2, 1, 2), (1, 2, 2), (2, 2, 2)])
+def test_type3_vs_oracle_sharded(polarized, mesh_shape):
+    """The oracle matrix's sharded axis: the same sim over multi-axis
+    meshes must match the exact oracle (and thus the unsharded run) --
+    the SPMD analogue of the reference's nprocesses dimension (ref
+    tests/test_cpu_simulate.py:75-196 with nprocesses=2)."""
+    import jax
+
+    from fftvis_tpu.parallel.mesh import make_mesh
+
+    t, f, s = mesh_shape
+    if len(jax.devices()) < t * f * s:
+        pytest.skip("needs more virtual devices")
+    rng = np.random.default_rng(11)
+    ants = _random_ants(rng, 6)
+    ra, dec, flux = _sky(rng, 32, len(FREQS))
+    common = dict(
+        ants=ants, fluxes=flux, ra=ra, dec=dec,
+        beam=GaussianBeam(diameter=10.0), polarized=polarized,
+    )
+    want = _run("direct", **common)
+    mesh = make_mesh(time=t, freq=f, source=s)
+    got = _run("tpu", force_type3=True, mesh=mesh, **common)
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=1e-5 * scale, rtol=0)
 
 
 def test_polarized_sky_vs_oracle():
