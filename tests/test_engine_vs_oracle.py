@@ -377,3 +377,100 @@ def test_3d_lowrank_z_nufft_vs_oracle(polarized):
         for p in _PLAN_CACHE.values()
         if hasattr(p, "executor")
     )
+
+
+def _square_grid(n=4, sep=11.0):
+    return {
+        n * i + j: np.array([i * sep, j * sep, 0.0])
+        for i in range(n)
+        for j in range(n)
+    }
+
+
+@pytest.mark.parametrize("polarized", [False, True])
+@pytest.mark.parametrize("precision", [2, 1])
+@pytest.mark.parametrize("shear_array", [True, False])
+@pytest.mark.parametrize("rotate_array", [True, False])
+@pytest.mark.parametrize("remove_antennas", [True, False])
+@pytest.mark.parametrize("grid", ["hex", "square"])
+def test_gridded_type1_vs_type3_matrix(
+    polarized, precision, shear_array, rotate_array, remove_antennas, grid
+):
+    """Type-1 (gridded) and type-3 paths agree across the reference's full
+    lattice-deformation matrix: polarized x precision x shear x rotation x
+    random antenna removal x (hex | square) -- 64 cases (ref
+    tests/test_cpu_simulate.py:199-271, atol 1e-5 fp64 / 1e-4 fp32)."""
+    rng = np.random.default_rng(42)
+    ants = hex_array(3, sep=12.0) if grid == "hex" else _square_grid()
+
+    if remove_antennas:
+        keep = [k for k in ants if rng.uniform() > 0.25]
+        ants = {i: ants[k] for i, k in enumerate(keep)}
+    if rotate_array:
+        th = np.pi / 2
+        R = np.array(
+            [[np.cos(th), -np.sin(th), 0], [np.sin(th), np.cos(th), 0], [0, 0, 1]]
+        )
+        ants = {a: R @ p for a, p in ants.items()}
+    if shear_array:
+        S = np.array([[1, 0.5, 0], [0, 1, 0], [0, 0, 1]])
+        ants = {a: S @ p for a, p in ants.items()}
+
+    baselines = [(i, j) for i in ants for j in ants if j >= i]
+    ra, dec, flux = _sky(rng, 30, 1)
+    common = dict(
+        ants=ants, fluxes=flux, ra=ra, dec=dec,
+        beam=GaussianBeam(diameter=10.0),
+        baselines=baselines, polarized=polarized, precision=precision,
+        eps=1e-10 if precision == 2 else 6e-8,
+        freqs=FREQS[:1], times=TIMES[:1],
+    )
+    v1 = _run("tpu", **common)  # auto: gridded lattices take type-1
+    v3 = _run("tpu", force_type3=True, **common)
+    atol = 1e-5 if precision == 2 else 1e-4
+    np.testing.assert_allclose(v1, v3, atol=atol * np.abs(v3).max(), rtol=0)
+
+
+@pytest.mark.parametrize("polarized", [False, True])
+@pytest.mark.parametrize("beam_kind", ["analytic", "gridded"])
+def test_per_antenna_beam_diversity(polarized, beam_kind):
+    """Per-antenna beams: identical beam slots must reproduce the shared-
+    beam result exactly, and genuinely different beams must CHANGE the
+    answer while still matching the oracle -- proving beam diversity
+    propagates through the transform (ref tests/test_cpu_simulate.py:
+    276-382's anti-test)."""
+    rng = np.random.default_rng(6)
+    ants = _random_ants(rng, 6)
+    ra, dec, flux = _sky(rng, 35, len(FREQS))
+    beam_idx = np.array([i % 2 for i in range(len(ants))])
+
+    def mk(diam):
+        b = GaussianBeam(diameter=diam)
+        if beam_kind == "gridded":
+            return GriddedBeam.from_function(
+                b, n_az=180, n_za=91, freqs=FREQS, za_max=np.pi / 2
+            )
+        return b
+
+    base = dict(
+        ants=ants, fluxes=flux, ra=ra, dec=dec, polarized=polarized,
+    )
+    shared = _run("tpu", force_type3=True, beam=mk(10.0), **base)
+    identical = _run(
+        "tpu", force_type3=True, beam=[mk(10.0), mk(10.0)],
+        beam_idx=beam_idx, **base,
+    )
+    scale = np.abs(shared).max()
+    np.testing.assert_allclose(identical, shared, atol=1e-10 * scale, rtol=0)
+
+    different = _run(
+        "tpu", force_type3=True, beam=[mk(10.0), mk(7.5)],
+        beam_idx=beam_idx, **base,
+    )
+    assert np.abs(different - shared).max() > 1e-3 * scale, (
+        "beam diversity did not change the visibilities"
+    )
+    oracle = _run(
+        "direct", beam=[mk(10.0), mk(7.5)], beam_idx=beam_idx, **base
+    )
+    np.testing.assert_allclose(different, oracle, atol=1e-5 * scale, rtol=0)
