@@ -311,7 +311,77 @@ def _prepare_beam_uncached(
             return jnp.real(vals[0, pol])
         return vals
 
-    return PreparedBeam(eval_grid, polarized=not is_power, nbeampix=nbeampix)
+    pb = PreparedBeam(eval_grid, polarized=not is_power, nbeampix=nbeampix)
+    # Grid geometry fingerprint + host table so stack_prepared() can fuse
+    # same-grid beam lists (eigenbeam bases, per-antenna CST sweeps) into a
+    # single batched interpolation.
+    pb.stack_spec = (
+        tuple(data.shape), az0, daz, za0, dza, bool(wrap), order,
+        bool(is_complex), bool(is_power), feed_idx, freq_axis,
+    )
+    pb.stack_table = data
+    return pb
+
+
+class BatchedPreparedBeams:
+    """K same-grid tabulated beams fused into one evaluation closure.
+
+    ``evaluate_all(az, za, freq_value, freq_index)`` returns
+      - polarized: (K, 2, 2, nsrc) complex Jones responses;
+      - unpolarized: (K, nsrc) real power responses.
+    """
+
+    def __init__(self, evaluate_fn, polarized: bool, nbeams: int):
+        self._fn = evaluate_fn
+        self.polarized = polarized
+        self.nbeams = nbeams
+
+    def evaluate_all(self, az, za, freq_value, freq_index):
+        return self._fn(az, za, freq_value, freq_index)
+
+
+def stack_prepared(prepared_list) -> BatchedPreparedBeams | None:
+    """Fuse compatible gridded :class:`PreparedBeam` s into a batched one.
+
+    Evaluating K tabulated beams sharing one (az, za) grid as a single
+    map_coordinates call over a stacked (K, ...) table replaces K gather
+    programs per source block with one -- the dominant dispatch cost of the
+    eigenbeam basis path (K ~ 8-37 beams, each needed at every block; ref
+    docs/beam_decomposition.ipynb). Returns None when the list is shorter
+    than 2 or the beams do not share grid geometry / spline order / type
+    (the engine then falls back to per-beam evaluation).
+    """
+    import jax.numpy as jnp
+
+    if len(prepared_list) < 2:
+        return None
+    specs = [getattr(pb, "stack_spec", None) for pb in prepared_list]
+    if any(s is None for s in specs) or len(set(specs)) != 1:
+        return None
+    (_, az0, daz, za0, dza, wrap, order, is_complex, is_power, feed_idx,
+     freq_axis) = specs[0]
+    table = np.stack([pb.stack_table for pb in prepared_list])
+
+    def evaluate_all(az, za, fv, fi):
+        dslice = jnp.take(jnp.asarray(table), fi, axis=freq_axis + 1)
+        yy = (za - za0) / dza
+        if wrap:
+            xx = jnp.mod(az - az0, 2 * jnp.pi) / daz
+        else:
+            xx = (az - az0) / daz
+        vals = map_coordinates_2d(
+            dslice, yy, xx, order=order, wrap_x=wrap, prefiltered=True
+        )  # (K, [2,] nvec, nfeed, nsrc)
+        if is_complex:
+            vals = vals[:, 0] + 1j * vals[:, 1]
+        if is_power:
+            pol = min(feed_idx, vals.shape[2] - 1)
+            return jnp.real(vals[:, 0, pol])
+        return vals
+
+    return BatchedPreparedBeams(
+        evaluate_all, polarized=not is_power, nbeams=len(prepared_list)
+    )
 
 
 def prepare_beams(beam_list, freqs, polarized, spline_opts=None,

@@ -78,16 +78,23 @@ def apparent_coherency_rows(e_i, e_j, flux, polarized: bool, polarized_sky: bool
     if polarized and polarized_sky:
         # Reference flips the vector-component axis of both Jones matrices
         # before A_i^H C A_j (ref cpu_simulate.py:145-156).
-        ai = jnp.flip(e_i, axis=0)
+        ai = jnp.conj(jnp.flip(e_i, axis=0))
         aj = jnp.flip(e_j, axis=0)
         coh = jnp.moveaxis(flux, 0, -1)  # (2, 2, nsrc)
-        out = jnp.einsum(
-            "afs,abs,bgs->fgs", jnp.conj(ai), coh, aj, optimize=True
-        )
+        # Explicit sum over the size-2 vector axes: a dot_general with a
+        # 2-long contraction forces TPU layout-transpose copies of every
+        # (..., 2, 2, nsrc) operand, which dominates the whole program.
+        out = sum(
+            ai[a, :, None, :] * coh[a, b][None, None, :] * aj[b, None, :, :]
+            for a in range(2)
+            for b in range(2)
+        )  # (f, g, nsrc)
     elif polarized:
-        out = jnp.einsum(
-            "afs,ags,s->fgs", jnp.conj(e_i), e_j, flux.astype(e_i.dtype), optimize=True
-        )
+        eic = jnp.conj(e_i)
+        out = (
+            eic[0, :, None, :] * e_j[0, None, :, :]
+            + eic[1, :, None, :] * e_j[1, None, :, :]
+        ) * flux.astype(e_i.dtype)[None, None, :]
     else:
         amp = jnp.sqrt(e_i * e_j) * flux
         cdtype = jnp.complex64 if amp.dtype == jnp.float32 else jnp.complex128
@@ -95,3 +102,50 @@ def apparent_coherency_rows(e_i, e_j, flux, polarized: bool, polarized_sky: bool
 
     nsrc = out.shape[-1]
     return out.reshape(4, nsrc)
+
+
+def apparent_coherency_rows_batched(
+    evals, idx_i, idx_j, flux, polarized: bool, polarized_sky: bool
+):
+    """All beam-pair coherency rows in one contraction.
+
+    Batched form of :func:`apparent_coherency_rows`: ``evals`` stacks every
+    beam's response ((K, 2, 2, nsrc) complex polarized, (K, nsrc) real
+    otherwise) and ``idx_i``/``idx_j`` are static (npairs,) beam indices.
+    One einsum replaces npairs small ones -- the per-pair op count is what
+    dominates the eigenbeam path (K(K+1)/2 pairs, ref cpu_simulate.py:1030)
+    on dispatch-bound accelerators.
+
+    Returns (npairs * nfeeds**2, nsrc) rows in the same (pair-major,
+    (f1, f2) = 00,01,10,11) order the per-pair concatenation produces.
+    """
+    import jax.numpy as jnp
+
+    e_i = evals[idx_i]  # static take: (P, ..., nsrc)
+    e_j = evals[idx_j]
+    if polarized and polarized_sky:
+        ai = jnp.conj(jnp.flip(e_i, axis=1))
+        aj = jnp.flip(e_j, axis=1)
+        coh = jnp.moveaxis(flux, 0, -1)  # (2, 2, nsrc)
+        # Explicit size-2 contractions (see apparent_coherency_rows): pure
+        # elementwise broadcasting, no dot_general layout copies.
+        out = sum(
+            ai[:, a, :, None, :]
+            * coh[a, b][None, None, None, :]
+            * aj[:, b, None, :, :]
+            for a in range(2)
+            for b in range(2)
+        )  # (P, f, g, nsrc)
+    elif polarized:
+        eic = jnp.conj(e_i)
+        out = (
+            eic[:, 0, :, None, :] * e_j[:, 0, None, :, :]
+            + eic[:, 1, :, None, :] * e_j[:, 1, None, :, :]
+        ) * flux.astype(e_i.dtype)[None, None, None, :]
+    else:
+        amp = jnp.sqrt(e_i * e_j) * flux[None, :]
+        cdtype = jnp.complex64 if amp.dtype == jnp.float32 else jnp.complex128
+        return amp.astype(cdtype)
+
+    npairs, nsrc = out.shape[0], out.shape[-1]
+    return out.reshape(npairs * 4, nsrc)

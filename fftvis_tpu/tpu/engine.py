@@ -37,7 +37,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..beams.interface import prepare_beams
+from ..beams.interface import prepare_beams, stack_prepared
 from ..coords.rotation import SourceRotation, enu_to_az_za
 from ..core import coherency as coh_mod
 from ..core import utils as core_utils
@@ -488,8 +488,24 @@ class TPUSimulationEngine(SimulationEngine):
                 evals[bi], evals[bj], flux_f, polarized, polarized_sky
             ).astype(complex_dtype)
 
+        # Same-grid tabulated beam lists (eigenbeam bases, per-antenna CST
+        # sweeps) fuse into ONE interpolation + ONE pair einsum per block;
+        # per-beam/per-pair op counts otherwise dominate device time
+        # (measured ~2.8 ms/channel of pure dispatch at K=8 on v5e).
+        batched_beams = stack_prepared(prepared)
+        pairs_arr = np.asarray(
+            kl_pairs if use_basis else list(pair_plan.pairs), dtype=np.int64
+        ).reshape(-1, 2)
+        pair_i, pair_j = pairs_arr[:, 0], pairs_arr[:, 1]
+
         def source_block_weights(az, za, mask, flux_f, fv, gfi):
             """Evaluate beams + coherency for one source block: (C, B)."""
+            if batched_beams is not None and len(pair_i) > 0:
+                evals_all = batched_beams.evaluate_all(az, za, fv, gfi)
+                rows = coh_mod.apparent_coherency_rows_batched(
+                    evals_all, pair_i, pair_j, flux_f, polarized, polarized_sky
+                ).astype(complex_dtype)
+                return rows * mask[None, :]
             evals = [pb.evaluate(az, za, fv, gfi) for pb in prepared]
             if use_basis:
                 rows = [
@@ -652,15 +668,15 @@ class TPUSimulationEngine(SimulationEngine):
                 coefs_dev = jnp.asarray(coefs_host)
                 c1 = jnp.conj(coefs_dev[ant1_dev, :, gfi])  # (nbl, K)
                 c2 = coefs_dev[ant2_dev, :, gfi]
-                vis_f = jnp.zeros((nbl, nfeeds, nfeeds), dtype=complex_dtype)
-                for p, (k, l) in enumerate(kl_pairs):
-                    vkl = jnp.transpose(per_pair[p], (2, 1, 0))  # (nbl, f2, f1)
-                    w_kl = c1[:, k] * c2[:, l]
-                    vis_f = vis_f + w_kl[:, None, None] * vkl
-                    if l != k:
-                        w_lk = c1[:, l] * c2[:, k]
-                        vis_f = vis_f + w_lk[:, None, None] * jnp.swapaxes(vkl, 1, 2)
-                return vis_f
+                # vis[b] = sum_p w_kl[b] V_p^T + (k!=l) w_lk[b] V_p as two
+                # einsums over the pair axis (one per transpose orientation)
+                # instead of an npairs-long accumulation loop.
+                w_kl = c1[:, pair_i] * c2[:, pair_j]  # (nbl, P)
+                offdiag = (pair_i != pair_j).astype(coefs_host.dtype)
+                w_lk = (c1[:, pair_j] * c2[:, pair_i]) * jnp.asarray(offdiag)
+                vis_f = jnp.einsum("bp,pfgb->bgf", w_kl, per_pair)
+                vis_f = vis_f + jnp.einsum("bp,pfgb->bfg", w_lk, per_pair)
+                return vis_f.astype(complex_dtype)
 
             vis_f = jnp.zeros((nbl, nfeeds, nfeeds), dtype=complex_dtype)
             for p in range(npairs):
