@@ -498,6 +498,27 @@ class TPUSimulationEngine(SimulationEngine):
         ).reshape(-1, 2)
         pair_i, pair_j = pairs_arr[:, 0], pairs_arr[:, 1]
 
+        # Pair routing partitions the baseline list; assembling per-pair
+        # results via .at[sel].set() lowers to an XLA scatter, which runs
+        # sequentially per index on TPU (~14 ms for 63k baselines -- it was
+        # the single hottest op of the gridded headline program, for an
+        # identity permutation). Concatenate in routing order instead and
+        # apply one static inverse-permutation take (free: static-index
+        # takes compile to copies), or nothing when routing is in order.
+        if not use_basis:
+            sel_concat = (
+                np.concatenate(
+                    [np.asarray(s, dtype=np.int64) for s in pair_plan.bls_idxs]
+                )
+                if npairs
+                else np.arange(nbl, dtype=np.int64)
+            )
+            sel_is_identity = np.array_equal(sel_concat, np.arange(nbl))
+            inv_perm = None
+            if not sel_is_identity:
+                inv_perm = np.empty(nbl, dtype=np.int64)
+                inv_perm[sel_concat] = np.arange(nbl, dtype=np.int64)
+
         def source_block_weights(az, za, mask, flux_f, fv, gfi):
             """Evaluate beams + coherency for one source block: (C, B)."""
             if batched_beams is not None and len(pair_i) > 0:
@@ -638,17 +659,20 @@ class TPUSimulationEngine(SimulationEngine):
                             pair_outs.append(plan.executor.interpolate(Gp, sel))
 
                 # Assemble with flip conjugation and the reference's feed
-                # transpose (ref cpu_simulate.py:298-300).
-                vis_f = jnp.zeros((nbl, nfeeds, nfeeds), dtype=complex_dtype)
+                # transpose (ref cpu_simulate.py:298-300): concatenate in
+                # routing order, un-permute with one static take (no scatter).
+                vps = []
                 for p in range(npairs):
                     sel = pair_plan.bls_idxs[p]
                     flip_p = flipped_global[sel]
                     vp = jnp.where(flip_p[None, :], jnp.conj(pair_outs[p]), pair_outs[p])
-                    vp = jnp.transpose(
-                        vp.reshape(nfeeds, nfeeds, len(sel)), (2, 1, 0)
+                    vps.append(
+                        jnp.transpose(
+                            vp.reshape(nfeeds, nfeeds, len(sel)), (2, 1, 0)
+                        )
                     )
-                    vis_f = vis_f.at[jnp.asarray(sel)].set(vp)
-                return vis_f
+                vis_f = vps[0] if npairs == 1 else jnp.concatenate(vps, axis=0)
+                return vis_f if sel_is_identity else vis_f[inv_perm]
 
             if plan.mode == "direct":
                 out_all = acc  # (C, nbl)
@@ -678,12 +702,16 @@ class TPUSimulationEngine(SimulationEngine):
                 vis_f = vis_f + jnp.einsum("bp,pfgb->bfg", w_lk, per_pair)
                 return vis_f.astype(complex_dtype)
 
-            vis_f = jnp.zeros((nbl, nfeeds, nfeeds), dtype=complex_dtype)
-            for p in range(npairs):
-                sel = pair_plan.bls_idxs[p]
-                vp = jnp.transpose(per_pair[p][:, :, sel], (2, 1, 0))
-                vis_f = vis_f.at[jnp.asarray(sel)].set(vp)
-            return vis_f
+            if npairs == 1 and sel_is_identity:
+                return jnp.transpose(per_pair[0], (2, 1, 0))
+            vps = [
+                jnp.transpose(
+                    per_pair[p][:, :, pair_plan.bls_idxs[p]], (2, 1, 0)
+                )
+                for p in range(npairs)
+            ]
+            vis_f = vps[0] if npairs == 1 else jnp.concatenate(vps, axis=0)
+            return vis_f if sel_is_identity else vis_f[inv_perm]
 
         # Frequency axis execution: vmap (one batched program) when the
         # per-frequency live footprint allows, else a sequential scan.
