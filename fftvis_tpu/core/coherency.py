@@ -14,43 +14,54 @@ from __future__ import annotations
 import numpy as np
 
 
-def prepare_source_catalog(sky_model: np.ndarray, polarized_beam: bool):
-    """Build the source coherency from a Stokes sky model (host).
+def classify_sky(sky_model: np.ndarray, polarized_beam: bool) -> bool:
+    """Validate a sky model's layout; return whether it is IQUV-polarized.
 
-    Returns ``(coherency, polarized_sky_model)`` where coherency is
-    (nsrc, nfreq) for Stokes-I input or (nsrc, nfreq, 2, 2) for IQUV input.
+    Split from :func:`build_coherency` so the engine can key its input cache
+    on the RAW flux array and defer the coherency build to cache misses.
     Error messages match the reference (its tests assert on them).
     """
-    sky_model = np.asarray(sky_model)
     if sky_model.ndim == 2:
-        polarized_sky_model = False
-    elif polarized_beam and sky_model.ndim == 3 and sky_model.shape[-1] == 4:
-        polarized_sky_model = True
-    else:
-        if polarized_beam:
-            raise ValueError(
-                f"polarized_beam=True requires sky_model to be either:\n"
-                f"  2D unpolarized, or\n"
-                f"  3D with last axis of length 4; "
-                f"got ndim={sky_model.ndim}, shape={sky_model.shape}"
-            )
+        return False
+    if polarized_beam and sky_model.ndim == 3 and sky_model.shape[-1] == 4:
+        return True
+    if polarized_beam:
         raise ValueError(
-            f"polarized_beam=False requires sky_model to be 2D; "
+            f"polarized_beam=True requires sky_model to be either:\n"
+            f"  2D unpolarized, or\n"
+            f"  3D with last axis of length 4; "
             f"got ndim={sky_model.ndim}, shape={sky_model.shape}"
         )
+    raise ValueError(
+        f"polarized_beam=False requires sky_model to be 2D; "
+        f"got ndim={sky_model.ndim}, shape={sky_model.shape}"
+    )
 
-    if not polarized_sky_model:
-        return 0.5 * sky_model, False
 
+def build_coherency(sky_model: np.ndarray, polarized_sky: bool) -> np.ndarray:
+    """Source coherency: (nsrc, nfreq) Stokes-I or (nsrc, nfreq, 2, 2) IQUV."""
+    if not polarized_sky:
+        return 0.5 * sky_model
     I, Q, U, V = (sky_model[..., i] for i in range(4))
-    coh = 0.5 * np.stack(
+    return 0.5 * np.stack(
         [
             np.stack([I + Q, U + 1j * V], axis=-1),
             np.stack([U - 1j * V, I - Q], axis=-1),
         ],
         axis=-2,
     )  # (nsrc, nfreq, 2, 2)
-    return coh, True
+
+
+def prepare_source_catalog(sky_model: np.ndarray, polarized_beam: bool):
+    """Build the source coherency from a Stokes sky model (host).
+
+    Returns ``(coherency, polarized_sky_model)`` where coherency is
+    (nsrc, nfreq) for Stokes-I input or (nsrc, nfreq, 2, 2) for IQUV input
+    (parity with ref cpu/utils.py:26-81).
+    """
+    sky_model = np.asarray(sky_model)
+    polarized_sky = classify_sky(sky_model, polarized_beam)
+    return build_coherency(sky_model, polarized_sky), polarized_sky
 
 
 def apparent_coherency_rows(e_i, e_j, flux, polarized: bool, polarized_sky: bool):

@@ -3,8 +3,44 @@
 from __future__ import annotations
 
 import hashlib
+import weakref
+import zlib
 
 import numpy as np
+
+# Identity-memoized array digests. A simulate() sweep passes the SAME flux /
+# position arrays every call; re-SHA1ing a catalog-sized array each time was
+# ~40% of the steady-state host wall. The memo keys on object identity
+# (weakref-guarded against id reuse) and re-checks content each call with
+# CRC32 (~2.3x faster than SHA1 here), so in-place mutation of a cached
+# array is still detected.
+_DIGEST_MEMO: dict[int, tuple] = {}
+_MEMO_MIN_BYTES = 1 << 18
+
+
+def _array_digest(arr: np.ndarray) -> bytes:
+    c = arr if arr.flags.c_contiguous else np.ascontiguousarray(arr)
+    meta = (arr.shape, str(arr.dtype))
+    small = arr.nbytes < _MEMO_MIN_BYTES
+    crc = 0 if small else zlib.crc32(c)
+    if not small:
+        ent = _DIGEST_MEMO.get(id(arr))
+        if ent is not None and ent[0]() is arr and ent[1] == crc and ent[2] == meta:
+            return ent[3]
+    h = hashlib.sha1()
+    h.update(str(arr.dtype).encode())
+    h.update(str(arr.shape).encode())
+    h.update(c)  # zero-copy: hashlib consumes the buffer protocol directly
+    digest = h.digest()
+    if not small:
+        try:
+            ref = weakref.ref(
+                arr, lambda _r, _i=id(arr): _DIGEST_MEMO.pop(_i, None)
+            )
+            _DIGEST_MEMO[id(arr)] = (ref, crc, meta, digest)
+        except TypeError:  # pragma: no cover - non-weakref-able subclass
+            pass
+    return digest
 
 
 def hash_parts(parts) -> str:
@@ -15,9 +51,7 @@ def hash_parts(parts) -> str:
         if obj is None or isinstance(obj, (str, int, float, bool, bytes)):
             h.update(repr(obj).encode())
         elif isinstance(obj, np.ndarray):
-            h.update(str(obj.dtype).encode())
-            h.update(str(obj.shape).encode())
-            h.update(np.ascontiguousarray(obj).tobytes())
+            h.update(_array_digest(obj))
         elif isinstance(obj, (tuple, list)):
             h.update(b"(")
             for item in obj:

@@ -140,15 +140,20 @@ _INPUT_CACHE: "dict[str, object]" = {}
 _INPUT_CACHE_LIMIT = 8
 
 
-def _cached_device_put(arr: np.ndarray):
-    """Device-put with content caching for large time-independent inputs."""
+def _cached_device_put(build, key_parts):
+    """Device-put with content caching for large time-independent inputs.
+
+    ``key_parts`` hashes the RAW inputs (cheap: identity-memoized digests);
+    ``build`` runs only on a miss, so steady-state sweep calls skip the
+    astype/pad/stack host copies entirely.
+    """
     import jax.numpy as jnp
 
-    key = _hash_parts(arr)
+    key = _hash_parts(key_parts)
     hit = _INPUT_CACHE.get(key)
     if hit is not None:
         return hit
-    dev = jnp.asarray(arr)
+    dev = jnp.asarray(build() if callable(build) else build)
     if len(_INPUT_CACHE) >= _INPUT_CACHE_LIMIT:
         _INPUT_CACHE.pop(next(iter(_INPUT_CACHE)))
     _INPUT_CACHE[key] = dev
@@ -303,9 +308,8 @@ class TPUSimulationEngine(SimulationEngine):
             dtype=np.int64,
         ).reshape(nbl, 2)
 
-        coherency, polarized_sky = coh_mod.prepare_source_catalog(
-            np.asarray(fluxes), polarized_beam=polarized
-        )
+        fluxes_arr = np.asarray(fluxes)
+        polarized_sky = coh_mod.classify_sky(fluxes_arr, polarized_beam=polarized)
 
         rot = SourceRotation(
             ra, dec, times, telescope_loc, coord_method=coord_method,
@@ -431,24 +435,36 @@ class TPUSimulationEngine(SimulationEngine):
             widths[0] = (0, pad)
             return np.pad(arr, widths, constant_values=fill)
 
-        eq = rot.eq_vectors.astype(real_dtype)  # (3, nsrc)
-        if nsrc_pad > nsrc:
-            # Pad with valid unit vectors (zenith-ish): zero-padding would
-            # produce 0/0 NaNs in the aberration normalization, and NaN * 0
-            # masking is still NaN.
-            pad_vecs = np.zeros((3, nsrc_pad - nsrc), dtype=real_dtype)
-            pad_vecs[2] = 1.0
-            eq = np.concatenate([eq, pad_vecs], axis=1)
-        coh_host = pad_src(
-            coherency.astype(complex_dtype if coherency.ndim > 2 else real_dtype)
-        )
-        if nf_pad > nfreqs:  # pad the (sharded) frequency axis; sliced after
-            widths = [(0, 0)] * coh_host.ndim
-            widths[1] = (0, nf_pad - nfreqs)
-            coh_host = np.pad(coh_host, widths)
-        coh_was_complex = np.iscomplexobj(coh_host)
-        valid_host = np.zeros(nsrc_pad, dtype=real_dtype)
-        valid_host[:nsrc] = 1.0
+        def _build_eq():
+            eq = rot.eq_vectors.astype(real_dtype)  # (3, nsrc)
+            if nsrc_pad > nsrc:
+                # Pad with valid unit vectors (zenith-ish): zero-padding
+                # would produce 0/0 NaNs in the aberration normalization,
+                # and NaN * 0 masking is still NaN.
+                pad_vecs = np.zeros((3, nsrc_pad - nsrc), dtype=real_dtype)
+                pad_vecs[2] = 1.0
+                eq = np.concatenate([eq, pad_vecs], axis=1)
+            return eq
+
+        coh_was_complex = polarized_sky  # IQUV coherency is (.., 2, 2) complex
+
+        def _build_coh():
+            coherency = coh_mod.build_coherency(fluxes_arr, polarized_sky)
+            ch = pad_src(
+                coherency.astype(complex_dtype if polarized_sky else real_dtype)
+            )
+            if nf_pad > nfreqs:  # pad the (sharded) freq axis; sliced after
+                widths = [(0, 0)] * ch.ndim
+                widths[1] = (0, nf_pad - nfreqs)
+                ch = np.pad(ch, widths)
+            # Complex buffers cannot cross host<->device on this runtime:
+            # ship stacked (re, im) planes.
+            return np.stack([ch.real, ch.imag]) if polarized_sky else ch
+
+        def _build_valid():
+            valid = np.zeros(nsrc_pad, dtype=real_dtype)
+            valid[:nsrc] = 1.0
+            return valid
 
         mats_host = rot.matrices.astype(real_dtype)  # (nt, 3, 3)
         if rot.aberration is not None:
@@ -561,7 +577,7 @@ class TPUSimulationEngine(SimulationEngine):
             za_blocks = za_t.reshape(plan.nblocks, plan.block)
             mask_blocks = mask_t.reshape(plan.nblocks, plan.block)
             flux_f = jnp.take(coh_a, fi, axis=1)
-            if coherency.ndim == 2:  # (nsrc, nfreq) flux
+            if not polarized_sky:  # (nsrc, nfreq) flux
                 flux_blocks = flux_f.reshape(plan.nblocks, plan.block)
             else:  # (nsrc, nfreq, 2, 2) coherency
                 flux_blocks = flux_f.reshape(plan.nblocks, plan.block, 2, 2)
@@ -853,18 +869,23 @@ class TPUSimulationEngine(SimulationEngine):
             _cache_store(cache_key, run)
 
         # Time-independent inputs (source vectors, coherency, validity mask)
-        # are content-cached on device: parameter sweeps re-call simulate()
-        # with the same catalog, and relayed-link uploads are expensive.
-        if np.iscomplexobj(coh_host):
-            coh_send = np.stack([coh_host.real, coh_host.imag])
-        else:
-            coh_send = coh_host
+        # are content-cached on device, keyed on the RAW user arrays:
+        # parameter sweeps re-call simulate() with the same catalog, and both
+        # the host prep copies and the relayed-link uploads are expensive.
+        _dt_key = (str(real_dtype), str(complex_dtype))
         inputs = (
             jnp.asarray(mats_host),
             jnp.asarray(abvel_host),
-            _cached_device_put(eq),
-            _cached_device_put(coh_send),
-            _cached_device_put(valid_host),
+            _cached_device_put(
+                _build_eq, ("eq", rot.eq_vectors, nsrc_pad, _dt_key)
+            ),
+            _cached_device_put(
+                _build_coh,
+                ("coh", fluxes_arr, polarized_sky, nsrc_pad, nf_pad, _dt_key),
+            ),
+            _cached_device_put(
+                _build_valid, ("valid", nsrc, nsrc_pad, str(real_dtype))
+            ),
             jnp.asarray(freqs_dev),
         )
 
