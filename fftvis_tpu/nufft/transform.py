@@ -1038,6 +1038,7 @@ def _spread_tiled_matmul(
     ty: int,
     sx: int,
     capacity: int,
+    classes=None,
 ):
     """2D ES spreading via (y, x) tile binning + per-tile MXU matmuls.
 
@@ -1053,6 +1054,15 @@ def _spread_tiled_matmul(
     the exactly-known rotated coordinates, like the strip bound). Edge and
     periodic wraps are handled by padding the grid on all sides and folding
     the pads back at the end.
+
+    ``classes`` (optional) is a balanced-occupancy schedule: a sequence of
+    ``(tile_ids, cap)`` with per-class capacities, host-planned from
+    per-tile occupancy bounds. Skies clustered in transform space (every
+    horizon-to-horizon sky is: the sin-projection piles sources at the rim)
+    make the global capacity 5-20x the mean tile count, and per-tile work
+    is proportional to capacity regardless of occupancy -- one scan per
+    class restores near-proportional total work. Tiles absent from every
+    class are provably empty and are never scanned at all.
     """
     import os
 
@@ -1111,57 +1121,97 @@ def _spread_tiled_matmul(
     ).astype(jnp.int32)
     starts = starts.astype(jnp.int32)
 
+    if classes is None:
+        classes = ((np.arange(ntiles, dtype=np.int64), P),)
+    class_ids = [np.asarray(ids, dtype=np.int64) for ids, _ in classes]
+    class_caps = [min(int(cap), P) for _, cap in classes]
+    tids_all = np.concatenate(class_ids)
+
     if os.environ.get("FFTVIS_DEBUG"):
 
-        def _check_capacity(maxcount, cap=P):
-            if int(maxcount) > cap:
+        def _check_capacity(maxcount, cap, label):
+            if int(maxcount) > int(cap):
                 raise RuntimeError(
-                    f"tiled spreader capacity overflow: a tile holds "
-                    f"{int(maxcount)} sources > capacity {cap}; "
+                    f"tiled spreader capacity overflow ({label}): a tile "
+                    f"holds {int(maxcount)} sources > capacity {int(cap)}; "
                     f"sources were dropped"
                 )
 
-        jax.debug.callback(_check_capacity, (ends - starts).max())
+        counts = ends - starts
+        for ci, (ids, cap_c) in enumerate(zip(class_ids, class_caps)):
+            jax.debug.callback(
+                _check_capacity, counts[ids].max(), cap_c, f"class {ci}"
+            )
+        uncovered = np.setdiff1d(np.arange(ntiles), tids_all)
+        if uncovered.size:
+            jax.debug.callback(
+                _check_capacity, counts[uncovered].max(), 0, "unscanned tiles"
+            )
 
     rows_rel = jnp.arange(tyw, dtype=rdtype)
     cols_rel = jnp.arange(xw, dtype=rdtype)
-    lane = jnp.arange(P, dtype=jnp.int32)
 
-    def tile_body(_, t_inp):
-        t, s0, e0 = t_inp
-        y0 = (t // ntx) * ty - m  # window origin (absolute rows, signed)
-        x0 = (t % ntx) * sx - m
-        sl = jax.lax.dynamic_slice(
-            packed_sorted, (s0, jnp.int32(0)), (P, packed.shape[1])
-        )  # (P, D) contiguous
-        live = ((s0 + lane) < e0).astype(rdtype)  # (P,)
-        uy_t = sl[:, 0]
-        ux_t = sl[:, 1]
-        v_t = sl[:, 2:].T * live[None, :]  # (c2, P)
+    def make_tile_body(Pc: int):
+        lane = jnp.arange(Pc, dtype=jnp.int32)
 
-        ky = es_kernel_grid(
-            (rows_rel[:, None] + y0.astype(rdtype)) - uy_t[None, :], w, beta,
-            xp=jnp,
-        )  # (tyw, P)
-        # Kill padding/overflow columns in ky too: zero coordinates can
-        # otherwise alias onto real grid rows when y0 is near the origin.
-        ky = ky * live[None, :]
-        kx = es_kernel_grid(
-            (cols_rel[None, :] + x0.astype(rdtype)) - ux_t[:, None], w, beta,
-            xp=jnp,
-        )  # (P, xw)
+        def tile_body(_, t_inp):
+            t, s0, e0 = t_inp
+            y0 = (t // ntx) * ty - m  # window origin (absolute rows, signed)
+            x0 = (t % ntx) * sx - m
+            sl = jax.lax.dynamic_slice(
+                packed_sorted, (s0, jnp.int32(0)), (Pc, packed.shape[1])
+            )  # (Pc, D) contiguous
+            live = ((s0 + lane) < e0).astype(rdtype)  # (Pc,)
+            uy_t = sl[:, 0]
+            ux_t = sl[:, 1]
+            v_t = sl[:, 2:].T * live[None, :]  # (c2, Pc)
 
-        rhs = (kx[:, None, :] * v_t.T[:, :, None]).reshape(P, c2 * xw)
-        patch = (ky @ rhs).reshape(tyw, c2, xw)
-        # Rows beyond the kernel-support window are identically zero
-        # (tyw is only sublane-rounded); drop them for the assembly.
-        return None, patch[:hw]
+            ky = es_kernel_grid(
+                (rows_rel[:, None] + y0.astype(rdtype)) - uy_t[None, :],
+                w, beta, xp=jnp,
+            )  # (tyw, Pc)
+            # Kill padding/overflow columns in ky too: zero coordinates can
+            # otherwise alias onto real grid rows when y0 is near the origin.
+            ky = ky * live[None, :]
+            kx = es_kernel_grid(
+                (cols_rel[None, :] + x0.astype(rdtype)) - ux_t[:, None],
+                w, beta, xp=jnp,
+            )  # (Pc, xw)
 
-    _, patches = jax.lax.scan(
-        tile_body,
-        None,
-        (jnp.arange(ntiles, dtype=jnp.int32), starts, ends),
-    )  # (ntiles, hw, c2, xw)
+            rhs = (kx[:, None, :] * v_t.T[:, :, None]).reshape(Pc, c2 * xw)
+            patch = (ky @ rhs).reshape(tyw, c2, xw)
+            # Rows beyond the kernel-support window are identically zero
+            # (tyw is only sublane-rounded); drop them for the assembly.
+            return None, patch[:hw]
+
+        return tile_body
+
+    class_patches = []
+    for ids, cap_c in zip(class_ids, class_caps):
+        _, pc = jax.lax.scan(
+            make_tile_body(cap_c),
+            None,
+            (
+                jnp.asarray(ids.astype(np.int32)),
+                starts[ids],
+                ends[ids],
+            ),
+        )  # (len(ids), hw, c2, xw)
+        class_patches.append(pc)
+    patches = (
+        class_patches[0]
+        if len(class_patches) == 1
+        else jnp.concatenate(class_patches, axis=0)
+    )
+    if not (tids_all.size == ntiles and np.array_equal(tids_all, np.arange(ntiles))):
+        # Restore lattice tile order with one static take; tiles covered by
+        # no class are provably empty (host-bounded occupancy 0) and pull a
+        # shared zero row.
+        zero = jnp.zeros((1,) + tuple(patches.shape[1:]), dtype=rdtype)
+        pool = jnp.concatenate([patches, zero], axis=0)
+        inv = np.full(ntiles, tids_all.size, dtype=np.int64)
+        inv[tids_all] = np.arange(tids_all.size)
+        patches = pool[inv]
     patches = patches.reshape(nty, ntx, hw, c2, xw)
 
     # Overlap-add assembly. A scan-carried dynamic-update-slice accumulator

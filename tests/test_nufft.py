@@ -435,3 +435,114 @@ def test_tiled_interp_engine_path(monkeypatch):
     np.testing.assert_allclose(
         got, want, atol=1e-10 * np.abs(want).max(), rtol=0
     )
+
+
+def test_tiled_spreader_balanced_classes():
+    """Multi-class (balanced-occupancy) tile schedule == scatter reference.
+
+    Rim-clustered coordinates (the realistic transform-space sky: the
+    sin-projection piles sources at the horizon ring) with per-class
+    capacities and provably-empty tiles excluded from every class.
+    """
+    from fftvis_tpu.nufft.kernels import ESKernel
+    from fftvis_tpu.nufft.transform import (
+        _spread_scatter,
+        _spread_tiled_matmul,
+    )
+
+    rng = np.random.default_rng(33)
+    nf, n, C = (144, 120), 3000, 2
+    k = ESKernel.from_eps(1e-9, 2.0)
+    th = rng.uniform(0, 2 * np.pi, n)
+    r = 55 * (1 - rng.exponential(0.04, n)).clip(0, 1)
+    uy = np.mod(72 + r * np.sin(th), nf[0])
+    ux = np.mod(60 + 0.8 * r * np.cos(th), nf[1])
+    c = jnp.asarray(rng.normal(size=(C, n)) + 1j * rng.normal(size=(C, n)))
+    ty, sx = 24, 24
+    nty, ntx = -(-nf[0] // ty), -(-nf[1] // sx)
+    tid = (
+        np.clip(uy // ty, 0, nty - 1) * ntx + np.clip(ux // sx, 0, ntx - 1)
+    ).astype(int)
+    counts = np.bincount(tid, minlength=nty * ntx)
+    occupied = np.flatnonzero(counts > 0)
+    assert occupied.size < nty * ntx  # the ring leaves genuinely empty tiles
+    order = occupied[np.argsort(counts[occupied])[::-1]]
+    third = max(1, order.size // 3)
+    classes = tuple(
+        (ids, int(counts[ids].max()))
+        for ids in (order[:third], order[third : 2 * third], order[2 * third :])
+        if ids.size
+    )
+    uj, xj = jnp.asarray(uy), jnp.asarray(ux)
+    want = np.asarray(_spread_scatter([uj, xj], c, nf, k.w, k.beta))
+    got = np.asarray(
+        _spread_tiled_matmul(
+            [uj, xj], c, nf, k.w, k.beta, ty, sx, int(counts.max()), classes
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=1e-12 * np.abs(want).max(), rtol=0)
+
+
+def test_tiled_spreader_class_overflow_detected(monkeypatch):
+    """FFTVIS_DEBUG flags both class-capacity overflow and sources landing
+    in tiles no class covers (either silently drops sources otherwise)."""
+    from fftvis_tpu.nufft.kernels import ESKernel
+    from fftvis_tpu.nufft.transform import _spread_tiled_matmul
+
+    monkeypatch.setenv("FFTVIS_DEBUG", "1")
+    rng = np.random.default_rng(34)
+    nf, n = (96, 96), 400
+    k = ESKernel.from_eps(1e-9, 2.0)
+    uy = jnp.asarray(rng.uniform(0, nf[0], n))
+    ux = jnp.asarray(rng.uniform(0, nf[1], n))
+    c = jnp.asarray(rng.normal(size=(1, n)) + 0j)
+    ty = sx = 24
+    nty, ntx = nf[0] // ty, nf[1] // sx
+    ntiles = nty * ntx
+    # Class capacity 1 on all tiles: overflow.
+    with pytest.raises(Exception, match="capacity overflow"):
+        np.asarray(
+            _spread_tiled_matmul(
+                [uy, ux], c, nf, k.w, k.beta, ty, sx, n,
+                ((np.arange(ntiles), 1),),
+            )
+        )
+    # Cover only half the tiles: occupied-but-unscanned tiles flagged.
+    with pytest.raises(Exception, match="unscanned"):
+        np.asarray(
+            _spread_tiled_matmul(
+                [uy, ux], c, nf, k.w, k.beta, ty, sx, n,
+                ((np.arange(ntiles // 2), n),),
+            )
+        )
+
+
+def test_engine_tile_class_planner_is_rigorous(monkeypatch):
+    """The engine's host-planned class schedule must cover every tile the
+    device assigns sources to, at sufficient capacity (FFTVIS_DEBUG would
+    raise inside the jitted spread otherwise)."""
+    from fftvis_tpu import TelescopeLocation, simulate_vis
+    from fftvis_tpu.beams import GaussianBeam
+    from fftvis_tpu.geometry import hex_array
+
+    monkeypatch.setenv("FFTVIS_SPREADER", "tiled")
+    monkeypatch.setenv("FFTVIS_DEBUG", "1")
+    rng = np.random.default_rng(35)
+    loc = TelescopeLocation(np.deg2rad(-30.7), np.deg2rad(21.4), 1000.0)
+    nsrc = 600
+    ra = rng.uniform(0, 2 * np.pi, nsrc)
+    dec = np.clip(loc.lat + rng.normal(0, 0.5, nsrc), -np.pi / 2, np.pi / 2)
+    ants = hex_array(5, sep=110.0)  # wide array -> large type-3 grid
+    vis = simulate_vis(
+        ants=ants,
+        fluxes=rng.uniform(0.1, 1.0, (nsrc, 2)),
+        ra=ra, dec=dec,
+        freqs=np.array([1.0e8, 1.3e8]),
+        times=2459863.2 + np.linspace(0, 0.05, 3),
+        beam=GaussianBeam(diameter=12.0),
+        telescope_loc=loc,
+        polarized=False,
+        precision=2,
+        force_use_type3=True,
+    )
+    assert np.all(np.isfinite(vis))
