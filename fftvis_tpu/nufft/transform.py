@@ -1022,10 +1022,13 @@ def pick_tile_shape(nf, w: int, c2: int):
         ty, sx = (int(v) for v in env.split(","))
         return ty, sx
     nfy, nfx = int(nf[0]), int(nf[1])
-    ty = 24 if nfy >= 64 else max(8, nfy)
-    # Wider x tiles amortize per-step dispatch; hardware-tuned on the
-    # hex-169 / 49k-source workload (59 ms vs 68 ms at sx ~ 118).
-    sx = max(16, min(248 - w - 2, nfx))
+    # Hardware-tuned on the hex-169 / 49k-source workload WITH the
+    # balanced-occupancy class schedule (v5e): (64, 118) = 11.3 ms vs
+    # 18.9 ms at the old single-class optimum (24, 238). Taller tiles
+    # halve the per-step dispatch count; the class schedule absorbs the
+    # occupancy-slack penalty that used to favor small tiles.
+    ty = 64 if nfy >= 128 else max(8, nfy)
+    sx = max(16, min(128 - w - 2, nfx))
     return ty, sx
 
 
