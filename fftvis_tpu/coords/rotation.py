@@ -81,6 +81,31 @@ class SourceRotation:
     def nsrc(self) -> int:
         return self.eq_vectors.shape[1]
 
+    def cull_never_visible(self, margin: float = 2e-3):
+        """Drop sources below the horizon at EVERY simulated time.
+
+        The reference compacts above-horizon sources dynamically per chunk
+        (ref cpu_simulate.py:940-945); static shapes forbid that on TPU,
+        but sources whose zenith-cosine stays < -margin for every planned
+        time contribute exactly zero (the device mask kills them) and can
+        be dropped from the catalog before planning -- for a full-sky
+        catalog and a short observation that is ~45-50% of all sources.
+        ``margin`` covers aberration (<= 1e-4) plus device-fp32 jitter.
+
+        Filters ``eq_vectors`` in place; returns the boolean keep mask
+        (indexed on the original catalog) or None if nothing was dropped.
+        """
+        zmax = np.full(self.nsrc, -np.inf)
+        for t in range(self.ntimes):
+            np.maximum(zmax, self.matrices[t, 2] @ self.eq_vectors, out=zmax)
+        keep = zmax > -margin
+        if keep.all():
+            return None
+        if not keep.any():
+            keep[0] = True  # keep one (masked) source: zero-size planning
+        self.eq_vectors = self.eq_vectors[:, keep]
+        return keep
+
     def topo_all_times(self) -> np.ndarray:
         """Host-side reference path: (nt, 3, nsrc) ENU unit vectors."""
         eq = self.eq_vectors

@@ -316,7 +316,19 @@ class TPUSimulationEngine(SimulationEngine):
             include_aberration=coord_method_params.get("include_aberration", True),
         )
         ntimes = rot.ntimes
+        # Static horizon culling: sources below the horizon at every
+        # simulated time are exact zeros (the device mask kills them);
+        # dropping them before planning shrinks every downstream shape --
+        # the TPU-shaped analogue of the reference's per-chunk dynamic
+        # compaction (ref cpu_simulate.py:940-945).
+        src_keep = rot.cull_never_visible()
         nsrc = rot.nsrc
+        if src_keep is not None:
+            logger.info(
+                "horizon culling: %d / %d sources never rise during the "
+                "simulated times; dropped before planning",
+                src_keep.size - nsrc, src_keep.size,
+            )
 
         # ---------------- pair routing / basis channels ----------------
         if use_basis:
@@ -449,7 +461,8 @@ class TPUSimulationEngine(SimulationEngine):
         coh_was_complex = polarized_sky  # IQUV coherency is (.., 2, 2) complex
 
         def _build_coh():
-            coherency = coh_mod.build_coherency(fluxes_arr, polarized_sky)
+            fl = fluxes_arr if src_keep is None else fluxes_arr[src_keep]
+            coherency = coh_mod.build_coherency(fl, polarized_sky)
             ch = pad_src(
                 coherency.astype(complex_dtype if polarized_sky else real_dtype)
             )
@@ -881,7 +894,8 @@ class TPUSimulationEngine(SimulationEngine):
             ),
             _cached_device_put(
                 _build_coh,
-                ("coh", fluxes_arr, polarized_sky, nsrc_pad, nf_pad, _dt_key),
+                ("coh", fluxes_arr, src_keep, polarized_sky, nsrc_pad,
+                 nf_pad, _dt_key),
             ),
             _cached_device_put(
                 _build_valid, ("valid", nsrc, nsrc_pad, str(real_dtype))

@@ -474,3 +474,30 @@ def test_per_antenna_beam_diversity(polarized, beam_kind):
         "direct", beam=[mk(10.0), mk(7.5)], beam_idx=beam_idx, **base
     )
     np.testing.assert_allclose(different, oracle, atol=1e-5 * scale, rtol=0)
+
+
+def test_horizon_culling_matches_oracle_full_sky():
+    """A full-sky catalog (half of it never visible) must match the
+    no-culling oracle: static horizon culling (engine-side, TPU-shaped
+    analogue of ref cpu_simulate.py:940-945 dynamic compaction) may only
+    remove exact zeros."""
+    rng = np.random.default_rng(77)
+    nsrc = 600
+    ra = rng.uniform(0, 2 * np.pi, nsrc)
+    dec = np.arcsin(rng.uniform(-1, 1, nsrc))  # uniform over the sphere
+    flux = rng.uniform(0.1, 1.0, (nsrc, len(FREQS)))
+    ants = _random_ants(rng, 5)
+    common = dict(
+        ants=ants, fluxes=flux, ra=ra, dec=dec,
+        beam=GaussianBeam(diameter=10.0),
+    )
+    got = _run("tpu", **common)
+    want = _run("direct", **common)
+    np.testing.assert_allclose(got, want, atol=2e-5 * np.abs(want).max())
+
+    # The cull must actually engage on this sky (roughly half never rises).
+    from fftvis_tpu.coords.rotation import SourceRotation
+
+    rot = SourceRotation(ra, dec, TIMES, LOC)
+    keep = rot.cull_never_visible()
+    assert keep is not None and 0.3 < keep.mean() < 0.8
