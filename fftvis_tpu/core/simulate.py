@@ -125,7 +125,11 @@ def _warn_precision_degraded(platform: str, x64: bool) -> None:
     logger.warning(
         "precision=2 degrades to float32/complex64 on this backend (%s; %s): "
         "NUFFT eps is floored to ~5e-7 and results are accurate to ~1e-6 "
-        "relative, not the fp64 default 1e-13.",
+        "relative, not the fp64 default 1e-13. For fp64-class phase/"
+        "accumulation accuracy, request eps below 5e-7 explicitly (e.g. "
+        "eps=1e-10) or set FFTVIS_DS=1: the engine then runs the exact "
+        "direct path with compensated double-single arithmetic "
+        "(complex128 output, ~1e-6..1e-7 end to end, f32-beam-limited).",
         platform,
         reason,
     )

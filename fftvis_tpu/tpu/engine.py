@@ -278,7 +278,16 @@ class TPUSimulationEngine(SimulationEngine):
         # resolve_precision warning; only an explicitly requested eps gets a
         # per-call notice.)
         eps_floor = 5e-7 if real_dtype == np.float32 else 1e-13
-        if eps_explicit and eps < eps_floor:
+        # An explicitly-requested eps beyond fp32 selects the compensated
+        # double-single DIRECT path (tpu/ds.py): fp64-class phase/
+        # accumulation accuracy (~1e-7 end to end, beam/flux-limited) on
+        # hardware with no float64 -- the honest answer to the reference's
+        # precision=2 / eps=1e-13 contract. FFTVIS_DS=1 forces it.
+        use_ds = real_dtype == np.float32 and (
+            (eps_explicit and eps < eps_floor)
+            or os.environ.get("FFTVIS_DS") == "1"
+        )
+        if eps_explicit and eps < eps_floor and not use_ds:
             logger.warning(
                 "requested NUFFT eps=%.1e is below what %s can resolve; "
                 "using eps=%.1e",
@@ -357,6 +366,20 @@ class TPUSimulationEngine(SimulationEngine):
                 pair_plan, flipped_global = cached_pp
             npairs = pair_plan.npairs
 
+        if use_ds and (use_basis or npairs > 1):
+            logger.warning(
+                "compensated double-single path supports single-beam-pair "
+                "sims only (multi-pair/eigenbeam routing requested); "
+                "falling back to fp32 with eps floored to %.0e", eps_floor,
+            )
+            use_ds = False
+        if use_ds:
+            logger.info(
+                "eps below the fp32 floor: forcing the EXACT direct path "
+                "with compensated double-single arithmetic (~1e-7 "
+                "end-to-end; beam/flux inputs are f32)"
+            )
+
         # ---------------- geometry / transform planning ----------------
         # Host planning is itself cached: the kernel-FT quadrature and
         # griddability analysis are pure functions of the array geometry.
@@ -365,6 +388,7 @@ class TPUSimulationEngine(SimulationEngine):
         plan_key = _hash_parts(
             (
                 "plan-v1",
+                use_ds,
                 np.array([np.asarray(ants[a], dtype=float) for a in ants]),
                 bl_index_arr,
                 float(np.max(freqs)),
@@ -385,6 +409,7 @@ class TPUSimulationEngine(SimulationEngine):
             plan = self._plan_transform(
                 ants, baselines, freqs, eps, upsample_factor, flat_array_tol,
                 force_use_type3, flipped_global, nbl, nsrc, nfeeds, npairs,
+                mode_override="direct" if use_ds else None,
             )
             if len(_PLAN_CACHE) >= _PROGRAM_CACHE_LIMIT:
                 _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
@@ -413,9 +438,11 @@ class TPUSimulationEngine(SimulationEngine):
         if plan.mode == "direct":
             # The exact path materializes a (block x nbl) phase matrix per
             # scan step; cap its footprint (~12 bytes/element for phase +
-            # fringe) well below HBM.
+            # fringe; ~8x that for the double-single planes + pairwise
+            # reduction working set) well below HBM.
             budget = int(_device_memory_limit() // 12)
-            max_block = max(1024, budget // max(nbl * 12, 1))
+            per_elem = 96 if use_ds else 12
+            max_block = max(256 if use_ds else 1024, budget // max(nbl * per_elem, 1))
             nchunks = max(nchunks, -(-nsrc // (max_block * n_sdev)))
             nchunks = min(nchunks, nsrc)
         block = int(np.ceil(nsrc / (nchunks * n_sdev)))
@@ -479,19 +506,66 @@ class TPUSimulationEngine(SimulationEngine):
             valid[:nsrc] = 1.0
             return valid
 
-        mats_host = rot.matrices.astype(real_dtype)  # (nt, 3, 3)
-        if rot.aberration is not None:
-            abvel_host = rot.aberration.astype(real_dtype)
+        if use_ds:
+            # Double-single host constants. The rotation (or lattice) is
+            # folded into the targets in float64 so the device phase is one
+            # DS contraction: phase = (tg_eff . topo) * f, with
+            #   tg_eff = M[:d]^T tg * 2 pi (/ c unless folded into M).
+            from . import ds as _ds
+
+            if plan.lattice_matrix is not None:
+                tg_eff = (
+                    plan.lattice_matrix[:2].T @ plan.targets
+                ) * TWO_PI  # lattice already carries 1/c
+            else:
+                d_eff = 2 if plan.is_coplanar else 3
+                tg_eff = (
+                    plan.rotation_matrix[:d_eff].T @ plan.targets
+                ) * (TWO_PI / speed_of_light)
+            tg_ds_host = np.stack(_ds.split64(tg_eff), axis=-1)  # (3, nbl, 2)
+            freqs_ds_host = np.stack(
+                _ds.split64(freqs_padded), axis=-1
+            )  # (nf_pad, 2)
+
+            def _build_eq_ds():
+                eq = rot.eq_vectors  # float64
+                if nsrc_pad > nsrc:
+                    pad_vecs = np.zeros((3, nsrc_pad - nsrc))
+                    pad_vecs[2] = 1.0
+                    eq = np.concatenate([eq, pad_vecs], axis=1)
+                return np.stack(_ds.split64(eq), axis=-1)  # (3, n, 2)
+
+            mats64 = rot.matrices
+            abvel64 = (
+                rot.aberration
+                if rot.aberration is not None
+                else np.zeros((ntimes, 3))
+            )
+            if nt_pad > ntimes:
+                mats64 = np.concatenate(
+                    [mats64, np.broadcast_to(np.eye(3), (nt_pad - ntimes, 3, 3))]
+                )
+                abvel64 = np.concatenate(
+                    [abvel64, np.zeros((nt_pad - ntimes, 3))]
+                )
+            mats_host = np.stack(_ds.split64(mats64), axis=-1)  # (nt, 3, 3, 2)
+            abvel_host = np.stack(_ds.split64(abvel64), axis=-1)  # (nt, 3, 2)
+
         else:
-            abvel_host = np.zeros((ntimes, 3), dtype=real_dtype)
-        if nt_pad > ntimes:
-            pad_mats = np.broadcast_to(
-                np.eye(3, dtype=real_dtype), (nt_pad - ntimes, 3, 3)
-            )
-            mats_host = np.concatenate([mats_host, pad_mats], axis=0)
-            abvel_host = np.concatenate(
-                [abvel_host, np.zeros((nt_pad - ntimes, 3), dtype=real_dtype)], axis=0
-            )
+            mats_host = rot.matrices.astype(real_dtype)  # (nt, 3, 3)
+            if rot.aberration is not None:
+                abvel_host = rot.aberration.astype(real_dtype)
+            else:
+                abvel_host = np.zeros((ntimes, 3), dtype=real_dtype)
+            if nt_pad > ntimes:
+                pad_mats = np.broadcast_to(
+                    np.eye(3, dtype=real_dtype), (nt_pad - ntimes, 3, 3)
+                )
+                mats_host = np.concatenate([mats_host, pad_mats], axis=0)
+                abvel_host = np.concatenate(
+                    [abvel_host, np.zeros((nt_pad - ntimes, 3), dtype=real_dtype)],
+                    axis=0,
+                )
         # Closure constants stay NumPy: jit embeds host arrays directly into
         # the program, whereas eagerly-created device arrays must round-trip
         # through the host at trace time (slow, and broken for some dtypes
@@ -585,7 +659,10 @@ class TPUSimulationEngine(SimulationEngine):
             gfi = jnp.minimum(gshift + fi, nfreqs - 1)
 
             # Reshape the (local) source axis into (nblocks, block).
-            topo_blocks = topo_t.reshape(3, plan.nblocks, plan.block)
+            if use_ds:
+                topo_blocks = topo_t.reshape(3, plan.nblocks, plan.block, 2)
+            else:
+                topo_blocks = topo_t.reshape(3, plan.nblocks, plan.block)
             az_blocks = az_t.reshape(plan.nblocks, plan.block)
             za_blocks = za_t.reshape(plan.nblocks, plan.block)
             mask_blocks = mask_t.reshape(plan.nblocks, plan.block)
@@ -603,9 +680,55 @@ class TPUSimulationEngine(SimulationEngine):
             multi = (not use_basis) and npairs > 1
             nf2 = nfeeds**2
 
+            if use_ds:
+                gfi_pad = jnp.minimum(gshift + fi, nf_pad - 1)
+                f_h = jnp.asarray(freqs_ds_host[:, 0])[gfi_pad]
+                f_l = jnp.asarray(freqs_ds_host[:, 1])[gfi_pad]
+
             def scan_body(carry, blk):
                 topo_b, az_b, za_b, mask_b, flux_b = blk
                 rows = source_block_weights(az_b, za_b, mask_b, flux_b, fv, gfi)
+                if use_ds:
+                    # Compensated exact path: DS phase contraction over the
+                    # folded targets, DS range-reduced sincos, error-free
+                    # products, pairwise-compensated source reduction.
+                    from . import ds as _dsm
+
+                    B = topo_b.shape[1]
+                    tgh = jnp.asarray(tg_ds_host[..., 0])  # (3, nbl)
+                    tgl = jnp.asarray(tg_ds_host[..., 1])
+                    ph_h = jnp.zeros((B, nbl), real_dtype)
+                    ph_l = jnp.zeros((B, nbl), real_dtype)
+                    for dd in range(3):
+                        mh, ml = _dsm.ds_mul(
+                            topo_b[dd, :, 0][:, None], topo_b[dd, :, 1][:, None],
+                            tgh[dd][None, :], tgl[dd][None, :],
+                        )
+                        ph_h, ph_l = _dsm.ds_add(ph_h, ph_l, mh, ml)
+                    ph_h, ph_l = _dsm.ds_mul(ph_h, ph_l, f_h, f_l)
+                    sn, cs = _dsm.ds_sincos(ph_h, ph_l)
+                    rr = jnp.real(rows)  # (C, B)
+                    ri = jnp.imag(rows)
+                    new = []
+                    for cch in range(C):
+                        ac_h, ac_l = _dsm.two_prod(rr[cch][:, None], cs)
+                        bs_h, bs_l = _dsm.two_prod(ri[cch][:, None], sn)
+                        re_h, re_l = _dsm.ds_add(ac_h, ac_l, -bs_h, -bs_l)
+                        as_h, as_l = _dsm.two_prod(rr[cch][:, None], sn)
+                        bc_h, bc_l = _dsm.two_prod(ri[cch][:, None], cs)
+                        im_h, im_l = _dsm.ds_add(as_h, as_l, bc_h, bc_l)
+                        srh, srl = _dsm.ds_sum_pairwise(re_h, re_l, axis=0)
+                        sih, sil = _dsm.ds_sum_pairwise(im_h, im_l, axis=0)
+                        vr = _dsm.ds_add(carry[0][cch], carry[1][cch], srh, srl)
+                        vi = _dsm.ds_add(carry[2][cch], carry[3][cch], sih, sil)
+                        new.append((vr, vi))
+                    out = (
+                        jnp.stack([n[0][0] for n in new]),
+                        jnp.stack([n[0][1] for n in new]),
+                        jnp.stack([n[1][0] for n in new]),
+                        jnp.stack([n[1][1] for n in new]),
+                    )
+                    return out, None
                 x = nufft_coords(topo_b, fv)
                 if plan.mode == "direct":
                     tg = plan.targets.astype(real_dtype)  # (d, nbl) signed
@@ -628,7 +751,11 @@ class TPUSimulationEngine(SimulationEngine):
                     return carry + rows @ e, None
                 return carry + plan.executor.spread(x, rows), None
 
-            if plan.mode == "direct":
+            if use_ds:
+                init = tuple(
+                    jnp.zeros((C, nbl), real_dtype) for _ in range(4)
+                )
+            elif plan.mode == "direct":
                 if multi:
                     init = tuple(
                         jnp.zeros(
@@ -670,6 +797,28 @@ class TPUSimulationEngine(SimulationEngine):
             # provably replicated over the source axis.
             if mesh is not None:
                 acc = jax.lax.psum(acc, self.source_axis)
+
+            if use_ds:
+                # (C, nbl) DS planes -> (2 reim, 2 hilo, nbl, f2, f1) with
+                # the flip conjugation (negate imag) and feed transpose.
+                vr_h, vr_l, vi_h, vi_l = acc
+                sign = jnp.asarray(
+                    np.where(flipped_global, -1.0, 1.0).astype(np.float32)
+                )
+                vi_h = vi_h * sign[None, :]
+                vi_l = vi_l * sign[None, :]
+
+                def _fr(v):
+                    return jnp.transpose(
+                        v.reshape(nfeeds, nfeeds, nbl), (2, 1, 0)
+                    )
+
+                return jnp.stack(
+                    [
+                        jnp.stack([_fr(vr_h), _fr(vr_l)]),
+                        jnp.stack([_fr(vi_h), _fr(vi_l)]),
+                    ]
+                )
 
             if multi:
                 # Per-pair (nf2, m_p) results, each restricted to the pair's
@@ -746,7 +895,7 @@ class TPUSimulationEngine(SimulationEngine):
         # per-frequency live footprint allows, else a sequential scan.
         _C_total = npairs * nfeeds**2
         if plan.mode == "direct":
-            _per_freq_bytes = plan.block * nbl * 12 + _C_total * nbl * 16
+            _per_freq_bytes = plan.block * nbl * (96 if use_ds else 12) + _C_total * nbl * 16
         else:
             _cmult = getattr(plan.executor, "channel_multiplier", 1)
             _per_freq_bytes = (
@@ -767,11 +916,53 @@ class TPUSimulationEngine(SimulationEngine):
 
             def per_time(carry, tinp):
                 mat, vel = tinp
-                eqa = eq_a + vel[:, None]
-                eqa = eqa / jnp.linalg.norm(eqa, axis=0, keepdims=True)
-                topo = mat @ eqa  # (3, nsrc_local)
-                mask_up = (topo[2] > 0).astype(real_dtype) * valid_a
-                az, za = enu_to_az_za(topo[0], topo[1], orientation="uvbeam")
+                if use_ds:
+                    # Full coordinate chain in double-single: aberration
+                    # add, normalization (f32 rsqrt + one DS Newton step),
+                    # and the 3x3 rotation -- the fp32 chain alone already
+                    # costs ~1e-4 relative phase at wide-array scales.
+                    from . import ds as _dsm
+
+                    comp = [
+                        _dsm.ds_add(
+                            eq_a[d2, :, 0], eq_a[d2, :, 1],
+                            vel[d2, 0], vel[d2, 1],
+                        )
+                        for d2 in range(3)
+                    ]
+                    n2h, n2l = _dsm.ds_mul(*comp[0], *comp[0])
+                    for d2 in (1, 2):
+                        sq = _dsm.ds_mul(*comp[d2], *comp[d2])
+                        n2h, n2l = _dsm.ds_add(n2h, n2l, *sq)
+                    y0 = jax.lax.rsqrt(n2h)
+                    t_h, t_l = _dsm.ds_mul_f32(n2h, n2l, y0)
+                    t_h, t_l = _dsm.ds_mul_f32(t_h, t_l, y0)
+                    t_h, t_l = _dsm.ds_mul_f32(t_h, t_l, jnp.float32(-0.5))
+                    t_h, t_l = _dsm.ds_add(
+                        t_h, t_l, jnp.float32(1.5), jnp.float32(0.0)
+                    )
+                    yh, yl = _dsm.ds_mul_f32(t_h, t_l, y0)
+                    unit = [
+                        _dsm.ds_mul(*comp[d2], yh, yl) for d2 in range(3)
+                    ]
+                    tp = [
+                        _dsm.ds_dot3(
+                            [(mat[i2, k2, 0], mat[i2, k2, 1]) for k2 in range(3)],
+                            unit,
+                        )
+                        for i2 in range(3)
+                    ]
+                    topo_hi = jnp.stack([p[0] for p in tp])  # (3, n)
+                    topo = jnp.stack(
+                        [topo_hi, jnp.stack([p[1] for p in tp])], axis=-1
+                    )  # (3, n, 2)
+                else:
+                    eqa = eq_a + vel[:, None]
+                    eqa = eqa / jnp.linalg.norm(eqa, axis=0, keepdims=True)
+                    topo = mat @ eqa  # (3, nsrc_local)
+                    topo_hi = topo
+                mask_up = (topo_hi[2] > 0).astype(real_dtype) * valid_a
+                az, za = enu_to_az_za(topo_hi[0], topo_hi[1], orientation="uvbeam")
 
                 if freq_vmap:
                     # Batch all frequencies into one program (MXU-friendly;
@@ -793,6 +984,10 @@ class TPUSimulationEngine(SimulationEngine):
                 return carry, vis_t  # (nfreq, nbl, nfeeds, nfeeds)
 
             _, vis = jax.lax.scan(per_time, None, (mats_a, abvel_a))
+            if use_ds:
+                # per_freq returned (2 reim, 2 hilo, nbl, f, g) real planes;
+                # lift them to the front for the host float64 combine.
+                return jnp.moveaxis(vis, (2, 3), (0, 1))
             # (nt_local, nfreq, nbl, nfeeds, nfeeds); returned as one stacked
             # (2, ...) real array -- complex buffers cannot cross the
             # executable boundary on some experimental TPU runtimes, and a
@@ -805,6 +1000,8 @@ class TPUSimulationEngine(SimulationEngine):
             (
                 "v1",
                 plan.mode,
+                use_ds,
+                None if not use_ds else (tg_ds_host, freqs_ds_host),
                 plan.is_coplanar,
                 plan.nsrc_pad,
                 plan.nblocks,
@@ -873,7 +1070,9 @@ class TPUSimulationEngine(SimulationEngine):
                         program,
                         mesh=mesh,
                         in_specs=(P(T), P(T), P(None, S), coh_spec, P(S), P(F)),
-                        out_specs=P(None, T, F),
+                        out_specs=(
+                            P(None, None, T, F) if use_ds else P(None, T, F)
+                        ),
                     )
                 )
             # TPU matmuls default to bfloat16 operands; the NUFFT
@@ -890,7 +1089,8 @@ class TPUSimulationEngine(SimulationEngine):
             jnp.asarray(mats_host),
             jnp.asarray(abvel_host),
             _cached_device_put(
-                _build_eq, ("eq", rot.eq_vectors, nsrc_pad, _dt_key)
+                _build_eq_ds if use_ds else _build_eq,
+                ("eq64" if use_ds else "eq", rot.eq_vectors, nsrc_pad, _dt_key),
             ),
             _cached_device_put(
                 _build_coh,
@@ -907,7 +1107,19 @@ class TPUSimulationEngine(SimulationEngine):
             return run, inputs
 
         stacked = np.asarray(run(*inputs))
-        vis = (stacked[0] + 1j * stacked[1])[:ntimes, :nfreqs]
+        if use_ds:
+            # (2 reim, 2 hilo, nt, nf, nbl, f, g): combine the DS planes in
+            # float64 on the host -- hi + lo would collapse back to f32 on
+            # device. Output is complex128, honoring the precision=2
+            # contract as far as the f32 beam/flux inputs allow (~1e-7).
+            vis = (
+                stacked[0, 0].astype(np.float64) + stacked[0, 1]
+            ) + 1j * (stacked[1, 0].astype(np.float64) + stacked[1, 1])
+            vis = vis[:ntimes, :nfreqs]
+            complex_out = np.complex128
+        else:
+            vis = (stacked[0] + 1j * stacked[1])[:ntimes, :nfreqs]
+            complex_out = complex_dtype
 
         if trace_mem:
             # TPU-native analogue of the reference's per-worker memray
@@ -923,8 +1135,8 @@ class TPUSimulationEngine(SimulationEngine):
         # polarized (nfreq, nt, nfeeds, nfeeds, nbl), else (nfreq, nt, nbl).
         vis = np.transpose(vis, (1, 0, 3, 4, 2))
         if polarized:
-            return vis.astype(complex_dtype)
-        return vis[:, :, 0, 0, :].astype(complex_dtype)
+            return vis.astype(complex_out)
+        return vis[:, :, 0, 0, :].astype(complex_out)
 
     # ------------------------------------------------------------------
     def _configure_strip_spreader(self, plan, rot, freqs) -> None:
@@ -1165,8 +1377,10 @@ class TPUSimulationEngine(SimulationEngine):
         nsrc,
         nfeeds,
         npairs,
+        mode_override: str | None = None,
     ) -> _SimPlan:
         """Choose the transform path and build its static plan (host)."""
+        nufft_mode = mode_override or self.nufft_mode
         antvecs = np.array([np.asarray(ants[a], dtype=float) for a in ants])
         fmax = float(np.max(freqs))
 
@@ -1174,7 +1388,7 @@ class TPUSimulationEngine(SimulationEngine):
         if (
             np.abs(antvecs[:, -1]).max() <= flat_array_tol
             and not force_use_type3
-            and self.nufft_mode != "type3"
+            and nufft_mode != "type3"
         ):
             is_gridded, gridded_pos, basis = check_antpos_griddability(ants)
 
@@ -1190,7 +1404,8 @@ class TPUSimulationEngine(SimulationEngine):
             n_modes = 2 * kmax + 1
 
             mode, exec_, targets = self._select_gridded_path(
-                bls_signed, eps, upsample_factor, nsrc, nbl, n_modes, npairs, nfeeds
+                bls_signed, eps, upsample_factor, nsrc, nbl, n_modes, npairs,
+                nfeeds, nufft_mode,
             )
             logger.info(
                 "Gridded array detected: using %s path (n_modes=%d)", mode, n_modes
@@ -1281,8 +1496,8 @@ class TPUSimulationEngine(SimulationEngine):
             + 5.0 * K * nf_cells * np.log2(max(nf_cells, 2)) / C
             + 16.0 * nbl * w**2 * K
         )
-        if self.nufft_mode == "direct" or (
-            self.nufft_mode == "auto" and direct_cost < nufft_cost
+        if nufft_mode == "direct" or (
+            nufft_mode == "auto" and direct_cost < nufft_cost
         ):
             logger.info(
                 "Using exact direct path (cost %.2e < nufft %.2e)",
@@ -1315,10 +1530,11 @@ class TPUSimulationEngine(SimulationEngine):
         )
 
     def _select_gridded_path(
-        self, bls_signed, eps, upsample_factor, nsrc, nbl, n_modes, npairs, nfeeds
+        self, bls_signed, eps, upsample_factor, nsrc, nbl, n_modes, npairs,
+        nfeeds, nufft_mode=None,
     ):
         """Gridded arrays: ES type-1 vs exact factored small-case DFT."""
         plan = plan_type1(bls_signed, eps, upsample_factor)
-        if self.nufft_mode == "direct":
+        if (nufft_mode or self.nufft_mode) == "direct":
             return "direct", None, bls_signed.astype(float)
         return "type1", Type1Executor(plan), None
