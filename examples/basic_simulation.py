@@ -7,6 +7,11 @@ BASELINE.md's "fftvis wall time 3.32 s" tutorial number.
 Run:  python examples/basic_simulation.py [--small]
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import time
 

@@ -5,6 +5,11 @@ O(N^2) beam-pair transforms into K(K+1)/2.
 Run:  python examples/beam_decomposition.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 
 import numpy as np

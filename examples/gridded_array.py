@@ -4,6 +4,11 @@ tutorial): for lattice arrays ALL baselines come from one uniform FFT.
 Run:  python examples/gridded_array.py [--hex 6]
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import time
 

@@ -16,6 +16,11 @@ For a real pod, call jax.distributed.initialize() first and raise the
 sizes.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 import jax
