@@ -221,6 +221,29 @@ def main():
         file=sys.stderr,
     )
 
+    # ------------- 5. accuracy probe (quality guard) -------------
+    # A small sub-problem against the in-repo exact float64 direct-DFT
+    # oracle (host NumPy): catches silent numerical regressions alongside
+    # the throughput numbers. Target: < 1e-5 relative (BASELINE.json).
+    from fftvis_tpu.beams.interface import prepare_beam_unpolarized as _pbu
+    from fftvis_tpu.reference.direct_engine import DirectSimulationEngine
+
+    np_rng = np.random.default_rng(7)
+    sel = np_rng.choice(nsrc, size=min(512, nsrc), replace=False)
+    kw_a = dict(
+        ants=ants_t, fluxes=flux_t[sel][:, :1], ra=ra[sel], dec=dec[sel],
+        freqs=freqs_t[:1], times=times_t[:2], telescope_loc=loc,
+        polarized=False, precision=2,
+    )
+    va = simulate_vis(beam=AiryBeam(diameter=14.0), backend="tpu", **kw_a)
+    vo = DirectSimulationEngine().simulate(
+        beam_list=[_pbu(BeamInterface(AiryBeam(diameter=14.0)))], **kw_a
+    )
+    acc = float(np.abs(va - vo).max() / max(np.abs(vo).max(), 1e-30))
+    print(f"[bench] accuracy probe: {acc:.2e} max rel vs fp64 direct oracle",
+          file=sys.stderr)
+    assert acc < 1e-4, f"accuracy probe regression: {acc:.2e}"
+
     print(
         json.dumps(
             {
@@ -239,7 +262,8 @@ def main():
                     f"= {ratio_gd:.1f}x baseline; type-3 forced (ref 6.69 s "
                     f"= 5.67e4 pts/s): device {rate_3:.3e} pts/s = "
                     f"{ratio_3:.0f}x; eigenbeam K={len(eig)} (ref 3.47 s = "
-                    f"646 pts/s): wall {rate_e:.3e} pts/s = {ratio_e:.0f}x"
+                    f"646 pts/s): wall {rate_e:.3e} pts/s = {ratio_e:.0f}x; "
+                    f"accuracy probe {acc:.1e} rel vs fp64 oracle"
                 ),
                 "value": rate_t,
                 "unit": "vis_points/s",
