@@ -23,7 +23,6 @@ import numpy as np
 
 _SPLITTER = np.float32(4097.0)  # 2^12 + 1 for Dekker splitting
 TWO_PI_HI = np.float32(6.2831855)
-TWO_PI_LO = np.float32(6.2831855 - 2.0 * np.pi)  # folded at runtime
 
 
 def split64(x) -> tuple[np.ndarray, np.ndarray]:
@@ -80,10 +79,6 @@ def ds_mul_f32(ah, al, b):
     p, e = two_prod(ah, b)
     e = e + al * b
     return quick_two_sum(p, e)
-
-
-def ds_neg(ah, al):
-    return -ah, -al
 
 
 def ds_dot3(a_ds, b_ds):
