@@ -166,12 +166,10 @@ def main():
         baselines=bl3, polarized=False, precision=2, backend="tpu",
         force_use_type3=True,
     )
-    from fftvis_tpu.tpu.engine import TPUSimulationEngine
+    from fftvis_tpu.beams.interface import prepare_beam_unpolarized
 
     eng3 = TPUSimulationEngine(nufft_mode="type3")
     ekw3 = {k: v for k, v in kw_3.items() if k not in ("beam", "backend")}
-    from fftvis_tpu.beams.interface import BeamInterface, prepare_beam_unpolarized
-
     b3 = prepare_beam_unpolarized(BeamInterface(GaussianBeam(diameter=14.0)))
     run3, in3 = eng3.simulate(beam_list=[b3], return_program=True, **ekw3)
     dev_3, _ = _device_compute_time(run3, in3, repeats)
@@ -225,7 +223,6 @@ def main():
     # A small sub-problem against the in-repo exact float64 direct-DFT
     # oracle (host NumPy): catches silent numerical regressions alongside
     # the throughput numbers. Target: < 1e-5 relative (BASELINE.json).
-    from fftvis_tpu.beams.interface import prepare_beam_unpolarized as _pbu
     from fftvis_tpu.reference.direct_engine import DirectSimulationEngine
 
     np_rng = np.random.default_rng(7)
@@ -237,7 +234,7 @@ def main():
     )
     va = simulate_vis(beam=AiryBeam(diameter=14.0), backend="tpu", **kw_a)
     vo = DirectSimulationEngine().simulate(
-        beam_list=[_pbu(BeamInterface(AiryBeam(diameter=14.0)))], **kw_a
+        beam_list=[prepare_beam_unpolarized(BeamInterface(AiryBeam(diameter=14.0)))], **kw_a
     )
     acc = float(np.abs(va - vo).max() / max(np.abs(vo).max(), 1e-30))
     print(f"[bench] accuracy probe: {acc:.2e} max rel vs fp64 direct oracle",

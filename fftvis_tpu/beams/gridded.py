@@ -175,6 +175,15 @@ class GriddedBeam:
             str(f).lower() for f in np.atleast_1d(getattr(uvb, "feed_array", []))
         ]
         if feeds in (["n", "e"], ["y", "x"]):
+            if data.shape[1] != len(feeds):
+                # Power beams with Npols != Nfeeds (e.g. 4 pol products
+                # xx/yy/xy/yx): wholesale axis reversal would map 'x' onto
+                # a cross-pol product.
+                raise ValueError(
+                    "Cannot reorder a y-first UVBeam whose polarization "
+                    f"axis ({data.shape[1]}) differs from Nfeeds "
+                    f"({len(feeds)}); reorder feeds with pyuvdata first"
+                )
             data = data[:, ::-1]
         elif feeds and feeds not in (["e", "n"], ["x", "y"], ["e"], ["x"], ["n"], ["y"]):
             raise ValueError(f"Unrecognized UVBeam feed ordering: {feeds}")

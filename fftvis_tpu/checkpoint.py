@@ -87,6 +87,16 @@ def simulate_vis_checkpointed(
             bool(kwargs.get("polarized", False)),
             int(kwargs.get("precision", 2)),
             kwargs.get("eps"),
+            # Remaining result-affecting knobs: changed settings must not
+            # silently reuse blocks computed under the old ones.
+            repr(kwargs.get("beam_spline_opts")),
+            kwargs.get("interpolation_function", "az_za_map_coordinates"),
+            kwargs.get("use_feed", "x"),
+            kwargs.get("coord_method", "CoordinateRotationERFA"),
+            repr(kwargs.get("coord_method_params")),
+            float(kwargs.get("upsample_factor", 2)),
+            bool(kwargs.get("force_use_type3", False)),
+            float(kwargs.get("flat_array_tol", 1e-6)),
         )
     )
 

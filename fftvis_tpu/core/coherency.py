@@ -107,7 +107,10 @@ def apparent_coherency_rows(e_i, e_j, flux, polarized: bool, polarized_sky: bool
             + eic[1, :, None, :] * e_j[1, None, :, :]
         ) * flux.astype(e_i.dtype)[None, None, :]
     else:
-        amp = jnp.sqrt(e_i * e_j) * flux
+        # Cubic interpolation of a tabulated power beam can overshoot to
+        # small negatives near nulls; sqrt(negative) would NaN the whole
+        # source reduction. Clamp at zero (the physical floor).
+        amp = jnp.sqrt(jnp.maximum(e_i * e_j, 0.0)) * flux
         cdtype = jnp.complex64 if amp.dtype == jnp.float32 else jnp.complex128
         return amp[None, :].astype(cdtype)
 
@@ -154,7 +157,8 @@ def apparent_coherency_rows_batched(
             + eic[:, 1, :, None, :] * e_j[:, 1, None, :, :]
         ) * flux.astype(e_i.dtype)[None, None, None, :]
     else:
-        amp = jnp.sqrt(e_i * e_j) * flux[None, :]
+        # See apparent_coherency_rows: clamp cubic-interp overshoot.
+        amp = jnp.sqrt(jnp.maximum(e_i * e_j, 0.0)) * flux[None, :]
         cdtype = jnp.complex64 if amp.dtype == jnp.float32 else jnp.complex128
         return amp.astype(cdtype)
 

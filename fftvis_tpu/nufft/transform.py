@@ -214,8 +214,20 @@ def plan_type3_lowrank_z(
     # Chebyshev coefficients of exp(i lam t) on t in [-1, 1] via a DCT at
     # Chebyshev-Gauss nodes. Upper bound on the needed degree: lam + a
     # superexponential-decay tail (|J_k(lam)| ~ (e lam / 2k)^k for k > lam).
-    K_hi = int(min(max_modes, np.ceil(lam_max + 10.0 * np.log10(1.0 / eps) + 12)))
-    K_hi = max(K_hi, 4)
+    K_need = int(np.ceil(lam_max + 10.0 * np.log10(1.0 / eps) + 12))
+    if K_need > max_modes:
+        # The Jacobi-Anger expansion has not started its superexponential
+        # decay before the cap: truncation error would be O(1), not O(eps).
+        # Refuse rather than return silently wrong visibilities; callers
+        # (the engine FLOP model) fall back to the exact direct path.
+        raise ValueError(
+            f"lowrank-z expansion needs ~{K_need} Chebyshev modes "
+            f"(z bandwidth lam_max={lam_max:.1f}, eps={eps:.0e}) but "
+            f"max_modes={max_modes}: the array's z extent is too large for "
+            f"the low-rank factorization; use the direct path or raise "
+            f"max_modes"
+        )
+    K_hi = max(K_need, 4)
     Q = 2 * K_hi
     theta = np.pi * (np.arange(Q) + 0.5) / Q
     tq = np.cos(theta)  # (Q,)
@@ -559,7 +571,7 @@ class Type3Executor:
 
     def _tiled_interp(self, sel):
         """Host-planned gather-free interpolation (cached per target set)."""
-        key = None if sel is None else hash(np.asarray(sel).tobytes())
+        key = None if sel is None else np.asarray(sel).tobytes()
         ti = self._interp_cache.get(key)
         if ti is None:
             ti = _TiledInterp(self.plan, sel)

@@ -284,7 +284,7 @@ class TPUSimulationEngine(SimulationEngine):
         # hardware with no float64 -- the honest answer to the reference's
         # precision=2 / eps=1e-13 contract. FFTVIS_DS=1 forces it.
         use_ds = real_dtype == np.float32 and (
-            (eps_explicit and eps < eps_floor)
+            (precision == 2 and eps_explicit and eps < eps_floor)
             or os.environ.get("FFTVIS_DS") == "1"
         )
         if eps_explicit and eps < eps_floor and not use_ds:
@@ -827,10 +827,14 @@ class TPUSimulationEngine(SimulationEngine):
                     pair_outs = list(acc)
                 else:
                     G = plan.executor.transform(acc)
+                    # Grid channels are input-channel-major: the lowrank-z
+                    # executor expands each of the pair's nf2 channels into
+                    # channel_multiplier z-modes (c*K + k layout).
+                    cm = getattr(plan.executor, "channel_multiplier", 1)
                     pair_outs = []
                     for p in range(npairs):
                         sel = pair_plan.bls_idxs[p]
-                        Gp = G[p * nf2 : (p + 1) * nf2]
+                        Gp = G[p * nf2 * cm : (p + 1) * nf2 * cm]
                         if plan.mode == "type1":
                             pair_outs.append(plan.executor.gather(Gp, sel))
                         else:
@@ -1031,6 +1035,8 @@ class TPUSimulationEngine(SimulationEngine):
                 # into the program; they must key the cache too.
                 os.environ.get("FFTVIS_SPREADER", "auto"),
                 os.environ.get("FFTVIS_INTERP", "auto"),
+                os.environ.get("FFTVIS_TILE", ""),
+                os.environ.get("FFTVIS_DEBUG", ""),
                 freq_vmap,
                 freqs_dev,
                 () if not use_basis else (tuple(kl_pairs), coefs_host, ant1_dev, ant2_dev),
@@ -1458,13 +1464,30 @@ class TPUSimulationEngine(SimulationEngine):
             zlo = -1.0 if r[2] <= 0 else -rxy
             scale = TWO_PI * fmax / speed_of_light
             pad = 1e-3  # aberration + fp slop before the executor's clamp
-            probe_z = plan_type3_lowrank_z(
-                targets,
-                x_extent=x_ext,
-                eps=eps,
-                upsample_factor=upsample_factor,
-                x_range_z=((zlo - pad) * scale, (zhi + pad) * scale),
-            )
+            try:
+                probe_z = plan_type3_lowrank_z(
+                    targets,
+                    x_extent=x_ext,
+                    eps=eps,
+                    upsample_factor=upsample_factor,
+                    x_range_z=((zlo - pad) * scale, (zhi + pad) * scale),
+                )
+            except ValueError as err:
+                # z bandwidth beyond the low-rank expansion's reach (very
+                # tall arrays): the exact direct path is the only accurate
+                # option.
+                logger.warning(
+                    "3D type-3 low-rank factorization unavailable (%s); "
+                    "using the exact direct path", err,
+                )
+                return _SimPlan(
+                    mode="direct",
+                    executor=None,
+                    targets=targets,
+                    is_coplanar=is_coplanar,
+                    rotation_matrix=rotation,
+                    lattice_matrix=None,
+                )
             executor = Type3LowrankZExecutor(probe_z)
             probe = probe_z.plan2d
             K = probe_z.K

@@ -440,3 +440,14 @@ class TestPlanBeamPairs:
         p = plan.pairs.index((0, 1))
         # ("a","b") maps to beams (1, 0) -> stored as (0, 1) flipped.
         assert list(plan.flipped[p]) == [True]
+
+
+def test_from_uvbeam_rejects_yfirst_4pol_power():
+    """A y-first power UVBeam with 4 pol products cannot be fixed by
+    reversing the pol axis (that would map 'x' onto a cross product)."""
+    uvb = MockUVBeam(nfreq=2, feeds=("n", "e"))
+    power = (np.abs(uvb.data_array) ** 2).sum(axis=0)[None]  # (1,2,nf,za,az)
+    uvb.data_array = np.concatenate([power, power], axis=1)  # fake 4 pols
+    uvb.beam_type = "power"
+    with pytest.raises(ValueError, match="reorder feeds"):
+        GriddedBeam.from_uvbeam(uvb)

@@ -136,3 +136,35 @@ def test_checkpoint_with_mesh(tmp_path):
         **kw,
     )
     np.testing.assert_allclose(got, want, atol=1e-11 * np.abs(want).max(), rtol=0)
+
+
+def test_checkpoint_rejects_changed_settings(tmp_path):
+    """Result-affecting kwargs (spline order, coord method, ...) are part
+    of the content hash: rerunning with different settings in the same dir
+    must refuse rather than silently reuse stale blocks."""
+    import numpy as np
+    import pytest
+
+    from fftvis_tpu import TelescopeLocation
+    from fftvis_tpu.checkpoint import simulate_vis_checkpointed
+    from fftvis_tpu.beams import GriddedBeam, GaussianBeam
+
+    rng = np.random.default_rng(0)
+    loc = TelescopeLocation(np.deg2rad(-30.7), np.deg2rad(21.4), 1000.0)
+    freqs = np.array([1.0e8, 1.1e8])
+    beam = GriddedBeam.from_function(
+        GaussianBeam(diameter=12.0), n_az=72, n_za=37, freqs=freqs,
+        za_max=np.pi / 2,
+    )
+    kw = dict(
+        ants={i: np.array([*rng.uniform(-30, 30, 2), 0.0]) for i in range(3)},
+        fluxes=rng.uniform(0.1, 1, (12, 2)),
+        ra=rng.uniform(0, 2 * np.pi, 12),
+        dec=np.clip(loc.lat + rng.normal(0, 0.3, 12), -np.pi / 2, np.pi / 2),
+        freqs=freqs, times=2459863.2 + np.linspace(0, 0.01, 2),
+        beam=beam, telescope_loc=loc, polarized=False, precision=2,
+        checkpoint_dir=str(tmp_path), time_block=1,
+    )
+    simulate_vis_checkpointed(beam_spline_opts={"order": 1}, **kw)
+    with pytest.raises(ValueError, match="different configuration"):
+        simulate_vis_checkpointed(beam_spline_opts={"order": 3}, **kw)

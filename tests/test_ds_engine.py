@@ -38,10 +38,11 @@ def _problem(span=2000.0, nsrc=120, polarized=False):
 
 
 class TestRouting:
-    def test_explicit_small_eps_forces_direct_ds(self, caplog):
+    def test_env_opt_in_forces_direct_ds(self, caplog, monkeypatch):
+        monkeypatch.setenv("FFTVIS_DS", "1")
         kw = _problem(span=60.0, nsrc=40)
         with caplog.at_level(logging.INFO, logger="fftvis_tpu.tpu.engine"):
-            vis = simulate_vis(precision=1, eps=1e-12, **kw)
+            vis = simulate_vis(precision=1, **kw)
         assert vis.dtype == np.complex128
         assert any("double-single" in r.message for r in caplog.records)
         assert any("direct path" in r.message for r in caplog.records)
@@ -51,20 +52,31 @@ class TestRouting:
         vis = simulate_vis(precision=1, **kw)  # default eps: no DS
         assert vis.dtype == np.complex64
 
-    def test_multi_pair_falls_back_with_warning(self, caplog):
+    def test_precision1_small_eps_keeps_dtype_contract(self, caplog):
+        """precision=1 + small explicit eps must NOT silently switch to the
+        complex128 DS path (that trigger is reserved for the precision=2
+        fp64 contract); it floors eps with the standard warning."""
+        kw = _problem(span=60.0, nsrc=40)
+        with caplog.at_level(logging.WARNING, logger="fftvis_tpu.tpu.engine"):
+            vis = simulate_vis(precision=1, eps=1e-12, **kw)
+        assert vis.dtype == np.complex64
+        assert any("below what" in r.message for r in caplog.records)
+
+    def test_multi_pair_falls_back_with_warning(self, caplog, monkeypatch):
+        monkeypatch.setenv("FFTVIS_DS", "1")
         kw = _problem(span=60.0, nsrc=40, polarized=True)
         beams = [GaussianBeam(diameter=12.0), GaussianBeam(diameter=13.0)]
         kw["beam"] = beams
         kw["beam_idx"] = np.array([0, 1, 0, 1, 0, 1])
         with caplog.at_level(logging.WARNING, logger="fftvis_tpu.tpu.engine"):
-            vis = simulate_vis(precision=1, eps=1e-12, **kw)
+            vis = simulate_vis(precision=1, **kw)
         assert vis.dtype == np.complex64  # fp32 fallback
         assert any("single-beam-pair" in r.message for r in caplog.records)
 
 
 class TestAccuracy:
     @pytest.mark.parametrize("polarized", [False, True])
-    def test_ds_beats_plain_f32_wide_array(self, polarized):
+    def test_ds_beats_plain_f32_wide_array(self, polarized, monkeypatch):
         """km-scale baselines: phases ~1e4 rad, where fp32 loses ~2e-4.
 
         The DS path must (a) match the fp64 reference much closer than
@@ -72,25 +84,30 @@ class TestAccuracy:
         """
         kw = _problem(span=2000.0, polarized=polarized)
         want = simulate_vis(precision=2, **kw)  # fp64 on the CPU backend
+        monkeypatch.delenv("FFTVIS_DS", raising=False)
         got32 = simulate_vis(precision=1, **kw)
-        gotds = simulate_vis(precision=1, eps=1e-12, **kw)
+        monkeypatch.setenv("FFTVIS_DS", "1")
+        gotds = simulate_vis(precision=1, **kw)
         scale = np.abs(want).max()
         err32 = np.abs(got32 - want).max() / scale
         errds = np.abs(gotds - want).max() / scale
         assert errds < err32 / 2
         assert errds < 5e-4
 
-    def test_ds_matches_f64_small_array(self):
+    def test_ds_matches_f64_small_array(self, monkeypatch):
         """Small phases: DS must sit at the f32-beam floor, not fp32's."""
+        monkeypatch.setenv("FFTVIS_DS", "1")
         kw = _problem(span=30.0)
+        gotds = simulate_vis(precision=1, **kw)
+        monkeypatch.delenv("FFTVIS_DS", raising=False)
         want = simulate_vis(precision=2, **kw)
-        gotds = simulate_vis(precision=1, eps=1e-12, **kw)
         scale = np.abs(want).max()
         assert np.abs(gotds - want).max() / scale < 2e-5
 
-    def test_ds_output_layout_matches(self):
+    def test_ds_output_layout_matches(self, monkeypatch):
         kw = _problem(span=100.0, nsrc=30, polarized=True)
         a = simulate_vis(precision=1, **kw)
-        b = simulate_vis(precision=1, eps=1e-12, **kw)
+        monkeypatch.setenv("FFTVIS_DS", "1")
+        b = simulate_vis(precision=1, **kw)
         assert a.shape == b.shape
         np.testing.assert_allclose(a, b, atol=5e-4 * np.abs(a).max())

@@ -501,3 +501,55 @@ def test_horizon_culling_matches_oracle_full_sky():
     rot = SourceRotation(ra, dec, TIMES, LOC)
     keep = rot.cull_never_visible()
     assert keep is not None and 0.3 < keep.mean() < 0.8
+
+
+def test_noncoplanar_multibeam_type3_vs_oracle():
+    """Non-coplanar (lowrank-z, K>1) + multi-pair routing: the per-pair
+    grid slice must account for the z-mode channel multiplier (a wrong
+    slice crashes at trace time or silently mixes pair channels)."""
+    from fftvis_tpu.beams import GriddedBeam
+
+    rng = np.random.default_rng(91)
+    ants = _random_ants(rng, 6, tilted=True)
+    ra, dec, flux = _sky(rng, 50, len(FREQS))
+    beams = [
+        GriddedBeam.from_function(
+            GaussianBeam(diameter=d), n_az=90, n_za=46, freqs=FREQS,
+            za_max=np.pi / 2,
+        )
+        for d in (9.0, 13.0)
+    ]
+    beam_idx = np.array([0, 1, 0, 1, 0, 1])
+    common = dict(
+        ants=ants, fluxes=flux, ra=ra, dec=dec, beam=beams,
+        beam_idx=beam_idx, polarized=True,
+    )
+    got = _run("tpu", force_type3=True, **common)
+    want = _run("direct", **common)
+    np.testing.assert_allclose(got, want, atol=2e-5 * np.abs(want).max())
+
+
+def test_lowrank_z_cap_falls_back_to_direct(caplog):
+    """A z extent beyond the Chebyshev cap must fall back to the exact
+    direct path with a warning, not return silently wrong results."""
+    import logging
+
+    rng = np.random.default_rng(92)
+    # ~km-scale antenna heights -> z bandwidth far beyond 160 modes.
+    ants = {
+        i: np.array([*rng.uniform(-500, 500, 2), rng.uniform(-400, 400)])
+        for i in range(5)
+    }
+    ra, dec, flux = _sky(rng, 30, len(FREQS))
+    with caplog.at_level(logging.WARNING, logger="fftvis_tpu.tpu.engine"):
+        got = _run(
+            "tpu", force_type3=True, ants=ants, fluxes=flux, ra=ra, dec=dec,
+            beam=GaussianBeam(diameter=10.0),
+        )
+    assert any("low-rank factorization unavailable" in r.message
+               for r in caplog.records)
+    want = _run(
+        "direct", ants=ants, fluxes=flux, ra=ra, dec=dec,
+        beam=GaussianBeam(diameter=10.0),
+    )
+    np.testing.assert_allclose(got, want, atol=2e-5 * np.abs(want).max())
