@@ -122,3 +122,17 @@ def test_sharded_freq_with_padding():
     got = simulate_vis(backend="tpu", mesh=make_mesh(time=2, freq=2), **kw)
     scale = np.abs(want).max()
     np.testing.assert_allclose(got, want, atol=1e-11 * scale, rtol=0)
+
+
+def test_sharded_ds_path_matches_single_device(monkeypatch):
+    """The double-single direct path under a (time x source) mesh: DS
+    accumulator tuples psum across source shards and the (2, 2, T, F, ...)
+    output out_specs must replicate correctly."""
+    monkeypatch.setenv("FFTVIS_DS", "1")
+    rng = np.random.default_rng(17)
+    kw = _case(rng, nsrc=40, ntimes=4)
+    kw.pop("force_use_type3")
+    want = simulate_vis(backend="tpu", **kw)
+    got = simulate_vis(backend="tpu", mesh=make_mesh(time=2, source=2), **kw)
+    assert got.dtype == np.complex128 and want.dtype == np.complex128
+    np.testing.assert_allclose(got, want, atol=1e-9 * np.abs(want).max())
