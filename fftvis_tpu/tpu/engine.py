@@ -621,6 +621,22 @@ class TPUSimulationEngine(SimulationEngine):
             if not sel_is_identity:
                 inv_perm = np.empty(nbl, dtype=np.int64)
                 inv_perm[sel_concat] = np.arange(nbl, dtype=np.int64)
+            # Padded pair routing: per-pair Python loops (gathers, phase
+            # einsums, assembly) unroll into an O(npairs)-sized HLO --
+            # ~6 min of compile for a 37-distinct-beam array (703 pairs).
+            # Padding every pair's baseline list to the longest one turns
+            # the whole routing into a handful of batched ops.
+            if npairs > 1:
+                m_max = max(len(s) for s in pair_plan.bls_idxs)
+                sel_pad = np.zeros((npairs, m_max), dtype=np.int64)
+                sel_valid = np.zeros((npairs, m_max), dtype=bool)
+                src_pos = np.empty(nbl, dtype=np.int64)
+                for p, s in enumerate(pair_plan.bls_idxs):
+                    s = np.asarray(s, dtype=np.int64)
+                    sel_pad[p, : s.size] = s
+                    sel_valid[p, : s.size] = True
+                    src_pos[s] = p * m_max + np.arange(s.size)
+                flip_pad = flipped_global[sel_pad] & sel_valid
 
         def source_block_weights(az, za, mask, flux_f, fv, gfi):
             """Evaluate beams + coherency for one source block: (C, B)."""
@@ -733,19 +749,15 @@ class TPUSimulationEngine(SimulationEngine):
                 if plan.mode == "direct":
                     tg = plan.targets.astype(real_dtype)  # (d, nbl) signed
                     if multi:
-                        outs = []
-                        for p in range(npairs):
-                            sel = pair_plan.bls_idxs[p]
-                            phase = jnp.einsum(
-                                "db,dn->nb", jnp.asarray(tg[:, sel]), x
-                            )
-                            e = (jnp.cos(phase) + 1j * jnp.sin(phase)).astype(
-                                complex_dtype
-                            )
-                            outs.append(
-                                carry[p] + rows[p * nf2 : (p + 1) * nf2] @ e
-                            )
-                        return tuple(outs), None
+                        # Batched over pairs via the padded routing: one
+                        # phase einsum + one batched matmul, not npairs.
+                        tgp = tg[:, sel_pad]  # (d, P, m_max) host constant
+                        phase = jnp.einsum("dpm,dn->npm", jnp.asarray(tgp), x)
+                        e = (jnp.cos(phase) + 1j * jnp.sin(phase)).astype(
+                            complex_dtype
+                        )
+                        rows3 = rows.reshape(npairs, nf2, -1)
+                        return carry + jnp.einsum("pfn,npm->pfm", rows3, e), None
                     phase = jnp.einsum("db,dn->nb", jnp.asarray(tg), x)
                     e = (jnp.cos(phase) + 1j * jnp.sin(phase)).astype(complex_dtype)
                     return carry + rows @ e, None
@@ -757,11 +769,8 @@ class TPUSimulationEngine(SimulationEngine):
                 )
             elif plan.mode == "direct":
                 if multi:
-                    init = tuple(
-                        jnp.zeros(
-                            (nf2, len(pair_plan.bls_idxs[p])), dtype=complex_dtype
-                        )
-                        for p in range(npairs)
+                    init = jnp.zeros(
+                        (npairs, nf2, sel_pad.shape[1]), dtype=complex_dtype
                     )
                 else:
                     init = jnp.zeros((C, nbl), dtype=complex_dtype)
@@ -821,40 +830,56 @@ class TPUSimulationEngine(SimulationEngine):
                 )
 
             if multi:
-                # Per-pair (nf2, m_p) results, each restricted to the pair's
-                # own baselines.
+                m_max = sel_pad.shape[1]
                 if plan.mode == "direct":
-                    pair_outs = list(acc)
-                else:
+                    out = acc  # (P, nf2, m_max), batched in scan_body
+                elif plan.mode == "type1":
+                    # Batched gather over the padded routing: one take
+                    # instead of npairs (channels are pair-major; the
+                    # type-1 executor has no channel multiplier).
                     G = plan.executor.transform(acc)
-                    # Grid channels are input-channel-major: the lowrank-z
-                    # executor expands each of the pair's nf2 channels into
-                    # channel_multiplier z-modes (c*K + k layout).
+                    ep = plan.executor.plan
+                    flat = G.reshape(npairs, nf2, -1)
+                    idxp = ep.gather_idx[sel_pad]  # (P, m_max) host
+                    decp = ep.gather_deconv[sel_pad].astype(
+                        np.dtype(real_dtype)
+                    )
+                    sub = jnp.take_along_axis(
+                        flat,
+                        jnp.broadcast_to(
+                            jnp.asarray(idxp)[:, None, :],
+                            (npairs, nf2, m_max),
+                        ),
+                        axis=2,
+                    )
+                    out = sub * jnp.asarray(decp)[:, None, :]
+                else:
+                    # type-3: the tiled interpolation is host-planned per
+                    # target subset, so keep the per-pair loop (npairs is
+                    # small off-lattice) and pad-stack for assembly. Grid
+                    # channels are input-channel-major with the lowrank-z
+                    # z-mode multiplier (c*K + k layout).
+                    G = plan.executor.transform(acc)
                     cm = getattr(plan.executor, "channel_multiplier", 1)
                     pair_outs = []
                     for p in range(npairs):
                         sel = pair_plan.bls_idxs[p]
                         Gp = G[p * nf2 * cm : (p + 1) * nf2 * cm]
-                        if plan.mode == "type1":
-                            pair_outs.append(plan.executor.gather(Gp, sel))
-                        else:
-                            pair_outs.append(plan.executor.interpolate(Gp, sel))
-
-                # Assemble with flip conjugation and the reference's feed
-                # transpose (ref cpu_simulate.py:298-300): concatenate in
-                # routing order, un-permute with one static take (no scatter).
-                vps = []
-                for p in range(npairs):
-                    sel = pair_plan.bls_idxs[p]
-                    flip_p = flipped_global[sel]
-                    vp = jnp.where(flip_p[None, :], jnp.conj(pair_outs[p]), pair_outs[p])
-                    vps.append(
-                        jnp.transpose(
-                            vp.reshape(nfeeds, nfeeds, len(sel)), (2, 1, 0)
+                        vp = plan.executor.interpolate(Gp, sel)
+                        pair_outs.append(
+                            jnp.pad(vp, ((0, 0), (0, m_max - vp.shape[1])))
                         )
-                    )
-                vis_f = vps[0] if npairs == 1 else jnp.concatenate(vps, axis=0)
-                return vis_f if sel_is_identity else vis_f[inv_perm]
+                    out = jnp.stack(pair_outs)  # (P, nf2, m_max)
+
+                # Flip conjugation + the reference's feed transpose (ref
+                # cpu_simulate.py:298-300), batched; one static take lands
+                # every baseline at its slot (padding rows are never taken).
+                out = jnp.where(
+                    jnp.asarray(flip_pad)[:, None, :], jnp.conj(out), out
+                )
+                out = out.reshape(npairs, nfeeds, nfeeds, m_max)
+                out = jnp.transpose(out, (0, 3, 2, 1))
+                return out.reshape(npairs * m_max, nfeeds, nfeeds)[src_pos]
 
             if plan.mode == "direct":
                 out_all = acc  # (C, nbl)
