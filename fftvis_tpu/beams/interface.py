@@ -326,18 +326,28 @@ def _prepare_beam_uncached(
 class BatchedPreparedBeams:
     """K same-grid tabulated beams fused into one evaluation closure.
 
-    ``evaluate_all(az, za, freq_value, freq_index)`` returns
+    ``evaluate_all(az, za, freq_value, freq_index, table=None)`` returns
       - polarized: (K, 2, 2, nsrc) complex Jones responses;
       - unpolarized: (K, nsrc) real power responses.
+
+    ``table`` (host copy at ``.table``) may be passed as a traced program
+    INPUT: large tables embedded as jit closure constants dominate the HLO
+    size and with it the remote-TPU compile time (a 37-beam table costs
+    minutes of AOT compile as a constant, seconds as an input).
     """
 
-    def __init__(self, evaluate_fn, polarized: bool, nbeams: int):
+    def __init__(self, evaluate_fn, polarized: bool, nbeams: int, table):
         self._fn = evaluate_fn
         self.polarized = polarized
         self.nbeams = nbeams
+        self.table = table
 
-    def evaluate_all(self, az, za, freq_value, freq_index):
-        return self._fn(az, za, freq_value, freq_index)
+    def evaluate_all(self, az, za, freq_value, freq_index, table=None):
+        return self._fn(az, za, freq_value, freq_index, table)
+
+
+_STACK_CACHE: dict = {}
+_STACK_CACHE_LIMIT = 8
 
 
 def stack_prepared(prepared_list) -> BatchedPreparedBeams | None:
@@ -360,10 +370,22 @@ def stack_prepared(prepared_list) -> BatchedPreparedBeams | None:
         return None
     (_, az0, daz, za0, dza, wrap, order, is_complex, is_power, feed_idx,
      freq_axis) = specs[0]
+    # Cache the stacked result: a fresh np.stack every simulate() call
+    # would copy the tables AND defeat the identity-memoized digests the
+    # engine's input cache relies on.
+    from ..core.hashing import hash_parts
+
+    cache_key = hash_parts(
+        (specs[0], tuple(pb.stack_table for pb in prepared_list))
+    )
+    hit = _STACK_CACHE.get(cache_key)
+    if hit is not None:
+        return hit
     table = np.stack([pb.stack_table for pb in prepared_list])
 
-    def evaluate_all(az, za, fv, fi):
-        dslice = jnp.take(jnp.asarray(table), fi, axis=freq_axis + 1)
+    def evaluate_all(az, za, fv, fi, table_in=None):
+        tab = jnp.asarray(table) if table_in is None else table_in
+        dslice = jnp.take(tab, fi, axis=freq_axis + 1)
         yy = (za - za0) / dza
         if wrap:
             xx = jnp.mod(az - az0, 2 * jnp.pi) / daz
@@ -379,9 +401,14 @@ def stack_prepared(prepared_list) -> BatchedPreparedBeams | None:
             return jnp.real(vals[:, 0, pol])
         return vals
 
-    return BatchedPreparedBeams(
-        evaluate_all, polarized=not is_power, nbeams=len(prepared_list)
+    out = BatchedPreparedBeams(
+        evaluate_all, polarized=not is_power, nbeams=len(prepared_list),
+        table=table,
     )
+    if len(_STACK_CACHE) >= _STACK_CACHE_LIMIT:
+        _STACK_CACHE.pop(next(iter(_STACK_CACHE)))
+    _STACK_CACHE[cache_key] = out
+    return out
 
 
 def prepare_beams(beam_list, freqs, polarized, spline_opts=None,

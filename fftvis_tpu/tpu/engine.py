@@ -638,10 +638,10 @@ class TPUSimulationEngine(SimulationEngine):
                     src_pos[s] = p * m_max + np.arange(s.size)
                 flip_pad = flipped_global[sel_pad] & sel_valid
 
-        def source_block_weights(az, za, mask, flux_f, fv, gfi):
+        def source_block_weights(az, za, mask, flux_f, fv, gfi, beamtab=None):
             """Evaluate beams + coherency for one source block: (C, B)."""
             if batched_beams is not None and len(pair_i) > 0:
-                evals_all = batched_beams.evaluate_all(az, za, fv, gfi)
+                evals_all = batched_beams.evaluate_all(az, za, fv, gfi, beamtab)
                 rows = coh_mod.apparent_coherency_rows_batched(
                     evals_all, pair_i, pair_j, flux_f, polarized, polarized_sky
                 ).astype(complex_dtype)
@@ -669,7 +669,8 @@ class TPUSimulationEngine(SimulationEngine):
             d = 2 if plan.is_coplanar else 3
             return xr[:d] * scale
 
-        def per_freq(topo_t, az_t, za_t, mask_t, coh_a, freqs_a, gshift, fi):
+        def per_freq(topo_t, az_t, za_t, mask_t, coh_a, freqs_a, gshift, fi,
+                     beamtab=None):
             fv = freqs_a[fi]
             # Global frequency index for beam tables (clamped off the pad).
             gfi = jnp.minimum(gshift + fi, nfreqs - 1)
@@ -703,7 +704,9 @@ class TPUSimulationEngine(SimulationEngine):
 
             def scan_body(carry, blk):
                 topo_b, az_b, za_b, mask_b, flux_b = blk
-                rows = source_block_weights(az_b, za_b, mask_b, flux_b, fv, gfi)
+                rows = source_block_weights(
+                    az_b, za_b, mask_b, flux_b, fv, gfi, beamtab
+                )
                 if use_ds:
                     # Compensated exact path: DS phase contraction over the
                     # folded targets, DS range-reduced sincos, error-free
@@ -936,7 +939,13 @@ class TPUSimulationEngine(SimulationEngine):
             and nfreqs_local * _per_freq_bytes < _device_memory_limit() // 12
         )
 
-        def program(mats_a, abvel_a, eq_a, coh_ship_a, valid_a, freqs_a):
+        def program(mats_a, abvel_a, eq_a, coh_ship_a, valid_a, freqs_a,
+                    beamtab_a):
+            # Stacked beam tables travel as an INPUT, not a closure
+            # constant: a multi-MB constant dominates the serialized HLO
+            # and with it the remote-TPU AOT compile time (minutes vs
+            # seconds for the 37-beam program).
+            beamtab = beamtab_a if batched_beams is not None else None
             coh_a = _unship_complex(coh_ship_a, coh_was_complex)
             if mesh is not None and n_fdev > 1:
                 gshift = jax.lax.axis_index(self.freq_axis) * nfreqs_local
@@ -998,13 +1007,15 @@ class TPUSimulationEngine(SimulationEngine):
                     # a scan of tiny per-freq bodies is dispatch-bound).
                     vis_t = jax.vmap(
                         lambda fi: per_freq(
-                            topo, az, za, mask_up, coh_a, freqs_a, gshift, fi
+                            topo, az, za, mask_up, coh_a, freqs_a, gshift,
+                            fi, beamtab,
                         )
                     )(jnp.arange(nfreqs_local))
                 else:
                     def freq_body(_, fi):
                         return None, per_freq(
-                            topo, az, za, mask_up, coh_a, freqs_a, gshift, fi
+                            topo, az, za, mask_up, coh_a, freqs_a, gshift,
+                            fi, beamtab,
                         )
 
                     _, vis_t = jax.lax.scan(
@@ -1100,7 +1111,9 @@ class TPUSimulationEngine(SimulationEngine):
                     _shard_map(
                         program,
                         mesh=mesh,
-                        in_specs=(P(T), P(T), P(None, S), coh_spec, P(S), P(F)),
+                        in_specs=(
+                            P(T), P(T), P(None, S), coh_spec, P(S), P(F), P(),
+                        ),
                         out_specs=(
                             P(None, None, T, F) if use_ds else P(None, T, F)
                         ),
@@ -1132,6 +1145,16 @@ class TPUSimulationEngine(SimulationEngine):
                 _build_valid, ("valid", nsrc, nsrc_pad, str(real_dtype))
             ),
             jnp.asarray(freqs_dev),
+            # Stacked beam table as a real input (replicated); a tiny dummy
+            # when there is no batched table so the program arity is fixed.
+            _cached_device_put(
+                (lambda: batched_beams.table)
+                if batched_beams is not None
+                else (lambda: np.zeros(1, dtype=np.float32)),
+                ("beamtab", batched_beams.table)
+                if batched_beams is not None
+                else ("beamtab-none",),
+            ),
         )
 
         if return_program:
