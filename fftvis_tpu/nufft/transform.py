@@ -387,6 +387,30 @@ class Type1Executor:
         out = flat[:, jnp.asarray(idx)] * jnp.asarray(dec, dtype=rdtype)[None, :]
         return out.astype(G.dtype)
 
+    def gather_padded(self, G, sel_pad: np.ndarray):
+        """Batched per-pair gather: (P*nf2, *nf) -> (P, nf2, m_max).
+
+        ``sel_pad`` is the engine's padded pair routing (static (P, m_max)
+        target rows, pair-major channels); one take_along_axis replaces P
+        per-pair :meth:`gather` calls (an O(P) HLO otherwise).
+        """
+        import jax.numpy as jnp
+
+        p = self.plan
+        P, m_max = sel_pad.shape
+        flat = G.reshape(P, -1, int(np.prod(p.nf)))
+        idx = p.gather_idx[sel_pad]  # (P, m_max) host
+        dec = p.gather_deconv[sel_pad]
+        rdtype = jnp.finfo(G.dtype).dtype
+        sub = jnp.take_along_axis(
+            flat,
+            jnp.broadcast_to(
+                jnp.asarray(idx)[:, None, :], flat.shape[:2] + (m_max,)
+            ),
+            axis=2,
+        )
+        return (sub * jnp.asarray(dec, dtype=rdtype)[:, None, :]).astype(G.dtype)
+
 
 def make_type1_fn(plan: Type1Plan):
     """(x (d,n) radians, c (C,n)) -> (C, m). One-shot convenience wrapper."""

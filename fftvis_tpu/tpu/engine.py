@@ -366,6 +366,14 @@ class TPUSimulationEngine(SimulationEngine):
                 pair_plan, flipped_global = cached_pp
             npairs = pair_plan.npairs
 
+        # Padded-vs-loop pair routing decision (details at the sel_pad
+        # construction below); needed early for direct-path block sizing.
+        pad_routing = False
+        m_max = 0
+        if not use_basis and npairs > 1:
+            m_max = max(len(s) for s in pair_plan.bls_idxs)
+            pad_routing = npairs * m_max <= 4 * nbl or npairs > 32
+
         if use_ds and (use_basis or npairs > 1):
             logger.warning(
                 "compensated double-single path supports single-beam-pair "
@@ -442,7 +450,10 @@ class TPUSimulationEngine(SimulationEngine):
             # reduction working set) well below HBM.
             budget = int(_device_memory_limit() // 12)
             per_elem = 96 if use_ds else 12
-            max_block = max(256 if use_ds else 1024, budget // max(nbl * per_elem, 1))
+            eff_bl = npairs * m_max if pad_routing else nbl
+            max_block = max(
+                256 if use_ds else 1024, budget // max(eff_bl * per_elem, 1)
+            )
             nchunks = max(nchunks, -(-nsrc // (max_block * n_sdev)))
             nchunks = min(nchunks, nsrc)
         block = int(np.ceil(nsrc / (nchunks * n_sdev)))
@@ -626,8 +637,12 @@ class TPUSimulationEngine(SimulationEngine):
             # ~6 min of compile for a 37-distinct-beam array (703 pairs).
             # Padding every pair's baseline list to the longest one turns
             # the whole routing into a handful of batched ops.
-            if npairs > 1:
-                m_max = max(len(s) for s in pair_plan.bls_idxs)
+            # Padding wastes (npairs * m_max) / nbl slots when pair sizes
+            # are skewed (one dominant beam + outliers); the per-pair loop
+            # is work-optimal but unrolls an O(npairs) HLO (minutes of
+            # compile at hundreds of pairs). pad_routing (computed above)
+            # batches when the waste is bounded or the pair count is large.
+            if pad_routing:
                 sel_pad = np.zeros((npairs, m_max), dtype=np.int64)
                 sel_valid = np.zeros((npairs, m_max), dtype=bool)
                 src_pos = np.empty(nbl, dtype=np.int64)
@@ -751,7 +766,7 @@ class TPUSimulationEngine(SimulationEngine):
                 x = nufft_coords(topo_b, fv)
                 if plan.mode == "direct":
                     tg = plan.targets.astype(real_dtype)  # (d, nbl) signed
-                    if multi:
+                    if multi and pad_routing:
                         # Batched over pairs via the padded routing: one
                         # phase einsum + one batched matmul, not npairs.
                         tgp = tg[:, sel_pad]  # (d, P, m_max) host constant
@@ -761,6 +776,21 @@ class TPUSimulationEngine(SimulationEngine):
                         )
                         rows3 = rows.reshape(npairs, nf2, -1)
                         return carry + jnp.einsum("pfn,npm->pfm", rows3, e), None
+                    if multi:
+                        # Skewed pair sizes: the work-optimal per-pair loop.
+                        outs = []
+                        for p in range(npairs):
+                            sel = pair_plan.bls_idxs[p]
+                            phase = jnp.einsum(
+                                "db,dn->nb", jnp.asarray(tg[:, sel]), x
+                            )
+                            e = (jnp.cos(phase) + 1j * jnp.sin(phase)).astype(
+                                complex_dtype
+                            )
+                            outs.append(
+                                carry[p] + rows[p * nf2 : (p + 1) * nf2] @ e
+                            )
+                        return tuple(outs), None
                     phase = jnp.einsum("db,dn->nb", jnp.asarray(tg), x)
                     e = (jnp.cos(phase) + 1j * jnp.sin(phase)).astype(complex_dtype)
                     return carry + rows @ e, None
@@ -771,9 +801,17 @@ class TPUSimulationEngine(SimulationEngine):
                     jnp.zeros((C, nbl), real_dtype) for _ in range(4)
                 )
             elif plan.mode == "direct":
-                if multi:
+                if multi and pad_routing:
                     init = jnp.zeros(
                         (npairs, nf2, sel_pad.shape[1]), dtype=complex_dtype
+                    )
+                elif multi:
+                    init = tuple(
+                        jnp.zeros(
+                            (nf2, len(pair_plan.bls_idxs[p])),
+                            dtype=complex_dtype,
+                        )
+                        for p in range(npairs)
                     )
                 else:
                     init = jnp.zeros((C, nbl), dtype=complex_dtype)
@@ -832,30 +870,49 @@ class TPUSimulationEngine(SimulationEngine):
                     ]
                 )
 
+            if multi and not pad_routing:
+                # Work-optimal per-pair routing (skewed pair sizes, small
+                # npairs): per-pair gathers/interpolation, concatenated in
+                # routing order and un-permuted with one static take.
+                if plan.mode == "direct":
+                    pair_outs = list(acc)
+                else:
+                    G = plan.executor.transform(acc)
+                    cm = getattr(plan.executor, "channel_multiplier", 1)
+                    pair_outs = []
+                    for p in range(npairs):
+                        sel = pair_plan.bls_idxs[p]
+                        Gp = G[p * nf2 * cm : (p + 1) * nf2 * cm]
+                        if plan.mode == "type1":
+                            pair_outs.append(plan.executor.gather(Gp, sel))
+                        else:
+                            pair_outs.append(plan.executor.interpolate(Gp, sel))
+                vps = []
+                for p in range(npairs):
+                    sel = pair_plan.bls_idxs[p]
+                    flip_p = flipped_global[sel]
+                    vp = jnp.where(
+                        flip_p[None, :], jnp.conj(pair_outs[p]), pair_outs[p]
+                    )
+                    vps.append(
+                        jnp.transpose(
+                            vp.reshape(nfeeds, nfeeds, len(sel)), (2, 1, 0)
+                        )
+                    )
+                vis_f = jnp.concatenate(vps, axis=0)
+                return vis_f if sel_is_identity else vis_f[inv_perm]
+
             if multi:
                 m_max = sel_pad.shape[1]
                 if plan.mode == "direct":
                     out = acc  # (P, nf2, m_max), batched in scan_body
                 elif plan.mode == "type1":
-                    # Batched gather over the padded routing: one take
-                    # instead of npairs (channels are pair-major; the
-                    # type-1 executor has no channel multiplier).
-                    G = plan.executor.transform(acc)
-                    ep = plan.executor.plan
-                    flat = G.reshape(npairs, nf2, -1)
-                    idxp = ep.gather_idx[sel_pad]  # (P, m_max) host
-                    decp = ep.gather_deconv[sel_pad].astype(
-                        np.dtype(real_dtype)
+                    # Batched gather over the padded routing (channels are
+                    # pair-major; the type-1 executor has no channel
+                    # multiplier).
+                    out = plan.executor.gather_padded(
+                        plan.executor.transform(acc), sel_pad
                     )
-                    sub = jnp.take_along_axis(
-                        flat,
-                        jnp.broadcast_to(
-                            jnp.asarray(idxp)[:, None, :],
-                            (npairs, nf2, m_max),
-                        ),
-                        axis=2,
-                    )
-                    out = sub * jnp.asarray(decp)[:, None, :]
                 else:
                     # type-3: the tiled interpolation is host-planned per
                     # target subset, so keep the per-pair loop (npairs is
@@ -927,7 +984,14 @@ class TPUSimulationEngine(SimulationEngine):
         # per-frequency live footprint allows, else a sequential scan.
         _C_total = npairs * nfeeds**2
         if plan.mode == "direct":
-            _per_freq_bytes = plan.block * nbl * (96 if use_ds else 12) + _C_total * nbl * 16
+            # Padded multi-pair routing materializes (block, P, m_max)
+            # phase/fringe tensors -- (P * m_max) / nbl larger than the
+            # per-baseline footprint when pair sizes are skewed.
+            _eff_bl = npairs * m_max if pad_routing else nbl
+            _per_freq_bytes = (
+                plan.block * _eff_bl * (96 if use_ds else 12)
+                + _C_total * nbl * 16
+            )
         else:
             _cmult = getattr(plan.executor, "channel_multiplier", 1)
             _per_freq_bytes = (

@@ -216,3 +216,36 @@ class TestAssemblyPermutation:
         unbatched = self._sim(bls, beam_idx=beam_idx, beams=beams)
         eng_mod._PROGRAM_CACHE.clear()
         np.testing.assert_allclose(batched, unbatched, rtol=0, atol=1e-10)
+
+
+def test_skewed_routing_uses_per_pair_loop_and_matches():
+    """One dominant beam + two outliers: npairs * m_max exceeds the padded
+    -routing waste bound, so the engine must take the work-optimal per-pair
+    loop -- and still match a reference computed through the padded path
+    (same physics, different routing)."""
+    rng = np.random.default_rng(23)
+    nant = 14
+    ants = {i: np.array([*rng.uniform(-50, 50, 2), 0.0]) for i in range(nant)}
+    ra = rng.uniform(0, 2 * np.pi, 25)
+    dec = np.clip(LOC.lat + rng.normal(0, 0.3, 25), -np.pi / 2, np.pi / 2)
+    flux = rng.uniform(0.1, 1.0, (25, len(FREQS)))
+    beams = [_gridded(10.0 + i) for i in range(5)]
+    beam_idx = np.array([0] * (nant - 4) + [1, 2, 3, 4])
+    kw = dict(
+        ants=ants, fluxes=flux, ra=ra, dec=dec, freqs=FREQS,
+        times=JD0 + np.linspace(0, 0.01, 2), telescope_loc=LOC,
+        polarized=True, precision=2, beam=beams, beam_idx=beam_idx,
+    )
+    got = simulate_vis(backend="tpu", **kw)
+    want = simulate_vis(backend="direct", **kw)
+    np.testing.assert_allclose(got, want, atol=1e-5 * np.abs(want).max())
+
+    # The skew condition must actually select the loop here.
+    from fftvis_tpu.core.beams import plan_beam_pairs
+    from fftvis_tpu.core.utils import get_pos_reds
+
+    bls = [r[0] for r in get_pos_reds(ants, include_autos=True)]
+    plan = plan_beam_pairs(list(ants.keys()), bls, beam_idx)
+    nbl = sum(len(s) for s in plan.bls_idxs)
+    m_max = max(len(s) for s in plan.bls_idxs)
+    assert plan.npairs * m_max > 4 * nbl and plan.npairs <= 32
