@@ -44,16 +44,32 @@ def make_mesh(time: int = 1, source: int = 1, freq: int = 1, devices=None):
     return Mesh(arr, axis_names=("time", "freq", "source"))
 
 
-def auto_mesh(n_devices: int | None = None, prefer_time: bool = True):
-    """Factor the device count into a (time, source) mesh.
+def auto_mesh(
+    n_devices: int | None = None,
+    prefer_time: bool = True,
+    ntimes: int | None = None,
+    nfreqs: int | None = None,
+):
+    """Factor the device count into a mesh.
 
-    Times are the cheapest axis to scale (fully independent blocks), so by
-    default all devices go to ``time``; set ``prefer_time=False`` to split
-    evenly for source-heavy problems.
+    With the workload dimensions given, the reference's freq x time task
+    partitioner (``get_task_chunks``, ref core/utils.py:122-187) chooses
+    the (time, freq) axis split -- each of its per-process blocks maps to
+    one device. Otherwise: times are the cheapest axis to scale (fully
+    independent blocks), so all devices go to ``time``; set
+    ``prefer_time=False`` to split evenly for source-heavy problems.
     """
     import jax
 
     n = n_devices or len(jax.devices())
+    if ntimes is not None and nfreqs is not None and n > 1:
+        from ..core.utils import get_task_chunks
+
+        nproc, _, _, nf, _ = get_task_chunks(n, nfreqs, ntimes)
+        if nproc > 1:
+            nfc = min(max(1, int(np.ceil(nfreqs / nf))), n)
+            return make_mesh(time=max(1, n // nfc), freq=nfc)
+        return make_mesh(time=1)
     if prefer_time:
         return make_mesh(time=n, source=1)
     t = int(np.floor(np.sqrt(n)))
@@ -65,11 +81,22 @@ def auto_mesh(n_devices: int | None = None, prefer_time: bool = True):
 def simulate_vis_sharded(*args, mesh=None, **kwargs):
     """``simulate_vis`` over a device mesh (see :func:`make_mesh`).
 
-    Accepts every ``fftvis_tpu.simulate_vis`` argument; ``mesh`` defaults to
-    all available devices on the time axis.
+    Accepts every ``fftvis_tpu.simulate_vis`` argument; ``mesh`` defaults
+    to an :func:`auto_mesh` over all devices, shaped by the workload's
+    (ntimes, nfreqs) when those are inferable from the arguments.
     """
     from ..wrapper import simulate_vis
 
     if mesh is None:
-        mesh = auto_mesh()
+        ntimes = nfreqs = None
+        try:
+            from ..coords.erfa_lite import times_to_jd
+
+            if kwargs.get("times") is not None:
+                ntimes = int(times_to_jd(kwargs["times"]).size)
+            if kwargs.get("freqs") is not None:
+                nfreqs = int(np.atleast_1d(kwargs["freqs"]).size)
+        except Exception:  # pragma: no cover - exotic time types
+            pass
+        mesh = auto_mesh(ntimes=ntimes, nfreqs=nfreqs)
     return simulate_vis(*args, backend="tpu", mesh=mesh, **kwargs)

@@ -136,3 +136,23 @@ def test_sharded_ds_path_matches_single_device(monkeypatch):
     got = simulate_vis(backend="tpu", mesh=make_mesh(time=2, source=2), **kw)
     assert got.dtype == np.complex128 and want.dtype == np.complex128
     np.testing.assert_allclose(got, want, atol=1e-9 * np.abs(want).max())
+
+
+def test_auto_mesh_workload_aware():
+    """With workload dims, auto_mesh delegates the axis split to the
+    reference's freq x time partitioner (get_task_chunks as the mesh-shape
+    chooser)."""
+    m = auto_mesh(8, ntimes=12, nfreqs=10)
+    assert m.shape["time"] * m.shape["freq"] <= 8
+    assert m.shape["time"] > 1  # 12 times across 8 devices splits time
+    # Tiny workloads stay unsharded.
+    m1 = auto_mesh(8, ntimes=1, nfreqs=1)
+    assert m1.shape["time"] == 1 and m1.shape["freq"] == 1
+
+
+def test_sharded_default_mesh_matches_single_device():
+    rng = np.random.default_rng(29)
+    kw = _case(rng, nsrc=30, ntimes=4)
+    want = simulate_vis(backend="tpu", **kw)
+    got = simulate_vis_sharded(**kw)  # workload-aware default mesh
+    np.testing.assert_allclose(got, want, atol=1e-10 * np.abs(want).max())
