@@ -118,3 +118,21 @@ def test_fuzz_vs_oracle(seed):
     assert got.shape == want.shape
     scale = max(np.abs(want).max(), 1e-12)
     np.testing.assert_allclose(got, want, atol=2e-5 * scale, rtol=0)
+
+
+@pytest.mark.parametrize("seed", range(200, 212))
+def test_fuzz_tiled_spreader_vs_oracle(seed, monkeypatch):
+    """Same fuzz, but forcing the tile-binned spreader with the device-side
+    capacity/occupancy checks armed: random configurations must neither
+    drop sources (FFTVIS_DEBUG raises) nor lose accuracy through the
+    balanced-occupancy class schedule."""
+    monkeypatch.setenv("FFTVIS_SPREADER", "tiled")
+    monkeypatch.setenv("FFTVIS_DEBUG", "1")
+    kw = _draw_case(seed)
+    kw["force_use_type3"] = True
+    got = simulate_vis(backend="tpu", **kw)
+    want = simulate_vis(backend="direct", **{
+        k: v for k, v in kw.items() if k != "force_use_type3"
+    })
+    scale = max(np.abs(want).max(), 1e-12)
+    np.testing.assert_allclose(got, want, atol=2e-5 * scale, rtol=0)
