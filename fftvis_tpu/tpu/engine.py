@@ -820,13 +820,21 @@ class TPUSimulationEngine(SimulationEngine):
                 init = jnp.zeros(
                     (CK,) + tuple(plan.executor.plan.nf), dtype=complex_dtype
                 )
-            if mesh is not None and hasattr(jax.lax, "pvary"):
+            if mesh is not None:
                 # Under shard_map the scan carry varies over the mesh axes
                 # (its updates depend on sharded inputs); mark the zero init
                 # accordingly for the varying-manual-axes checker.
-                init = jax.tree.map(
-                    lambda a: jax.lax.pvary(a, tuple(mesh.axis_names)), init
-                )
+                if hasattr(jax.lax, "pcast"):
+                    _mark = lambda a: jax.lax.pcast(  # noqa: E731
+                        a, tuple(mesh.axis_names), to="varying"
+                    )
+                elif hasattr(jax.lax, "pvary"):  # pragma: no cover - old jax
+                    _mark = lambda a: jax.lax.pvary(  # noqa: E731
+                        a, tuple(mesh.axis_names)
+                    )
+                else:  # pragma: no cover - very old jax
+                    _mark = lambda a: a  # noqa: E731
+                init = jax.tree.map(_mark, init)
 
             acc, _ = jax.lax.scan(
                 scan_body,
