@@ -200,16 +200,27 @@ def simulate_vis(
             from .coords.erfa_lite import times_to_jd
 
             ntimes_here = int(times_to_jd(times).size)
-            tdev = min(int(nprocesses), ndev, max(ntimes_here, 1))
-            if ndev > 1 and tdev > 1:
-                from .parallel.mesh import make_mesh
+            nfreqs_here = int(np.atleast_1d(freqs).size)
+            n_use = min(int(nprocesses), ndev)
+            if ndev > 1 and n_use > 1:
+                from .parallel.mesh import auto_mesh
 
-                mesh = make_mesh(time=tdev)
-                logger.info(
-                    "nprocesses=%d mapped to a %d-device time mesh "
-                    "(%d devices available, %d times)",
-                    nprocesses, tdev, ndev, ntimes_here,
+                # The reference's nprocesses fans freq x time chunks out to
+                # that many workers (get_task_chunks); auto_mesh applies
+                # the same partitioner to pick the (time, freq) axis split.
+                mesh = auto_mesh(
+                    n_use, ntimes=ntimes_here, nfreqs=nfreqs_here
                 )
+                if mesh.devices.size <= 1:
+                    mesh = None  # workload too small to shard
+                else:
+                    logger.info(
+                        "nprocesses=%d mapped to a (%d time x %d freq) "
+                        "device mesh (%d devices available, %d times x %d "
+                        "freqs)",
+                        nprocesses, mesh.shape["time"], mesh.shape["freq"],
+                        ndev, ntimes_here, nfreqs_here,
+                    )
         except Exception:  # pragma: no cover
             logger.warning(
                 "nprocesses=%d requested but device-mesh construction "
