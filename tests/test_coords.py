@@ -242,3 +242,76 @@ def test_golden_coordinate_chain_snapshot():
     np.testing.assert_allclose(
         aberration_velocities(jds), gold["abvel"], rtol=0, atol=1e-9
     )
+
+
+class TestHorizonCull:
+    """cull_never_visible edge cases (the engine-level oracle test covers
+    the happy path; these pin the contract)."""
+
+    def _rot(self, dec, times=None):
+        import numpy as np
+
+        from fftvis_tpu.coords.rotation import SourceRotation
+
+        lat = np.deg2rad(-30.72)
+        loc = (lat, np.deg2rad(21.43), 1000.0)
+        from fftvis_tpu import TelescopeLocation
+
+        ra = np.linspace(0, 2 * np.pi, len(dec), endpoint=False)
+        # Default: a full sidereal day, so visibility depends on dec only
+        # (every RA culminates); pass short windows to test RA-dependence.
+        t = times if times is not None else 2459863.2 + np.linspace(0, 1.0, 25)
+        return SourceRotation(ra, np.asarray(dec), t, TelescopeLocation(*loc))
+
+    def test_none_dropped_returns_none(self):
+        import numpy as np
+
+        rot = self._rot(np.full(8, np.deg2rad(-30.0)))  # near zenith
+        assert rot.cull_never_visible() is None
+        assert rot.nsrc == 8
+
+    def test_never_risers_dropped(self):
+        import numpy as np
+
+        # Northern circumpolar-invisible cap for a -30.7 deg site.
+        dec = np.concatenate(
+            [np.full(5, np.deg2rad(85.0)), np.full(5, np.deg2rad(-30.0))]
+        )
+        rot = self._rot(dec)
+        keep = rot.cull_never_visible()
+        assert keep is not None
+        assert keep.sum() == 5 and rot.nsrc == 5
+        assert not keep[:5].any() and keep[5:].all()
+
+    def test_all_culled_keeps_one(self):
+        import numpy as np
+
+        rot = self._rot(np.full(4, np.deg2rad(89.0)))
+        keep = rot.cull_never_visible()
+        assert keep is not None and keep.sum() == 1 and rot.nsrc == 1
+
+    def test_short_window_culls_by_hour_angle(self):
+        import numpy as np
+
+        # Over a 15-minute window, equal-dec sources at the wrong hour
+        # angle never rise and must be culled; the cull is window-aware.
+        rot = self._rot(
+            np.full(8, np.deg2rad(-30.0)),
+            times=2459863.2 + np.linspace(0, 0.01, 3),
+        )
+        keep = rot.cull_never_visible()
+        assert keep is not None and 0 < keep.sum() < 8
+
+    def test_margin_is_a_keep_side_guard(self):
+        import numpy as np
+
+        # Max altitude ~ -0.05 rad (never rises): culled at the default
+        # margin, kept when the margin covers the deficit -- the margin
+        # errs toward KEEPING sources (it absorbs aberration/fp32 jitter).
+        lat = np.deg2rad(-30.72)
+        dec = np.array([lat + np.pi / 2 + 0.05])
+        rot = self._rot(dec)
+        assert rot.cull_never_visible(margin=0.1) is None
+        rot2 = self._rot(dec)
+        keep = rot2.cull_never_visible(margin=2e-3)
+        assert keep is not None and keep.sum() == 1  # keeps-one floor
