@@ -240,3 +240,42 @@ class TestCaches:
         # Different polarization => different program.
         simulate_vis(**{**kw, "polarized": True})
         assert len(eng_mod._PROGRAM_CACHE) >= n_before
+
+
+class TestDegenerateSkies:
+    """Degenerate inputs must produce exact zeros, not NaNs or crashes
+    (the static horizon cull keeps a masked sentinel source; zero flux
+    rides the whole pipeline)."""
+
+    def _kw(self, rng, **over):
+        ants = {i: np.array([*rng.uniform(-40, 40, 2), 0.0]) for i in range(3)}
+        base = dict(
+            ants=ants,
+            fluxes=rng.uniform(0.1, 1.0, (6, 2)),
+            ra=rng.uniform(0, 2 * np.pi, 6),
+            dec=np.full(6, np.deg2rad(85.0)),  # never visible from -30.7
+            freqs=np.array([1.0e8, 1.1e8]),
+            times=2459863.2 + np.linspace(0, 0.01, 2),
+            beam=GaussianBeam(diameter=12.0),
+            telescope_loc=LOC,
+            precision=2,
+        )
+        base.update(over)
+        return base
+
+    def test_all_sources_below_horizon_yields_zeros(self):
+        rng = np.random.default_rng(41)
+        vis = simulate_vis(**self._kw(rng))
+        assert vis.shape[-1] > 0
+        np.testing.assert_array_equal(vis, np.zeros_like(vis))
+
+    def test_zero_flux_yields_zeros(self):
+        rng = np.random.default_rng(42)
+        lat = float(LOC.lat)
+        kw = self._kw(
+            rng,
+            fluxes=np.zeros((6, 2)),
+            dec=np.clip(lat + rng.normal(0, 0.3, 6), -np.pi / 2, np.pi / 2),
+        )
+        vis = simulate_vis(**kw)
+        np.testing.assert_array_equal(vis, np.zeros_like(vis))
