@@ -132,7 +132,7 @@ class TestReduction:
         x = np.concatenate([big, -big + RNG.normal(size=4096) * 1e-6])
         RNG.shuffle(x)
         h, l = ds.ds_sum_pairwise(*_ds_of(x.reshape(1, -1)), axis=1)
-        got = float(np.asarray(h, np.float64) + np.asarray(l, np.float64))
+        got = float((np.asarray(h, np.float64) + np.asarray(l, np.float64)).reshape(()))
         want = float(np.sum(x))
         f32_err = abs(float(np.sum(x.astype(np.float32))) - want)
         assert abs(got - want) <= max(1e-9 * np.abs(x).sum(), f32_err / 1e4)
