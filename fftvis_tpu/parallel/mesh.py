@@ -67,9 +67,16 @@ def auto_mesh(
 
         nproc, _, _, nf, _ = get_task_chunks(n, nfreqs, ntimes)
         if nproc > 1:
-            nfc = min(max(1, int(np.ceil(nfreqs / nf))), n)
-            return make_mesh(time=max(1, n // nfc), freq=nfc)
-        return make_mesh(time=1)
+            # Axes never exceed the workload dims: a time axis above
+            # ntimes pads identity-rotation throwaway work onto whole
+            # devices (the engine slices it off, but the FLOPs are spent).
+            nfc = min(max(1, int(np.ceil(nfreqs / nf))), n, max(nfreqs, 1))
+            ntc = min(max(1, n // nfc), max(ntimes, 1))
+            return make_mesh(time=ntc, freq=nfc)
+        # The partitioner's 2x-tasks rule models per-PROCESS overhead; an
+        # SPMD mesh has none, so small workloads still shard over time
+        # (capped at ntimes) rather than running on one device.
+        return make_mesh(time=min(n, max(ntimes, 1)))
     if prefer_time:
         return make_mesh(time=n, source=1)
     t = int(np.floor(np.sqrt(n)))

@@ -219,10 +219,10 @@ class TestAssemblyPermutation:
 
 
 def test_skewed_routing_uses_per_pair_loop_and_matches():
-    """One dominant beam + two outliers: npairs * m_max exceeds the padded
-    -routing waste bound, so the engine must take the work-optimal per-pair
-    loop -- and still match a reference computed through the padded path
-    (same physics, different routing)."""
+    """One dominant beam + several outliers: npairs * m_max exceeds the
+    padded-routing waste bound, so the engine takes the work-optimal
+    per-pair loop; the result is validated against the exact fp64
+    direct-DFT oracle."""
     rng = np.random.default_rng(23)
     nant = 14
     ants = {i: np.array([*rng.uniform(-50, 50, 2), 0.0]) for i in range(nant)}

@@ -141,18 +141,27 @@ def test_sharded_ds_path_matches_single_device(monkeypatch):
 def test_auto_mesh_workload_aware():
     """With workload dims, auto_mesh delegates the axis split to the
     reference's freq x time partitioner (get_task_chunks as the mesh-shape
-    chooser)."""
+    chooser), with axes capped at the workload dimensions."""
     m = auto_mesh(8, ntimes=12, nfreqs=10)
     assert m.shape["time"] * m.shape["freq"] <= 8
     assert m.shape["time"] > 1  # 12 times across 8 devices splits time
-    # Tiny workloads stay unsharded.
+    # Axes never exceed the workload dims (no identity-padded devices).
+    m2 = auto_mesh(8, ntimes=3, nfreqs=6)
+    assert m2.shape["time"] <= 3 and m2.shape["freq"] <= 6
+    # Small workloads STILL shard over time (SPMD has no per-process
+    # overhead; the partitioner's 2x-tasks rule must not disable devices).
+    m3 = auto_mesh(8, ntimes=15, nfreqs=1)
+    assert m3.shape["time"] == 8
+    # Degenerate 1x1 workloads stay unsharded.
     m1 = auto_mesh(8, ntimes=1, nfreqs=1)
     assert m1.shape["time"] == 1 and m1.shape["freq"] == 1
 
 
 def test_sharded_default_mesh_matches_single_device():
     rng = np.random.default_rng(29)
-    kw = _case(rng, nsrc=30, ntimes=4)
+    kw = _case(rng, nsrc=30, ntimes=8)  # 8t x 2f: the default mesh shards
+    m = auto_mesh(8, ntimes=8, nfreqs=2)
+    assert m.devices.size > 1  # guard: the comparison is not vacuous
     want = simulate_vis(backend="tpu", **kw)
     got = simulate_vis_sharded(**kw)  # workload-aware default mesh
     np.testing.assert_allclose(got, want, atol=1e-10 * np.abs(want).max())
