@@ -19,14 +19,28 @@ the whole simulation is a single XLA program:
         FFT + deconvolve + interpolate     (one batched transform for ALL
                                             beam pairs, ref loops at :1030)
 
-Horizon handling is a weight mask (below-horizon sources contribute zeros)
-instead of dynamic compaction, keeping every shape static under jit.
+Horizon handling is two-stage: sources that never rise during the
+simulated times are dropped on the host before planning
+(rot.cull_never_visible; ~half of a full-sky catalog for short
+observations), and the rest carry a per-time weight mask (below-horizon
+contributions are exact zeros) so every shape stays static under jit.
 
 Three transform paths, chosen per simulation by a FLOP model:
   - "type1":  gridded arrays; ES-spread + FFT + mode gather,
-  - "type3":  general arrays; ES-spread + FFT + ES-interpolation,
+  - "type3":  general arrays; ES-spread + FFT + ES-interpolation
+              (3D non-coplanar via the low-rank Chebyshev z
+              factorization; large grids via the tile-binned spreader
+              with balanced-occupancy capacity classes),
   - "direct": exact blocked dense DFT on the MXU -- for small
-              (nsrc x nbl) this beats any NUFFT and is error-free.
+              (nsrc x nbl) this beats any NUFFT and is error-free; an
+              explicitly-requested eps below the fp32 floor runs it in
+              compensated double-single arithmetic (tpu/ds.py) for
+              fp64-class accuracy on fp64-less hardware.
+
+Beam-pair routing (per-antenna beams) is padded and batched into O(1)
+graph size when pair sizes are balanced, with a work-optimal per-pair
+loop fallback for skewed routings; same-grid tabulated beam lists fuse
+into one stacked-table interpolation.
 """
 
 from __future__ import annotations
