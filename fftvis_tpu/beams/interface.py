@@ -157,6 +157,8 @@ def prepare_beam(
     """
     from ..core.hashing import beam_fingerprint, hash_parts
 
+    import os
+
     cache_key = hash_parts(
         (
             beam_fingerprint(beam),
@@ -165,6 +167,9 @@ def prepare_beam(
             repr(spline_opts),
             interpolation_function,
             use_feed,
+            # Domain handling is decided at prepare time; the opt-in clamp
+            # flag changes whether a short-za beam raises, so it keys here.
+            os.environ.get("FFTVIS_ALLOW_BEAM_CLAMP", ""),
         )
     )
     hit = _PREPARED_CACHE.get(cache_key)
@@ -254,19 +259,32 @@ def _prepare_beam_uncached(
         gb = gb.as_power_beam()
 
     gb = gb.interp_freq(np.asarray(freqs, dtype=float))
-    # check_azza_domain equivalent (ref cpu/beams.py:69-74): the hot path
-    # cannot host-validate traced coordinates, but any above-horizon source
-    # can reach za = pi/2, so a beam grid ending short of that WILL be
-    # evaluated out of domain (values clamp to the edge row here; the
-    # reference would raise per chunk).
+    # check_azza_domain equivalent (pyuvdata's UVBeam domain check, which
+    # the reference exposes via compute_response at ref cpu/beams.py:62-74):
+    # the hot path cannot host-validate traced coordinates, but any
+    # above-horizon source can reach za = pi/2, so a beam grid ending short
+    # of that WILL be evaluated out of domain. Silent edge-row clamping on
+    # a partial-sky beam file produces plausible-but-wrong visibilities, so
+    # this raises at prepare time (the grid and the horizon are both
+    # static); set FFTVIS_ALLOW_BEAM_CLAMP=1 to opt in to clamping.
+    import os
+
     za_end = float(gb.axis2_array[-1])
     if za_end < np.pi / 2 - 1e-9:
-        logger.warning(
-            "beam za grid ends at %.4f rad < pi/2: above-horizon sources "
-            "beyond it clamp to the edge row (reference check_azza_domain "
-            "would raise)",
-            za_end,
-        )
+        if os.environ.get("FFTVIS_ALLOW_BEAM_CLAMP") == "1":
+            logger.warning(
+                "beam za grid ends at %.4f rad < pi/2: above-horizon "
+                "sources beyond it clamp to the edge row "
+                "(FFTVIS_ALLOW_BEAM_CLAMP=1)",
+                za_end,
+            )
+        else:
+            raise ValueError(
+                f"beam za grid ends at {za_end:.4f} rad < pi/2: "
+                "above-horizon sources can fall outside the beam domain "
+                "(check_azza_domain). Extend the beam grid to the horizon, "
+                "or set FFTVIS_ALLOW_BEAM_CLAMP=1 to clamp to the edge row."
+            )
     # Ship complex beam tables as a stacked (re, im) real array: complex
     # buffers cannot cross the host/device boundary on some experimental
     # TPU runtimes, and interpolation distributes over re/im anyway.

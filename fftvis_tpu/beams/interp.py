@@ -17,8 +17,6 @@ selects modular indexing there.
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 
 _POLE = np.sqrt(3.0) - 2.0  # cubic B-spline filter pole
@@ -181,8 +179,3 @@ def map_coordinates_2d(
         return jnp.einsum("...pab,pa,pb->...p", sub, wy, wx)
 
     raise NotImplementedError(f"order={order}")
-
-
-@functools.lru_cache(maxsize=None)
-def _unused():  # pragma: no cover
-    return None

@@ -115,6 +115,23 @@ class SourceRotation:
             return np.einsum("tij,tjs->tis", self.matrices, eq)
         return np.einsum("tij,js->tis", self.matrices, eq)
 
+    def topo_at(self, t: int, eq: np.ndarray | None = None) -> np.ndarray:
+        """Topocentric ENU vectors at one time, replaying the DEVICE chain
+        (aberration add + renormalize + rotate) in float64.
+
+        Capacity planners use this so their occupancy bounds see exactly the
+        grid positions the device will produce (modulo fp32 jitter, covered
+        by the planners' fixed cell margins); omitting the aberration term
+        displaces sources by ~1e-4 direction-cosine, which on fine grids can
+        exceed a fixed few-cell margin. ``eq`` defaults to the catalog
+        vectors but may be a padded (3, n) array.
+        """
+        eq = self.eq_vectors if eq is None else eq
+        if self.aberration is not None:
+            eq = eq + self.aberration[t][:, None]
+            eq = eq / np.linalg.norm(eq, axis=0, keepdims=True)
+        return self.matrices[t] @ eq
+
 
 def _simple_spin_matrices(jd: np.ndarray, loc: TelescopeLocation) -> np.ndarray:
     """Sidereal-spin-only ENU matrices (no precession): for synthetic tests."""

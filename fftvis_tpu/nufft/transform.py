@@ -583,7 +583,10 @@ class Type3Executor:
     def __init__(self, plan: Type3Plan):
         self.plan = plan
         self.strip_config: tuple[int, int] | None = None
-        self.tile_config: tuple[int, int, int] | None = None
+        # (tile_y, tile_x, capacity[, classes]) -- classes is the optional
+        # balanced-occupancy schedule from the engine planner; a legacy
+        # 3-tuple (no classes) is accepted and normalized by _spread_auto.
+        self.tile_config: tuple | None = None
         self._interp_cache: dict = {}
 
     # Extra grid channels per weight channel (1 here; K for lowrank-z).
@@ -711,7 +714,8 @@ class Type3LowrankZExecutor:
         self.zplan = zplan
         self.plan = zplan.plan2d
         self.strip_config: tuple[int, int] | None = None
-        self.tile_config: tuple[int, int, int] | None = None
+        # (tile_y, tile_x, capacity[, classes]); see Type3Executor.
+        self.tile_config: tuple | None = None
         self._interp_cache: dict = {}
 
     _tiled_interp = Type3Executor._tiled_interp
@@ -883,6 +887,10 @@ def _spread_auto(
 
     mode = os.environ.get("FFTVIS_SPREADER", "auto")
     d = len(u_list)
+    # The engine planner supplies a 4-tuple (ty, sx, cap, classes); accept
+    # the documented legacy 3-tuple (FFTVIS_TILE workflows) as classes=None.
+    if tile_config is not None and len(tile_config) == 3:
+        tile_config = (*tile_config, None)
     if mode == "strip" and d == 2 and strip_config is not None:
         return _spread_strip_matmul(u_list, weights, nf, w, beta, *strip_config)
     if mode == "tiled" and d == 2 and tile_config is not None:

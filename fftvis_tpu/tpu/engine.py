@@ -1335,7 +1335,7 @@ class TPUSimulationEngine(SimulationEngine):
             width_hat = strip * eplan.h[1] / scale_min * 1.05
             cap = 0
             for t in range(rot.ntimes):
-                topo = rot.matrices[t] @ rot.eq_vectors  # (3, nsrc) float64
+                topo = rot.topo_at(t)  # (3, nsrc) float64, device chain
                 y = (plan.rotation_matrix @ topo)[1]
                 ys = np.sort(y)
                 hi = np.searchsorted(ys, ys + width_hat, side="right")
@@ -1357,7 +1357,7 @@ class TPUSimulationEngine(SimulationEngine):
         wx = sx * eplan.h[1] / scale_min * 1.05
         cap = 0
         for t in range(rot.ntimes):
-            topo = rot.matrices[t] @ rot.eq_vectors  # (3, nsrc) float64
+            topo = rot.topo_at(t)  # (3, nsrc) float64, device chain
             xr = plan.rotation_matrix @ topo
             by = np.floor(xr[0] / (wy / 2)).astype(np.int64)
             bx = np.floor(xr[1] / (wx / 2)).astype(np.int64)
@@ -1409,7 +1409,7 @@ class TPUSimulationEngine(SimulationEngine):
         if n_inst > 1024 or ntiles < 8 or ntiles > 4096:
             return None
 
-        delta = 4.0  # cells; covers device-fp32 vs host-fp64 + aberration
+        delta = 4.0  # cells; covers device-fp32 vs host-fp64 jitter
         scales = TWO_PI * np.asarray(freqs, dtype=float) / speed_of_light
         # Padding sources all land at one point per instance; replay them.
         eq = rot.eq_vectors
@@ -1445,7 +1445,10 @@ class TPUSimulationEngine(SimulationEngine):
         # is per chunk, maxed over instances.
         B = np.zeros(ntiles, dtype=np.int64)
         for t in range(rot.ntimes):
-            xr = plan.rotation_matrix @ (rot.matrices[t] @ eq)  # (3, nsrc_pad)
+            # Replay the device chain (incl. aberration) so the per-tile
+            # bounds are exact up to fp32 jitter; delta then only needs to
+            # cover that jitter, not a resolution-dependent aberration shift.
+            xr = plan.rotation_matrix @ rot.topo_at(t, eq)  # (3, nsrc_pad)
             for s in scales:
                 uy = np.mod(xr[0] * s / eplan.h[0], nfy)
                 ux = np.mod(xr[1] * s / eplan.h[1], nfx)

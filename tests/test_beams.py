@@ -334,9 +334,10 @@ def test_spline_opts_validation():
                      spline_opts={"order": 2})
 
 
-def test_short_za_grid_warns(caplog):
-    """A beam grid ending short of the horizon triggers the domain notice
-    (check_azza_domain equivalent; ref cpu/beams.py:69-74)."""
+def test_short_za_grid_raises(caplog, monkeypatch):
+    """A beam grid ending short of the horizon raises at prepare time
+    (check_azza_domain equivalent; ref cpu/beams.py:62-74), and clamps
+    with a warning only under the explicit opt-in env flag."""
     import logging
 
     from fftvis_tpu.beams import GaussianBeam
@@ -346,6 +347,11 @@ def test_short_za_grid_warns(caplog):
     gb = GriddedBeam.from_function(
         GaussianBeam(diameter=12.0), n_za=46, za_max=np.pi / 4, freqs=(1e8,)
     )
+    _PREPARED_CACHE.clear()
+    with pytest.raises(ValueError, match="za grid ends"):
+        prepare_beam(gb, freqs=np.array([1e8]), polarized=True)
+
+    monkeypatch.setenv("FFTVIS_ALLOW_BEAM_CLAMP", "1")
     _PREPARED_CACHE.clear()
     with caplog.at_level(logging.WARNING, logger="fftvis_tpu.beams.interface"):
         prepare_beam(gb, freqs=np.array([1e8]), polarized=True)
