@@ -156,10 +156,36 @@ class GriddedBeam:
           (squeezed, one spectral window only);
         - ``freq_array`` shaped ``(Nfreqs,)`` or the legacy ``(1, Nfreqs)``;
         - ``feed_array`` ordering: feeds are reordered so that x/east comes
-          first (the package's use_feed='x' indexes feed 0).
+          first (the package's use_feed='x' indexes feed 0);
+        - ``x_orientation`` (default "east"): when "north", pyuvdata's 'x'
+          feed IS the north dipole, so the feed axis is reversed to keep
+          feed 0 = east (silently skipping this inverts the polarization
+          products);
+        - ``basis_vector_array``, when present, must be the standard az/za
+          unit basis (delta_az at [0, 0], delta_za at [1, 1]) -- the
+          efield vector components are interpreted in that basis and a
+          rotated basis would silently mix them.
         """
         if getattr(uvb, "pixel_coordinate_system", "az_za") != "az_za":
             raise ValueError("Only az_za UVBeams can be adapted.")
+        bva = getattr(uvb, "basis_vector_array", None)
+        if bva is not None:
+            bva = np.asarray(bva)
+            if bva.ndim != 4 or bva.shape[:2] != (2, 2):
+                raise ValueError(
+                    "basis_vector_array must be (Naxes_vec=2, 2, Nza, Naz); "
+                    f"got {bva.shape}"
+                )
+            want = np.zeros_like(bva)
+            want[0, 0] = 1.0
+            want[1, 1] = 1.0
+            if not np.allclose(bva, want, atol=1e-6):
+                raise ValueError(
+                    "UVBeam basis_vector_array is not the standard az/za "
+                    "unit basis; rotate the E-field components with "
+                    "pyuvdata before adapting (a non-identity basis would "
+                    "silently mix the vector components)."
+                )
         data = np.asarray(uvb.data_array)
         if data.ndim == 6:
             if data.shape[1] != 1:
@@ -174,6 +200,13 @@ class GriddedBeam:
         feeds = [
             str(f).lower() for f in np.atleast_1d(getattr(uvb, "feed_array", []))
         ]
+        # pyuvdata's 'x' feed is only the EAST dipole under the default
+        # x_orientation="east"; under "north" the labels swap meaning.
+        xorient = str(getattr(uvb, "x_orientation", None) or "east").lower()
+        if xorient not in ("east", "north"):
+            raise ValueError(f"Unrecognized x_orientation: {xorient!r}")
+        if xorient == "north":
+            feeds = [{"x": "n", "y": "e", "n": "n", "e": "e"}[f] for f in feeds]
         if feeds in (["n", "e"], ["y", "x"]):
             if data.shape[1] != len(feeds):
                 # Power beams with Npols != Nfeeds (e.g. 4 pol products

@@ -216,8 +216,12 @@ def _prepare_beam_uncached(
     order = int(spline_opts.get("order", 1))
     if interpolation_function == "az_za_simple":
         # The 'simple' backend is a cubic spline in the reference (pyuvdata
-        # RectBivariateSpline); here both names map onto the same gather
-        # kernels, with order selecting linear/cubic.
+        # RectBivariateSpline, not-a-knot boundaries); here both names map
+        # onto the same gather kernels (order-3 prefiltered B-spline,
+        # mirror boundaries). The two interpolants deviate only through
+        # their end conditions: bounded at < 1e-4 of the beam peak for
+        # interior points on a realistic grid
+        # (tests/test_beams.py::test_az_za_simple_vs_rect_bivariate_spline_bound).
         order = int(spline_opts.get("order", 3))
     elif interpolation_function != "az_za_map_coordinates":
         raise ValueError(

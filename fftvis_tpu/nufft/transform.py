@@ -372,6 +372,19 @@ class Type1Executor:
         ]
         return _spread_auto(u, c, p.nf, p.kernel.w, p.kernel.beta)
 
+    def spread_ds(self, u_ds, c):
+        """Spread from double-single grid coordinates.
+
+        ``u_ds``: length-d list of (u_hi, u_lo) f32 pairs, already reduced
+        into [0, nf_d) (engine computes them via tpu.ds.ds_mod_n). The
+        fractional position keeps ~ulp(1) accuracy, removing the dominant
+        fp32 phase-error term of the plain path (u loses ~nf * 2^-24 cells).
+        """
+        return _spread_auto(
+            [u[0] for u in u_ds], c, self.plan.nf, self.plan.kernel.w,
+            self.plan.kernel.beta, u_lo_list=[u[1] for u in u_ds],
+        )
+
     def transform(self, g):
         return _forward_modes(g, self.plan.nf)
 
@@ -860,7 +873,8 @@ DENSE_GRID_LIMIT = 512 * 512
 
 
 def _spread_auto(
-    u_list, weights, nf, w: int, beta: float, strip_config=None, tile_config=None
+    u_list, weights, nf, w: int, beta: float, strip_config=None,
+    tile_config=None, u_lo_list=None,
 ):
     """Spreading dispatch, trace-time static.
 
@@ -891,12 +905,16 @@ def _spread_auto(
     # the documented legacy 3-tuple (FFTVIS_TILE workflows) as classes=None.
     if tile_config is not None and len(tile_config) == 3:
         tile_config = (*tile_config, None)
+    # The strip/tiled/z-tap forms do not consume DS low parts yet; dropping
+    # them reproduces the plain-f32 behavior (engine only requests DS
+    # coordinates on paths that resolve to dense/scatter spreading).
     if mode == "strip" and d == 2 and strip_config is not None:
         return _spread_strip_matmul(u_list, weights, nf, w, beta, *strip_config)
     if mode == "tiled" and d == 2 and tile_config is not None:
         return _spread_tiled_matmul(u_list, weights, nf, w, beta, *tile_config)
     if mode == "dense" and d == 2:
-        return _spread_dense_matmul(u_list, weights, nf, w, beta)
+        return _spread_dense_matmul(u_list, weights, nf, w, beta,
+                                    u_lo_list=u_lo_list)
     if mode == "ztaps" and d == 3:
         return _spread_3d_ztaps(u_list, weights, nf, w, beta)
     if mode == "auto" and d == 2 and jax.default_backend() == "tpu":
@@ -904,13 +922,14 @@ def _spread_auto(
             return _spread_tiled_matmul(u_list, weights, nf, w, beta, *tile_config)
         if strip_config is not None and int(np.prod(nf)) > DENSE_GRID_LIMIT:
             return _spread_strip_matmul(u_list, weights, nf, w, beta, *strip_config)
-        return _spread_dense_matmul(u_list, weights, nf, w, beta)
+        return _spread_dense_matmul(u_list, weights, nf, w, beta,
+                                    u_lo_list=u_lo_list)
     if mode == "auto" and d == 3 and jax.default_backend() == "tpu":
         # XLA scatter serializes on TPU; the z-tap scan is exact and dense.
         # (The engine routes 3D through the lowrank-z 2D factorization, so
         # this branch is only reached via the public make_type3_fn API.)
         return _spread_3d_ztaps(u_list, weights, nf, w, beta)
-    return _spread_scatter(u_list, weights, nf, w, beta)
+    return _spread_scatter(u_list, weights, nf, w, beta, u_lo_list=u_lo_list)
 
 
 def _spread_strip_matmul(
@@ -1314,7 +1333,23 @@ def _spread_tiled_matmul(
     return (core[:C] + 1j * core[C:]).astype(weights.dtype)
 
 
-def _spread_dense_matmul(u_list, weights, nf, w: int, beta: float):
+def _split_cell_frac(u, u_lo, xp):
+    """Decompose a (possibly DS) grid coordinate into (integer cell, frac).
+
+    ``u - floor(u)`` is exact in f32 (Sterbenz), so adding the DS low part
+    afterwards keeps the FRACTIONAL position accurate to ~ulp(1) even when
+    ``u`` itself is large (ulp(u) reaches 0.01 cells on 1e5-cell grids) --
+    the fp32 NUFFT's dominant phase-error term.
+    """
+    cell = xp.floor(u)
+    frac = u - cell
+    if u_lo is not None:
+        frac = frac + u_lo
+    return cell, frac
+
+
+def _spread_dense_matmul(u_list, weights, nf, w: int, beta: float,
+                         u_lo_list=None):
     """2D ES spreading as two dense matmuls (MXU path).
 
     grid[c, y, x] = sum_j psi_per(y - uy_j) * psi_per(x - ux_j) * w[c, j]
@@ -1324,6 +1359,10 @@ def _spread_dense_matmul(u_list, weights, nf, w: int, beta: float):
     and RHS carries kx * weight. FLOPs are n * nfy * 2C * nfx * 2 -- for
     VMEM/HBM-comfortable grid sizes this is far below the cost of any
     scatter lowering, and it is exact (psi vanishes outside its support).
+
+    ``u_lo_list`` optionally supplies double-single low parts of the
+    coordinates; distances are then formed cell/frac-exactly so the
+    kernel argument keeps ~ulp(1) position accuracy at any grid size.
     """
     import jax.numpy as jnp
 
@@ -1332,14 +1371,20 @@ def _spread_dense_matmul(u_list, weights, nf, w: int, beta: float):
     rdtype = jnp.finfo(jnp.result_type(weights, 0.0)).dtype
     uy = u_list[0].astype(rdtype)
     ux = u_list[1].astype(rdtype)
+    uy_lo = None if u_lo_list is None else u_lo_list[0].astype(rdtype)
+    ux_lo = None if u_lo_list is None else u_lo_list[1].astype(rdtype)
 
     rows = jnp.arange(nfy, dtype=rdtype)
     cols = jnp.arange(nfx, dtype=rdtype)
-    dy = rows[:, None] - uy[None, :]
-    dy = dy - nfy * jnp.round(dy / nfy)
+    cy, fy = _split_cell_frac(uy, uy_lo, jnp)
+    cx, fx = _split_cell_frac(ux, ux_lo, jnp)
+    # Integer-exact periodic cell distance, then subtract the frac part:
+    # the result carries ~ulp(w/2) error instead of ~ulp(nf).
+    dy = rows[:, None] - cy[None, :]
+    dy = dy - nfy * jnp.round(dy / nfy) - fy[None, :]
     ky = es_kernel_grid(dy, w, beta, xp=jnp)  # (nfy, n)
-    dx = cols[None, :] - ux[:, None]
-    dx = dx - nfx * jnp.round(dx / nfx)
+    dx = cols[None, :] - cx[:, None]
+    dx = dx - nfx * jnp.round(dx / nfx) - fx[:, None]
     kx = es_kernel_grid(dx, w, beta, xp=jnp)  # (n, nfx)
 
     vals = jnp.concatenate([jnp.real(weights), jnp.imag(weights)], axis=0)
@@ -1350,7 +1395,8 @@ def _spread_dense_matmul(u_list, weights, nf, w: int, beta: float):
     return (grid[:C] + 1j * grid[C:]).astype(weights.dtype)
 
 
-def _spread_scatter(u_list, weights, nf, w: int, beta: float):
+def _spread_scatter(u_list, weights, nf, w: int, beta: float,
+                    u_lo_list=None):
     """ES-kernel spreading via XLA scatter-add.
 
     Parameters
@@ -1359,6 +1405,8 @@ def _spread_scatter(u_list, weights, nf, w: int, beta: float):
         Per-dim source grid coordinates in [0, nf_d), length d, each (n,).
     weights
         (C, n) complex strengths.
+    u_lo_list
+        Optional double-single low parts (see :func:`_split_cell_frac`).
 
     Returns
     -------
@@ -1378,10 +1426,14 @@ def _spread_scatter(u_list, weights, nf, w: int, beta: float):
     val_dim = []
     for axis in range(d):
         u = u_list[axis]
+        u_lo = None if u_lo_list is None else u_lo_list[axis]
+        cell, frac = _split_cell_frac(u, u_lo, jnp)
         # Centered window: offsets stay in (-w/2, w/2] for odd and even w.
         i0 = jnp.ceil(u - w / 2.0).astype(jnp.int32)
         ii = i0[:, None] + offs[None, :]  # (n, w) signed
-        val = es_kernel_grid(u[:, None] - ii, w, beta, xp=jnp)
+        # cell - ii is integer-exact; + frac keeps ~ulp(1) accuracy.
+        t = (cell[:, None] - ii.astype(cell.dtype)) + frac[:, None]
+        val = es_kernel_grid(t, w, beta, xp=jnp)
         idx_dim.append(jnp.mod(ii, nf[axis]))
         val_dim.append(val.astype(jnp.real(weights).dtype))
 

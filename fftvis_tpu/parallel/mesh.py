@@ -13,13 +13,49 @@ over a jax.sharding.Mesh --
     onto a local NUFFT fine grid and a single ``psum`` over ICI reduces the
     grids before the FFT (SURVEY section 5's natural all-reduce point).
 
-Multi-host pods: call ``jax.distributed.initialize()`` before building the
-mesh; device order from ``jax.devices()`` then spans hosts over DCN.
+Multi-host pods: call :func:`init_distributed` before building the mesh;
+device order from ``jax.devices()`` then spans hosts over DCN, the engine
+ships inputs as global arrays, and the output is allgathered on every
+host (tested with a two-process forced-CPU-device rig in
+tests/test_multihost.py).
 """
 
 from __future__ import annotations
 
 import numpy as np
+
+
+def init_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+):
+    """Initialize the multi-host (DCN) runtime before building a mesh.
+
+    TPU-native replacement for the reference's Ray cluster bring-up (ref
+    cpu_simulate.py:714-769): after this, ``jax.devices()`` spans every
+    process's chips (TPU pods over DCN; forced-CPU-device test rigs over
+    TCP), :func:`make_mesh` lays mesh axes across them, and
+    ``TPUSimulationEngine`` ships inputs as global arrays and allgathers
+    the output on every host (engine ``multiproc`` path).
+
+    On Cloud TPU pods all three arguments are auto-detected (pass
+    nothing); on manual clusters pass ``coordinator_address``
+    ("host:port" of process 0), ``num_processes``, and this process's
+    ``process_id``. Idempotent: re-initialization is a no-op.
+    """
+    import jax
+
+    if jax.distributed.is_initialized():
+        return  # idempotent
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
 
 
 def make_mesh(time: int = 1, source: int = 1, freq: int = 1, devices=None):

@@ -106,6 +106,27 @@ def ds_mod_two_pi(h, l):
     return ds_add(h, l, -mh, -ml)
 
 
+def ds_mod_n(h, l, n: int):
+    """Reduce a DS value modulo an integer ``n`` into [0, n), keeping DS.
+
+    Used for fine-grid coordinates ``u = mod(x / h, nf)``: computed in
+    plain f32 the pre-mod value (magnitude up to ~1e5 cells on large
+    grids) loses ~magnitude * 2^-24 cells of position, which dominates the
+    fp32 NUFFT phase error. ``n`` must be f32-exact (n < 2^24; fine-grid
+    sizes always are), and |h|/n must stay below 2^24 so q*n is exact.
+    """
+    import jax.numpy as jnp
+
+    nf = jnp.float32(n)
+    q = jnp.round(h / nf)
+    rh, rl = ds_add(h, l, -q * nf, jnp.float32(0.0))
+    # r in [-n/2, n/2] up to rounding; shift into [0, n), error-free.
+    shift = jnp.where(rh < 0, nf, jnp.float32(0.0))
+    shift = shift + jnp.where(rh + shift >= nf, -nf, jnp.float32(0.0))
+    sh, se = two_sum(rh, shift)
+    return quick_two_sum(sh, se + rl)
+
+
 def ds_sincos(h, l):
     """sin/cos of a DS angle, accurate to ~1e-7 absolute.
 

@@ -388,13 +388,6 @@ class TPUSimulationEngine(SimulationEngine):
             m_max = max(len(s) for s in pair_plan.bls_idxs)
             pad_routing = npairs * m_max <= 4 * nbl or npairs > 32
 
-        if use_ds and (use_basis or npairs > 1):
-            logger.warning(
-                "compensated double-single path supports single-beam-pair "
-                "sims only (multi-pair/eigenbeam routing requested); "
-                "falling back to fp32 with eps floored to %.0e", eps_floor,
-            )
-            use_ds = False
         if use_ds:
             logger.info(
                 "eps below the fp32 floor: forcing the EXACT direct path "
@@ -441,6 +434,30 @@ class TPUSimulationEngine(SimulationEngine):
         # the cached plan or into programs returned by earlier calls.
         plan = _SimPlan(**{**plan.__dict__})
 
+        # Double-single COORDINATES for the fp32 type-1 path: the dominant
+        # fp32 error of the gridded transform is the source-position chain
+        # (topo rotation -> lattice coords -> grid coordinate mod), whose
+        # ~|value| * 2^-24 rounding turns into ~6e-5 rad of phase noise at
+        # HERA-331 scale (measured 1.0e-5 relative vis error -- right at
+        # the north-star <= 1e-5 gate). Computing just the coordinates in
+        # two-float arithmetic (O(nsrc) work, beams/coherency stay f32)
+        # restores ~ulp(1) fractional grid positions. TPU-only by default:
+        # the error-free transforms are bit-exact on the TPU VPU but
+        # XLA:CPU's fusion pipeline duplicates their subexpressions with
+        # one-ulp differences (NOTES.md), leaving CPU at f32 accuracy with
+        # extra rounding steps. FFTVIS_DS_COORDS=1 forces on (mechanics
+        # tests), =0 disables.
+        _dsc_env = os.environ.get("FFTVIS_DS_COORDS", "")
+        ds_coords = (
+            not use_ds
+            and real_dtype == np.float32
+            and plan.mode == "type1"
+            and (
+                _dsc_env == "1"
+                or (_dsc_env != "0" and _jax.default_backend() == "tpu")
+            )
+        )
+
         # Mesh geometry (SPMD): times data-parallel, sources psum-sharded.
         mesh = self.mesh
         n_tdev = int(mesh.shape.get(self.time_axis, 1)) if mesh is not None else 1
@@ -463,8 +480,13 @@ class TPUSimulationEngine(SimulationEngine):
             # fringe; ~8x that for the double-single planes + pairwise
             # reduction working set) well below HBM.
             budget = int(_device_memory_limit() // 12)
-            per_elem = 96 if use_ds else 12
+            # DS materializes (C, block, nbl) two-float temporaries for the
+            # vectorized channel products; scale the budget accordingly.
+            _C_ds = npairs * nfeeds**2
+            per_elem = (96 * max(_C_ds, 1)) if use_ds else 12
             eff_bl = npairs * m_max if pad_routing else nbl
+            if use_ds:
+                eff_bl = nbl  # DS accumulates every channel at all baselines
             max_block = max(
                 256 if use_ds else 1024, budget // max(eff_bl * per_elem, 1)
             )
@@ -473,6 +495,60 @@ class TPUSimulationEngine(SimulationEngine):
         block = int(np.ceil(nsrc / (nchunks * n_sdev)))
         nsrc_pad = block * nchunks * n_sdev
         plan.nsrc_pad, plan.nblocks, plan.block = nsrc_pad, nchunks, block
+
+        # Per-time horizon-band block skipping (long observations): with
+        # sources ordered always-up-first then by RA, only the blocks that
+        # hold any above-horizon source at time t are scanned -- the
+        # static-shape analogue of the reference's dynamic per-chunk
+        # compaction (ref cpu_simulate.py:940-945), skipping beam
+        # evaluation + coherency + spreading for the invisible sky. Planned
+        # exactly on the host (coords/banding.py) and cached; engages only
+        # when >= 15% of (time, block) instances drop. The source axis must
+        # be unsharded (the block table is a global-order construct).
+        band = None
+        if (
+            n_sdev == 1
+            and ntimes >= 8
+            and nsrc >= 4096
+            and os.environ.get("FFTVIS_BAND", "") != "0"
+        ):
+            from ..coords.banding import plan_horizon_bands
+
+            # Banding needs block granularity (the skip resolution is one
+            # block): target ~256-source blocks with >= 64 of them, even
+            # when memory alone would not chunk. Still MXU-friendly --
+            # under lax.scan the per-step body compiles once.
+            nb_try = min(max(plan.nblocks, nsrc // 256, 64), nsrc)
+            blk_try = int(np.ceil(nsrc / nb_try))
+            pad_try = blk_try * nb_try
+            bkey = _hash_parts(
+                (
+                    "band-v1",
+                    rot.eq_vectors,
+                    rot.matrices,
+                    None if rot.aberration is None else rot.aberration,
+                    blk_try,
+                    nb_try,
+                    pad_try,
+                )
+            )
+            band = _PLAN_CACHE.get(bkey, "miss")
+            if isinstance(band, str):
+                band = plan_horizon_bands(rot, blk_try, nb_try, pad_try)
+                if len(_PLAN_CACHE) >= _PROGRAM_CACHE_LIMIT:
+                    _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
+                _PLAN_CACHE[bkey] = band
+            if band is not None:
+                rot.eq_vectors = rot.eq_vectors[:, band[0]]
+                plan.nsrc_pad, plan.nblocks, plan.block = pad_try, nb_try, blk_try
+                nsrc_pad = pad_try
+                logger.info(
+                    "horizon banding engaged: %d of %d source blocks "
+                    "scanned per time",
+                    band[1].shape[1], nb_try,
+                )
+        band_perm = None if band is None else band[0]
+        banded = band is not None
 
         # Large type-3 grids route through the strip-binned spreader; its
         # static per-strip capacity comes from a host-side sliding-window
@@ -514,6 +590,8 @@ class TPUSimulationEngine(SimulationEngine):
 
         def _build_coh():
             fl = fluxes_arr if src_keep is None else fluxes_arr[src_keep]
+            if band_perm is not None:  # horizon-band source reordering
+                fl = fl[band_perm]
             coherency = coh_mod.build_coherency(fl, polarized_sky)
             ch = pad_src(
                 coherency.astype(complex_dtype if polarized_sky else real_dtype)
@@ -531,23 +609,31 @@ class TPUSimulationEngine(SimulationEngine):
             valid[:nsrc] = 1.0
             return valid
 
-        if use_ds:
-            # Double-single host constants. The rotation (or lattice) is
-            # folded into the targets in float64 so the device phase is one
-            # DS contraction: phase = (tg_eff . topo) * f, with
+        if use_ds or ds_coords:
+            # Double-single host constants. For the full DS path the
+            # rotation (or lattice) is folded into the targets in float64
+            # so the device phase is one DS contraction:
+            # phase = (tg_eff . topo) * f, with
             #   tg_eff = M[:d]^T tg * 2 pi (/ c unless folded into M).
+            # For ds_coords only the lattice rows and frequencies ship as
+            # DS pairs (grid coordinates, not per-baseline phases).
             from . import ds as _ds
 
-            if plan.lattice_matrix is not None:
-                tg_eff = (
-                    plan.lattice_matrix[:2].T @ plan.targets
-                ) * TWO_PI  # lattice already carries 1/c
+            if use_ds:
+                if plan.lattice_matrix is not None:
+                    tg_eff = (
+                        plan.lattice_matrix[:2].T @ plan.targets
+                    ) * TWO_PI  # lattice already carries 1/c
+                else:
+                    d_eff = 2 if plan.is_coplanar else 3
+                    tg_eff = (
+                        plan.rotation_matrix[:d_eff].T @ plan.targets
+                    ) * (TWO_PI / speed_of_light)
+                tg_ds_host = np.stack(_ds.split64(tg_eff), axis=-1)  # (3, nbl, 2)
             else:
-                d_eff = 2 if plan.is_coplanar else 3
-                tg_eff = (
-                    plan.rotation_matrix[:d_eff].T @ plan.targets
-                ) * (TWO_PI / speed_of_light)
-            tg_ds_host = np.stack(_ds.split64(tg_eff), axis=-1)  # (3, nbl, 2)
+                lat_ds_host = np.stack(
+                    _ds.split64(plan.lattice_matrix[:2]), axis=-1
+                )  # (2, 3, 2)
             freqs_ds_host = np.stack(
                 _ds.split64(freqs_padded), axis=-1
             )  # (nf_pad, 2)
@@ -699,24 +785,25 @@ class TPUSimulationEngine(SimulationEngine):
             return xr[:d] * scale
 
         def per_freq(topo_t, az_t, za_t, mask_t, coh_a, freqs_a, gshift, fi,
-                     beamtab=None):
+                     beamtab=None, aidx=None, aval=None):
             fv = freqs_a[fi]
             # Global frequency index for beam tables (clamped off the pad).
             gfi = jnp.minimum(gshift + fi, nfreqs - 1)
 
-            # Reshape the (local) source axis into (nblocks, block).
-            if use_ds:
-                topo_blocks = topo_t.reshape(3, plan.nblocks, plan.block, 2)
-            else:
-                topo_blocks = topo_t.reshape(3, plan.nblocks, plan.block)
-            az_blocks = az_t.reshape(plan.nblocks, plan.block)
-            za_blocks = za_t.reshape(plan.nblocks, plan.block)
-            mask_blocks = mask_t.reshape(plan.nblocks, plan.block)
             flux_f = jnp.take(coh_a, fi, axis=1)
-            if not polarized_sky:  # (nsrc, nfreq) flux
-                flux_blocks = flux_f.reshape(plan.nblocks, plan.block)
-            else:  # (nsrc, nfreq, 2, 2) coherency
-                flux_blocks = flux_f.reshape(plan.nblocks, plan.block, 2, 2)
+            if not banded:
+                # Reshape the (local) source axis into (nblocks, block).
+                if use_ds or ds_coords:
+                    topo_blocks = topo_t.reshape(3, plan.nblocks, plan.block, 2)
+                else:
+                    topo_blocks = topo_t.reshape(3, plan.nblocks, plan.block)
+                az_blocks = az_t.reshape(plan.nblocks, plan.block)
+                za_blocks = za_t.reshape(plan.nblocks, plan.block)
+                mask_blocks = mask_t.reshape(plan.nblocks, plan.block)
+                if not polarized_sky:  # (nsrc, nfreq) flux
+                    flux_blocks = flux_f.reshape(plan.nblocks, plan.block)
+                else:  # (nsrc, nfreq, 2, 2) coherency
+                    flux_blocks = flux_f.reshape(plan.nblocks, plan.block, 2, 2)
 
             C = npairs * nfeeds**2
 
@@ -726,7 +813,7 @@ class TPUSimulationEngine(SimulationEngine):
             multi = (not use_basis) and npairs > 1
             nf2 = nfeeds**2
 
-            if use_ds:
+            if use_ds or ds_coords:
                 gfi_pad = jnp.minimum(gshift + fi, nf_pad - 1)
                 f_h = jnp.asarray(freqs_ds_host[:, 0])[gfi_pad]
                 f_l = jnp.asarray(freqs_ds_host[:, 1])[gfi_pad]
@@ -740,6 +827,8 @@ class TPUSimulationEngine(SimulationEngine):
                     # Compensated exact path: DS phase contraction over the
                     # folded targets, DS range-reduced sincos, error-free
                     # products, pairwise-compensated source reduction.
+                    # Channels are batched: (C, B, nbl) two-float temps (the
+                    # block-size budget above scales with C to bound them).
                     from . import ds as _dsm
 
                     B = topo_b.shape[1]
@@ -755,28 +844,53 @@ class TPUSimulationEngine(SimulationEngine):
                         ph_h, ph_l = _dsm.ds_add(ph_h, ph_l, mh, ml)
                     ph_h, ph_l = _dsm.ds_mul(ph_h, ph_l, f_h, f_l)
                     sn, cs = _dsm.ds_sincos(ph_h, ph_l)
-                    rr = jnp.real(rows)  # (C, B)
-                    ri = jnp.imag(rows)
-                    new = []
-                    for cch in range(C):
-                        ac_h, ac_l = _dsm.two_prod(rr[cch][:, None], cs)
-                        bs_h, bs_l = _dsm.two_prod(ri[cch][:, None], sn)
-                        re_h, re_l = _dsm.ds_add(ac_h, ac_l, -bs_h, -bs_l)
-                        as_h, as_l = _dsm.two_prod(rr[cch][:, None], sn)
-                        bc_h, bc_l = _dsm.two_prod(ri[cch][:, None], cs)
-                        im_h, im_l = _dsm.ds_add(as_h, as_l, bc_h, bc_l)
-                        srh, srl = _dsm.ds_sum_pairwise(re_h, re_l, axis=0)
-                        sih, sil = _dsm.ds_sum_pairwise(im_h, im_l, axis=0)
-                        vr = _dsm.ds_add(carry[0][cch], carry[1][cch], srh, srl)
-                        vi = _dsm.ds_add(carry[2][cch], carry[3][cch], sih, sil)
-                        new.append((vr, vi))
-                    out = (
-                        jnp.stack([n[0][0] for n in new]),
-                        jnp.stack([n[0][1] for n in new]),
-                        jnp.stack([n[1][0] for n in new]),
-                        jnp.stack([n[1][1] for n in new]),
-                    )
-                    return out, None
+                    rr = jnp.real(rows)[:, :, None]  # (C, B, 1)
+                    ri = jnp.imag(rows)[:, :, None]
+                    sn = sn[None]  # (1, B, nbl)
+                    cs = cs[None]
+                    ac_h, ac_l = _dsm.two_prod(rr, cs)
+                    bs_h, bs_l = _dsm.two_prod(ri, sn)
+                    re_h, re_l = _dsm.ds_add(ac_h, ac_l, -bs_h, -bs_l)
+                    as_h, as_l = _dsm.two_prod(rr, sn)
+                    bc_h, bc_l = _dsm.two_prod(ri, cs)
+                    im_h, im_l = _dsm.ds_add(as_h, as_l, bc_h, bc_l)
+                    srh, srl = _dsm.ds_sum_pairwise(re_h, re_l, axis=1)
+                    sih, sil = _dsm.ds_sum_pairwise(im_h, im_l, axis=1)
+                    vr_h, vr_l = _dsm.ds_add(carry[0], carry[1], srh, srl)
+                    vi_h, vi_l = _dsm.ds_add(carry[2], carry[3], sih, sil)
+                    return (vr_h, vr_l, vi_h, vi_l), None
+                if ds_coords:
+                    # DS grid coordinates for the type-1 spread:
+                    # u_i = mod((lattice @ topo)_i * f * nf_i, nf_i)
+                    # contracted entirely in two-float arithmetic, keeping
+                    # ~ulp(1) fractional positions (the plain-f32 chain
+                    # loses ~|u| * 2^-24 cells -> ~6e-5 rad of phase).
+                    from . import ds as _dsm
+
+                    lat_h = jnp.asarray(lat_ds_host[..., 0])  # (2, 3)
+                    lat_l = jnp.asarray(lat_ds_host[..., 1])
+                    u_ds = []
+                    for i2 in range(2):
+                        lh, ll = _dsm.ds_mul(
+                            lat_h[i2, 0], lat_l[i2, 0],
+                            topo_b[0, :, 0], topo_b[0, :, 1],
+                        )
+                        for k2 in (1, 2):
+                            mh, ml = _dsm.ds_mul(
+                                lat_h[i2, k2], lat_l[i2, k2],
+                                topo_b[k2, :, 0], topo_b[k2, :, 1],
+                            )
+                            lh, ll = _dsm.ds_add(lh, ll, mh, ml)
+                        nf_i = int(plan.executor.plan.nf[i2])
+                        sh, sl = _dsm.ds_mul_f32(f_h, f_l, jnp.float32(nf_i))
+                        yh, yl = _dsm.ds_mul(lh, ll, sh, sl)
+                        u_ds.append(_dsm.ds_mod_n(yh, yl, nf_i))
+                    # Barrier: stops XLA:CPU fusion from duplicating the DS
+                    # chain's subexpressions with one-ulp differences (which
+                    # breaks the error-free transforms; NOTES.md) and from
+                    # the pathological scatter-producer fusion above.
+                    u_ds = jax.lax.optimization_barrier(u_ds)
+                    return carry + plan.executor.spread_ds(u_ds, rows), None
                 x = nufft_coords(topo_b, fv)
                 if plan.mode == "direct":
                     tg = plan.targets.astype(real_dtype)  # (d, nbl) signed
@@ -850,17 +964,43 @@ class TPUSimulationEngine(SimulationEngine):
                     _mark = lambda a: a  # noqa: E731
                 init = jax.tree.map(_mark, init)
 
-            acc, _ = jax.lax.scan(
-                scan_body,
-                init,
-                (
-                    jnp.moveaxis(topo_blocks, 1, 0),
-                    az_blocks,
-                    za_blocks,
-                    mask_blocks,
-                    flux_blocks,
-                ),
-            )
+            if banded:
+                # Horizon-band scan: only the per-time ACTIVE blocks run
+                # (contiguous dynamic slices of the RA-ordered source
+                # axis); padded table rows point at block 0 with weight 0.
+                def banded_body(carry, xsk):
+                    bi, av = xsk
+                    s0 = bi * plan.block
+                    topo_b = jax.lax.dynamic_slice_in_dim(
+                        topo_t, s0, plan.block, axis=1
+                    )
+                    az_b = jax.lax.dynamic_slice_in_dim(
+                        az_t, s0, plan.block, axis=0
+                    )
+                    za_b = jax.lax.dynamic_slice_in_dim(
+                        za_t, s0, plan.block, axis=0
+                    )
+                    mask_b = jax.lax.dynamic_slice_in_dim(
+                        mask_t, s0, plan.block, axis=0
+                    ) * av.astype(real_dtype)
+                    flux_b = jax.lax.dynamic_slice_in_dim(
+                        flux_f, s0, plan.block, axis=0
+                    )
+                    return scan_body(carry, (topo_b, az_b, za_b, mask_b, flux_b))
+
+                acc, _ = jax.lax.scan(banded_body, init, (aidx, aval))
+            else:
+                acc, _ = jax.lax.scan(
+                    scan_body,
+                    init,
+                    (
+                        jnp.moveaxis(topo_blocks, 1, 0),
+                        az_blocks,
+                        za_blocks,
+                        mask_blocks,
+                        flux_blocks,
+                    ),
+                )
 
             # Source-sharded SPMD: the fine grid (or direct partial sums)
             # is the natural all-reduce point (SURVEY section 5: "the
@@ -871,25 +1011,14 @@ class TPUSimulationEngine(SimulationEngine):
                 acc = jax.lax.psum(acc, self.source_axis)
 
             if use_ds:
-                # (C, nbl) DS planes -> (2 reim, 2 hilo, nbl, f2, f1) with
-                # the flip conjugation (negate imag) and feed transpose.
+                # Return the raw (2 reim, 2 hilo, C, nbl) DS planes; flip
+                # conjugation, the feed transpose, pair routing, and the
+                # eigenbeam coefficient contraction all happen on the HOST
+                # in float64 after the hi+lo combine (doing them on device
+                # would collapse the planes back to f32).
                 vr_h, vr_l, vi_h, vi_l = acc
-                sign = jnp.asarray(
-                    np.where(flipped_global, -1.0, 1.0).astype(np.float32)
-                )
-                vi_h = vi_h * sign[None, :]
-                vi_l = vi_l * sign[None, :]
-
-                def _fr(v):
-                    return jnp.transpose(
-                        v.reshape(nfeeds, nfeeds, nbl), (2, 1, 0)
-                    )
-
                 return jnp.stack(
-                    [
-                        jnp.stack([_fr(vr_h), _fr(vr_l)]),
-                        jnp.stack([_fr(vi_h), _fr(vi_l)]),
-                    ]
+                    [jnp.stack([vr_h, vr_l]), jnp.stack([vi_h, vi_l])]
                 )
 
             if multi and not pad_routing:
@@ -1010,8 +1139,10 @@ class TPUSimulationEngine(SimulationEngine):
             # phase/fringe tensors -- (P * m_max) / nbl larger than the
             # per-baseline footprint when pair sizes are skewed.
             _eff_bl = npairs * m_max if pad_routing else nbl
+            if use_ds:
+                _eff_bl = nbl
             _per_freq_bytes = (
-                plan.block * _eff_bl * (96 if use_ds else 12)
+                plan.block * _eff_bl * (96 * _C_total if use_ds else 12)
                 + _C_total * nbl * 16
             )
         else:
@@ -1026,7 +1157,7 @@ class TPUSimulationEngine(SimulationEngine):
         )
 
         def program(mats_a, abvel_a, eq_a, coh_ship_a, valid_a, freqs_a,
-                    beamtab_a):
+                    beamtab_a, act_idx_a=None, act_val_a=None):
             # Stacked beam tables travel as an INPUT, not a closure
             # constant: a multi-MB constant dominates the serialized HLO
             # and with it the remote-TPU AOT compile time (minutes vs
@@ -1039,8 +1170,11 @@ class TPUSimulationEngine(SimulationEngine):
                 gshift = jnp.int32(0)
 
             def per_time(carry, tinp):
-                mat, vel = tinp
-                if use_ds:
+                if banded:
+                    mat, vel, aidx, aval = tinp
+                else:
+                    (mat, vel), aidx, aval = tinp, None, None
+                if use_ds or ds_coords:
                     # Full coordinate chain in double-single: aberration
                     # add, normalization (f32 rsqrt + one DS Newton step),
                     # and the 3x3 rotation -- the fp32 chain alone already
@@ -1080,6 +1214,14 @@ class TPUSimulationEngine(SimulationEngine):
                     topo = jnp.stack(
                         [topo_hi, jnp.stack([p[1] for p in tp])], axis=-1
                     )  # (3, n, 2)
+                    if ds_coords:
+                        # XLA:CPU's optimizer goes pathological (hour-long
+                        # compile) when this DS chain feeds scatter indices
+                        # downstream; materializing topo at the barrier is
+                        # free (it is a scan input anyway) and cuts the
+                        # producer chain the pass chokes on.
+                        topo = jax.lax.optimization_barrier(topo)
+                        topo_hi = topo[..., 0]
                 else:
                     eqa = eq_a + vel[:, None]
                     eqa = eqa / jnp.linalg.norm(eqa, axis=0, keepdims=True)
@@ -1094,14 +1236,14 @@ class TPUSimulationEngine(SimulationEngine):
                     vis_t = jax.vmap(
                         lambda fi: per_freq(
                             topo, az, za, mask_up, coh_a, freqs_a, gshift,
-                            fi, beamtab,
+                            fi, beamtab, aidx, aval,
                         )
                     )(jnp.arange(nfreqs_local))
                 else:
                     def freq_body(_, fi):
                         return None, per_freq(
                             topo, az, za, mask_up, coh_a, freqs_a, gshift,
-                            fi, beamtab,
+                            fi, beamtab, aidx, aval,
                         )
 
                     _, vis_t = jax.lax.scan(
@@ -1109,7 +1251,13 @@ class TPUSimulationEngine(SimulationEngine):
                     )
                 return carry, vis_t  # (nfreq, nbl, nfeeds, nfeeds)
 
-            _, vis = jax.lax.scan(per_time, None, (mats_a, abvel_a))
+            _, vis = jax.lax.scan(
+                per_time,
+                None,
+                (mats_a, abvel_a, act_idx_a, act_val_a)
+                if banded
+                else (mats_a, abvel_a),
+            )
             if use_ds:
                 # per_freq returned (2 reim, 2 hilo, nbl, f, g) real planes;
                 # lift them to the front for the host float64 combine.
@@ -1127,7 +1275,10 @@ class TPUSimulationEngine(SimulationEngine):
                 "v1",
                 plan.mode,
                 use_ds,
+                ds_coords,
+                None if band is None else int(band[1].shape[1]),
                 None if not use_ds else (tg_ds_host, freqs_ds_host),
+                None if not ds_coords else (lat_ds_host, freqs_ds_host),
                 plan.is_coplanar,
                 plan.nsrc_pad,
                 plan.nblocks,
@@ -1179,27 +1330,31 @@ class TPUSimulationEngine(SimulationEngine):
         )
 
         run = _PROGRAM_CACHE.get(cache_key)
+        in_specs_t = None
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            T, S = self.time_axis, self.source_axis
+            F = self.freq_axis if self.freq_axis in mesh.shape else None
+            coh_spec = P(None, S, F) if coh_was_complex else P(S, F)
+            in_specs_t = (P(T), P(T), P(None, S), coh_spec, P(S), P(F), P())
+            if banded:  # per-time active-block tables shard with time
+                in_specs_t = in_specs_t + (P(T), P(T))
+
         if run is None:
             if mesh is None:
                 run = jax.jit(program)
             else:
-                from jax.sharding import PartitionSpec as P
-
                 try:
                     from jax import shard_map as _shard_map
                 except ImportError:  # pragma: no cover - older jax
                     from jax.experimental.shard_map import shard_map as _shard_map
 
-                T, S = self.time_axis, self.source_axis
-                F = self.freq_axis if self.freq_axis in mesh.shape else None
-                coh_spec = P(None, S, F) if coh_was_complex else P(S, F)
                 run = jax.jit(
                     _shard_map(
                         program,
                         mesh=mesh,
-                        in_specs=(
-                            P(T), P(T), P(None, S), coh_spec, P(S), P(F), P(),
-                        ),
+                        in_specs=in_specs_t,
                         out_specs=(
                             P(None, None, T, F) if use_ds else P(None, T, F)
                         ),
@@ -1210,6 +1365,60 @@ class TPUSimulationEngine(SimulationEngine):
             run = _with_f32_matmuls(run)
             _cache_store(cache_key, run)
 
+        # Multi-process (DCN) meshes: the mesh spans devices this process
+        # cannot address, so inputs must be GLOBAL arrays sharded exactly
+        # as the shard_map in_specs demand (every process holds the full
+        # host copy and contributes its addressable shards), and the output
+        # must be allgathered back to every host. Single-process meshes
+        # keep the plain device-put path (pjit reshards locally for free).
+        if banded:
+            _K_band = int(band[1].shape[1])
+            act_idx_host = np.zeros((nt_pad, _K_band), dtype=np.int32)
+            act_val_host = np.zeros((nt_pad, _K_band), dtype=np.float32)
+            act_idx_host[:ntimes] = band[1]
+            act_val_host[:ntimes] = band[2]
+
+        multiproc = mesh is not None and any(
+            d.process_index != jax.process_index() for d in mesh.devices.flat
+        )
+        if multiproc:
+            from jax.sharding import NamedSharding
+
+            host_inputs = (
+                mats_host,
+                abvel_host,
+                _build_eq_ds() if (use_ds or ds_coords) else _build_eq(),
+                _build_coh(),
+                _build_valid(),
+                freqs_dev,
+                batched_beams.table
+                if batched_beams is not None
+                else np.zeros(1, dtype=np.float32),
+            )
+            if banded:
+                host_inputs = host_inputs + (act_idx_host, act_val_host)
+            inputs = tuple(
+                jax.make_array_from_callback(
+                    h.shape,
+                    NamedSharding(mesh, spec),
+                    lambda idx, _h=h: _h[idx],
+                )
+                for h, spec in zip(host_inputs, in_specs_t)
+            )
+            if return_program:
+                return run, inputs
+            from jax.experimental import multihost_utils
+
+            stacked = np.asarray(
+                multihost_utils.process_allgather(run(*inputs), tiled=True)
+            )
+            return self._assemble_output(
+                stacked, use_ds, use_basis, ntimes, nfreqs, npairs, nfeeds,
+                nbl, flipped_global, pair_plan, beam_coefs, ant1_idx if use_basis else None,
+                ant2_idx if use_basis else None, pair_i, pair_j,
+                complex_dtype, polarized, trace_mem,
+            )
+
         # Time-independent inputs (source vectors, coherency, validity mask)
         # are content-cached on device, keyed on the RAW user arrays:
         # parameter sweeps re-call simulate() with the same catalog, and both
@@ -1219,13 +1428,16 @@ class TPUSimulationEngine(SimulationEngine):
             jnp.asarray(mats_host),
             jnp.asarray(abvel_host),
             _cached_device_put(
-                _build_eq_ds if use_ds else _build_eq,
-                ("eq64" if use_ds else "eq", rot.eq_vectors, nsrc_pad, _dt_key),
+                _build_eq_ds if (use_ds or ds_coords) else _build_eq,
+                (
+                    "eq64" if (use_ds or ds_coords) else "eq",
+                    rot.eq_vectors, nsrc_pad, _dt_key,
+                ),
             ),
             _cached_device_put(
                 _build_coh,
-                ("coh", fluxes_arr, src_keep, polarized_sky, nsrc_pad,
-                 nf_pad, _dt_key),
+                ("coh", fluxes_arr, src_keep, band_perm, polarized_sky,
+                 nsrc_pad, nf_pad, _dt_key),
             ),
             _cached_device_put(
                 _build_valid, ("valid", nsrc, nsrc_pad, str(real_dtype))
@@ -1242,20 +1454,64 @@ class TPUSimulationEngine(SimulationEngine):
                 else ("beamtab-none",),
             ),
         )
+        if banded:
+            inputs = inputs + (
+                jnp.asarray(act_idx_host), jnp.asarray(act_val_host)
+            )
 
         if return_program:
             return run, inputs
 
         stacked = np.asarray(run(*inputs))
+        return self._assemble_output(
+            stacked, use_ds, use_basis, ntimes, nfreqs, npairs, nfeeds,
+            nbl, flipped_global, pair_plan, beam_coefs,
+            ant1_idx if use_basis else None,
+            ant2_idx if use_basis else None, pair_i, pair_j,
+            complex_dtype, polarized, trace_mem,
+        )
+
+    # ------------------------------------------------------------------
+    def _assemble_output(
+        self, stacked, use_ds, use_basis, ntimes, nfreqs, npairs, nfeeds,
+        nbl, flipped_global, pair_plan, beam_coefs, ant1_idx, ant2_idx,
+        pair_i, pair_j, complex_dtype, polarized, trace_mem,
+    ):
+        """Host-side assembly of the fetched program output."""
         if use_ds:
-            # (2 reim, 2 hilo, nt, nf, nbl, f, g): combine the DS planes in
+            # (2 reim, 2 hilo, nt, nf, C, nbl): combine the DS planes in
             # float64 on the host -- hi + lo would collapse back to f32 on
-            # device. Output is complex128, honoring the precision=2
-            # contract as far as the f32 beam/flux inputs allow (~1e-7).
-            vis = (
+            # device -- then flip-conjugate, route pairs / contract
+            # eigenbeam coefficients, and apply the reference's feed
+            # transpose (ref cpu_simulate.py:298-300), all in float64.
+            # Output is complex128, honoring the precision=2 contract as
+            # far as the f32 beam/flux inputs allow (~1e-7).
+            v = (
                 stacked[0, 0].astype(np.float64) + stacked[0, 1]
             ) + 1j * (stacked[1, 0].astype(np.float64) + stacked[1, 1])
-            vis = vis[:ntimes, :nfreqs]
+            v = v[:ntimes, :nfreqs]  # (nt, nf, C, nbl)
+            v = np.where(flipped_global[None, None, None, :], np.conj(v), v)
+            per_pair = v.reshape(ntimes, nfreqs, npairs, nfeeds, nfeeds, nbl)
+            if use_basis:
+                coefs = np.asarray(beam_coefs, dtype=np.complex128)
+                c1 = np.conj(coefs[ant1_idx])  # (nbl, K, nfreq)
+                c2 = coefs[ant2_idx]
+                w_kl = c1[:, pair_i, :] * c2[:, pair_j, :]  # (nbl, P, nf)
+                offd = (pair_i != pair_j).astype(np.complex128)
+                w_lk = (c1[:, pair_j, :] * c2[:, pair_i, :]) * offd[None, :, None]
+                vis = np.einsum("bpF,TFpfgb->TFbgf", w_kl, per_pair)
+                vis = vis + np.einsum("bpF,TFpfgb->TFbfg", w_lk, per_pair)
+            elif npairs == 1:
+                vis = np.transpose(per_pair[:, :, 0], (0, 1, 4, 3, 2))
+            else:
+                vis = np.empty(
+                    (ntimes, nfreqs, nbl, nfeeds, nfeeds), np.complex128
+                )
+                for p in range(npairs):
+                    sel = np.asarray(pair_plan.bls_idxs[p], dtype=np.int64)
+                    vis[:, :, sel] = np.transpose(
+                        per_pair[:, :, p][..., sel], (0, 1, 4, 3, 2)
+                    )
             complex_out = np.complex128
         else:
             vis = (stacked[0] + 1j * stacked[1])[:ntimes, :nfreqs]

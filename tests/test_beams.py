@@ -358,6 +358,59 @@ def test_short_za_grid_raises(caplog, monkeypatch):
     assert any("za grid ends" in r.message for r in caplog.records)
 
 
+def test_az_za_simple_vs_rect_bivariate_spline_bound():
+    """Bound the 'az_za_simple' backend deviation (VERDICT round-2 item 8).
+
+    The reference's az_za_simple is pyuvdata's RectBivariateSpline
+    (kx=ky=3, not-a-knot boundaries); this package maps the name onto
+    order-3 prefiltered map_coordinates (mirror boundaries). Both
+    reproduce a smooth beam to O(h^4); their mutual deviation on a
+    realistic beam grid is bounded here at 1e-4 of the beam peak for
+    interior points (boundary rows excluded -- the two spline end
+    conditions legitimately differ there, decaying inward).
+    """
+    import jax.numpy as jnp
+    from scipy.interpolate import RectBivariateSpline
+
+    from fftvis_tpu.beams import GaussianBeam
+    from fftvis_tpu.beams.interp import map_coordinates_2d, spline_prefilter_2d
+
+    n_za, n_az = 91, 181
+    za = np.linspace(0, np.pi / 2, n_za)
+    az = np.linspace(0, 2 * np.pi, n_az, endpoint=False)
+    azg, zag = np.meshgrid(az, za)
+    beam = GaussianBeam(diameter=14.0)
+    table = np.asarray(beam.power(azg.ravel(), zag.ravel(), 1e8)).reshape(
+        n_za, n_az
+    )
+
+    rng = np.random.default_rng(0)
+    npts = 4000
+    # Interior points: one cell away from the za edges.
+    za_q = rng.uniform(za[1], za[-2], npts)
+    az_q = rng.uniform(az[0], az[-1], npts)
+
+    spl = RectBivariateSpline(za, az, table, kx=3, ky=3, s=0)
+    want = spl(za_q, az_q, grid=False)
+
+    pre = np.asarray(spline_prefilter_2d(jnp.asarray(table[None])))
+    yy = za_q / (za[1] - za[0])
+    xx = az_q / (az[1] - az[0])
+    got = np.asarray(
+        map_coordinates_2d(
+            jnp.asarray(pre), jnp.asarray(yy), jnp.asarray(xx),
+            order=3, wrap_x=True, prefiltered=True,
+        )
+    )[0]
+
+    peak = np.abs(table).max()
+    dev = np.abs(got - want).max() / peak
+    assert dev < 1e-4, f"az_za_simple deviation {dev:.2e} exceeds 1e-4"
+    # And both must track the analytic truth at the same level.
+    truth = np.asarray(beam.power(az_q, za_q, 1e8))
+    assert np.abs(got - truth).max() / peak < 2e-4
+
+
 class TestPlanBeamPairs:
     """Beam-pair routing/flip bookkeeping, mirroring the reference's
     11-case prepare_beam_evaluation suite (ref tests/test_cpu_beams.py:

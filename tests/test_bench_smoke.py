@@ -14,6 +14,8 @@ def test_bench_main_smoke(monkeypatch, capsys):
     monkeypatch.setenv("FFTVIS_BENCH_HEX", "3")
     monkeypatch.setenv("FFTVIS_BENCH_NSIDE", "8")
     monkeypatch.setenv("FFTVIS_BENCH_REPEATS", "1")
+    monkeypatch.setenv("FFTVIS_BENCH_HERA_HEX", "3")
+    monkeypatch.setenv("FFTVIS_BENCH_NBEAMS", "4")
     import bench
 
     bench.main()

@@ -125,6 +125,39 @@ class TestAngles:
         assert np.abs(r - 1).max() < 1e-6
 
 
+class TestModN:
+    def test_mod_n_matches_f64(self):
+        """General integer modulus: DS value into [0, n) at DS accuracy
+        (grid-coordinate reduction for the fp32 NUFFT paths)."""
+        from fftvis_tpu.tpu.ds import split64
+
+        for n in (82, 96, 4096, 250000):
+            y = RNG.uniform(-40, 40, 20000) * n  # |y|/n up to 40
+            h, l = ds.ds_mod_n(*(jnp.asarray(p) for p in split64(y)), n)
+            got = np.asarray(h, np.float64) + np.asarray(l, np.float64)
+            want = np.mod(y, n)
+            d = np.abs(got - want)
+            d = np.minimum(d, n - d)  # 0 == n wrap
+            # DS floor scales with the PRE-mod magnitude |y| (the input
+            # pair's own representation error), not with n.
+            assert d.max() < np.abs(y).max() * 2**-45
+            hv = np.asarray(h, np.float64)
+            assert hv.min() >= 0.0 and hv.max() <= n
+
+    def test_mod_n_plain_f32_is_much_worse(self):
+        n = 4096
+        y = RNG.uniform(-40, 40, 20000) * n
+        from fftvis_tpu.tpu.ds import split64
+
+        h, l = ds.ds_mod_n(*(jnp.asarray(p) for p in split64(y)), n)
+        got = np.asarray(h, np.float64) + np.asarray(l, np.float64)
+        want = np.mod(y, n)
+        plain = np.mod(y.astype(np.float32), np.float32(n)).astype(np.float64)
+        d_ds = np.minimum(np.abs(got - want), n - np.abs(got - want)).max()
+        d_pl = np.minimum(np.abs(plain - want), n - np.abs(plain - want)).max()
+        assert d_ds < d_pl / 1e4
+
+
 class TestReduction:
     def test_pairwise_sum_vs_f64(self):
         # Adversarial: large cancelling values + small residuals.

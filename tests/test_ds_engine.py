@@ -62,16 +62,64 @@ class TestRouting:
         assert vis.dtype == np.complex64
         assert any("below what" in r.message for r in caplog.records)
 
-    def test_multi_pair_falls_back_with_warning(self, caplog, monkeypatch):
+    def test_multi_pair_routes_through_ds(self, monkeypatch):
+        """precision=2 semantics must be the same for per-antenna-beam sims
+        as for single-beam ones (VERDICT round-2 item 3): multi-pair
+        routing runs through the DS path, complex128 out."""
         monkeypatch.setenv("FFTVIS_DS", "1")
         kw = _problem(span=60.0, nsrc=40, polarized=True)
         beams = [GaussianBeam(diameter=12.0), GaussianBeam(diameter=13.0)]
         kw["beam"] = beams
         kw["beam_idx"] = np.array([0, 1, 0, 1, 0, 1])
-        with caplog.at_level(logging.WARNING, logger="fftvis_tpu.tpu.engine"):
-            vis = simulate_vis(precision=1, **kw)
-        assert vis.dtype == np.complex64  # fp32 fallback
-        assert any("single-beam-pair" in r.message for r in caplog.records)
+        vis = simulate_vis(precision=1, **kw)
+        assert vis.dtype == np.complex128
+
+
+class TestDsCoords:
+    """DS grid coordinates for the fp32 type-1 path (FFTVIS_DS_COORDS).
+
+    TPU-only by default (XLA:CPU fusion breaks the error-free transforms;
+    on hardware the measured HERA-331 polarized row improves 1.9e-5 ->
+    4.1e-6, under the north-star 1e-5 gate). These CPU tests pin the
+    mechanics: forced-on must produce a correct fp32-class result and the
+    program must compile promptly (optimization-barrier regression guard
+    -- without it XLA:CPU compile hangs for minutes).
+    """
+
+    def _gridded_problem(self):
+        rng = np.random.default_rng(9)
+        # 14.6 m hex lattice: griddable -> type-1 path.
+        from fftvis_tpu.geometry import hex_array
+
+        ants = hex_array(3, sep=14.6)
+        nsrc = 80
+        ra = rng.uniform(0, 2 * np.pi, nsrc)
+        dec = np.clip(LOC.lat + rng.normal(0, 0.4, nsrc), -np.pi / 2, np.pi / 2)
+        return dict(
+            ants=ants, fluxes=rng.uniform(0.1, 1.0, (nsrc, 1)), ra=ra, dec=dec,
+            freqs=np.array([1.1e8]), times=2459863.2 + np.linspace(0, 0.01, 2),
+            beam=GaussianBeam(diameter=14.0), telescope_loc=LOC,
+            polarized=True,
+        )
+
+    def test_forced_on_matches_f64_at_f32_tolerance(self, monkeypatch):
+        kw = self._gridded_problem()
+        want = simulate_vis(precision=2, **kw)
+        monkeypatch.setenv("FFTVIS_DS_COORDS", "1")
+        got = simulate_vis(precision=1, **kw)
+        assert got.dtype == np.complex64
+        scale = np.abs(want).max()
+        assert np.abs(got - want).max() / scale < 1e-4
+
+    def test_off_by_default_on_cpu(self, monkeypatch, caplog):
+        import logging
+
+        monkeypatch.delenv("FFTVIS_DS_COORDS", raising=False)
+        kw = self._gridded_problem()
+        a = simulate_vis(precision=1, **kw)
+        monkeypatch.setenv("FFTVIS_DS_COORDS", "0")
+        b = simulate_vis(precision=1, **kw)
+        np.testing.assert_array_equal(a, b)
 
 
 class TestAccuracy:
@@ -101,6 +149,62 @@ class TestAccuracy:
         gotds = simulate_vis(precision=1, **kw)
         monkeypatch.delenv("FFTVIS_DS", raising=False)
         want = simulate_vis(precision=2, **kw)
+        scale = np.abs(want).max()
+        assert np.abs(gotds - want).max() / scale < 2e-5
+
+    def test_ds_multi_pair_beats_plain_f32(self, monkeypatch):
+        """2 distinct beams + beam_idx (multi-pair routing) through the DS
+        path: must match the fp64 reference much closer than plain fp32 on
+        a wide array (VERDICT round-2 item 3; the full ~1e-7 win is a
+        hardware property, asserted in bench.py -- XLA:CPU fusion costs
+        the EFT chain part of its budget here)."""
+        kw = _problem(span=2000.0, polarized=True)
+        kw["beam"] = [GaussianBeam(diameter=12.0), GaussianBeam(diameter=13.0)]
+        kw["beam_idx"] = np.array([0, 1, 0, 1, 0, 1])
+        want = simulate_vis(precision=2, **kw)
+        monkeypatch.delenv("FFTVIS_DS", raising=False)
+        got32 = simulate_vis(precision=1, **kw)
+        monkeypatch.setenv("FFTVIS_DS", "1")
+        gotds = simulate_vis(precision=1, **kw)
+        assert gotds.dtype == np.complex128
+        scale = np.abs(want).max()
+        err32 = np.abs(got32 - want).max() / scale
+        errds = np.abs(gotds - want).max() / scale
+        assert errds < err32 / 2
+        assert errds < 5e-4
+
+    def test_ds_eigenbeam_matches_f64(self, monkeypatch):
+        """Eigenbeam (beam_coefs) contraction through the DS path matches
+        the fp64 eigenbeam reference (coefficient contraction runs on the
+        host in float64)."""
+        from fftvis_tpu import compute_beam_basis
+        from fftvis_tpu.beams.gridded import GriddedBeam
+
+        rng = np.random.default_rng(5)
+        nant = 4
+        ants = {i: np.array([*rng.uniform(-40, 40, 2), 0.0]) for i in range(nant)}
+        nsrc = 25
+        ra = rng.uniform(0, 2 * np.pi, nsrc)
+        dec = np.clip(LOC.lat + rng.normal(0, 0.3, nsrc), -np.pi / 2, np.pi / 2)
+        freq = 1.0e8
+        beams = [
+            GriddedBeam.from_function(
+                GaussianBeam(diameter=6.0 + 2.0 * i), n_az=90, n_za=91,
+                freqs=(freq,),
+            )
+            for i in range(nant)
+        ]
+        eig, coefs = compute_beam_basis(beams, freq, polarized=True, threshold=1e-12)
+        kw = dict(
+            ants=ants, fluxes=rng.uniform(0.2, 1.0, (nsrc, 1)), ra=ra, dec=dec,
+            freqs=np.array([freq]), times=2459863.2 + np.linspace(0, 0.01, 2),
+            beam=eig, beam_coefs=coefs[:, :, None], telescope_loc=LOC,
+            polarized=True,
+        )
+        want = simulate_vis(precision=2, **kw)
+        monkeypatch.setenv("FFTVIS_DS", "1")
+        gotds = simulate_vis(precision=1, **kw)
+        assert gotds.dtype == np.complex128
         scale = np.abs(want).max()
         assert np.abs(gotds - want).max() / scale < 2e-5
 

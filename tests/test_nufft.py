@@ -72,6 +72,41 @@ def test_type1_matches_direct(eps):
     assert err < 20 * eps, f"eps={eps}: rel err {err:.3e}"
 
 
+def test_type1_spread_ds_coordinates():
+    """spread_ds (double-single grid coordinates) beats the plain-f32
+    spread against the fp64 reference: the cell/frac decomposition keeps
+    ~ulp(1) fractional positions, removing the dominant f32 position-
+    rounding term (~nf * 2^-24 cells) of the single-precision transform."""
+    from fftvis_tpu.nufft.transform import Type1Executor
+    from fftvis_tpu.tpu.ds import split64
+
+    rng = np.random.default_rng(11)
+    n = 2000
+    modes = rng.integers(-20, 21, size=(2, 200))
+    plan = plan_type1(modes, eps=5e-7, upsample_factor=2.0)
+    ex = Type1Executor(plan)
+    x64 = rng.uniform(-np.pi, np.pi, (2, n))
+    c64 = rng.normal(size=(1, n)) + 1j * rng.normal(size=(1, n))
+    want = direct_type1_np(np.mod(x64, 2 * np.pi), c64, modes)
+    scale = np.abs(want).max()
+
+    x32 = jnp.asarray(x64, jnp.float32)
+    c32 = jnp.asarray(c64, jnp.complex64)
+    got32 = np.asarray(ex.gather(ex.transform(ex.spread(x32, c32))))
+
+    u64 = np.mod(
+        x64 / (2 * np.pi) * np.array(plan.nf)[:, None], np.array(plan.nf)[:, None]
+    )
+    uh, ul = split64(u64)
+    u_ds = [(jnp.asarray(uh[i]), jnp.asarray(ul[i])) for i in range(2)]
+    gotds = np.asarray(ex.gather(ex.transform(ex.spread_ds(u_ds, c32))))
+
+    e32 = np.abs(got32 - want).max() / scale
+    eds = np.abs(gotds - want).max() / scale
+    assert eds < 1e-6
+    assert eds < e32 / 3
+
+
 def test_type3_single_precision():
     rng = np.random.default_rng(3)
     n, m = 500, 100
