@@ -103,10 +103,15 @@ def es_kernel_ft(xi, w: int, beta: float, xp=np):
     a real array of the same shape.
     """
     nodes, weights = _gl_nodes(_QUAD_NODES)
-    z = xp.asarray(nodes, dtype=xp.float64 if xp is np else None)
-    q = xp.asarray(weights, dtype=xp.float64 if xp is np else None)
-    envelope = xp.exp(beta * (xp.sqrt(1.0 - z * z) - 1.0)) * q
     xi = xp.asarray(xi)
+    # Under jnp the quadrature table must follow xi's dtype: asarray of
+    # float64 host constants with jax_enable_x64 on yields f64 arrays,
+    # silently upcasting an fp32 pipeline's weights to complex128 (carry
+    # dtype crash in the engine scan).
+    dt = np.float64 if xp is np else xi.dtype
+    z = xp.asarray(nodes, dtype=dt)
+    q = xp.asarray(weights, dtype=dt)
+    envelope = xp.exp(beta * (xp.sqrt(1.0 - z * z) - 1.0)) * q
     phases = xi[..., None] * (0.5 * w) * z  # (..., nq)
     return (0.5 * w) * xp.sum(xp.cos(phases) * envelope, axis=-1)
 

@@ -647,6 +647,59 @@ class Type3Executor:
             strip_config=self.strip_config, tile_config=self.tile_config,
         )
 
+    def spread_ds(self, x_ds, c):
+        """Spread from double-single source coordinates.
+
+        ``x_ds``: length-d list of (x_hi, x_lo) f32 pairs (the engine's DS
+        coordinate chain). The pre-phase (|s_center . x| reaches 1e3-1e4
+        rad) and the grid coordinates (|x/h| reaches 1e5 cells) are the
+        two places plain f32 loses ~|value| * 2^-24; both are computed in
+        two-float arithmetic here. The amplitude pre-correction is smooth
+        and stays f32.
+        """
+        import jax.numpy as jnp
+
+        from ..tpu import ds as _dsm
+
+        p = self.plan
+        d, w, beta = p.d, p.kernel.w, p.kernel.beta
+        cdtype = c.dtype
+        rdtype = jnp.finfo(cdtype).dtype
+
+        ph = None
+        for axis in range(d):
+            sch, scl = _dsm.split64(np.float64(p.s_center[axis]))
+            mh, ml = _dsm.ds_mul(
+                jnp.asarray(sch, rdtype), jnp.asarray(scl, rdtype),
+                x_ds[axis][0], x_ds[axis][1],
+            )
+            ph = (mh, ml) if ph is None else _dsm.ds_add(*ph, mh, ml)
+        sn, cs = _dsm.ds_sincos(*ph)
+        corr = jnp.ones_like(x_ds[0][0])
+        for axis in range(d):
+            corr = corr * es_kernel_ft(
+                x_ds[axis][0] * jnp.asarray(p.ds[axis], dtype=rdtype),
+                w, beta, xp=jnp,
+            )
+        pre = (cs + 1j * sn).astype(cdtype) / corr
+        wts = c * pre[None, :]
+
+        u_hi, u_lo = [], []
+        for axis in range(d):
+            ih, il = _dsm.split64(np.float64(1.0 / p.h[axis]))
+            yh, yl = _dsm.ds_mul(
+                x_ds[axis][0], x_ds[axis][1],
+                jnp.asarray(ih, rdtype), jnp.asarray(il, rdtype),
+            )
+            uh, ul = _dsm.ds_mod_n(yh, yl, int(p.nf[axis]))
+            u_hi.append(uh)
+            u_lo.append(ul)
+        return _spread_auto(
+            u_hi, wts, p.nf, w, beta,
+            strip_config=self.strip_config, tile_config=self.tile_config,
+            u_lo_list=u_lo,
+        )
+
     def transform(self, g):
         import jax.numpy as jnp
 
@@ -789,6 +842,70 @@ class Type3LowrankZExecutor:
             strip_config=self.strip_config, tile_config=self.tile_config,
         )
 
+    def spread_ds(self, x_ds, c):
+        """Spread from double-single coordinates (3 axes; see
+        Type3Executor.spread_ds). The z factorization (Chebyshev modes,
+        z pre-correction) is smooth in z and stays f32 on the hi part;
+        the pre-phase (including the z-center term) and the 2D grid
+        coordinates run in two-float arithmetic.
+        """
+        import jax.numpy as jnp
+
+        from ..tpu import ds as _dsm
+
+        p2 = self.plan
+        zp = self.zplan
+        w, beta = p2.kernel.w, p2.kernel.beta
+        cdtype = c.dtype
+        rdtype = jnp.finfo(cdtype).dtype
+
+        centers = (p2.s_center[0], p2.s_center[1], zp.s_center_z)
+        ph = None
+        for axis in range(3):
+            sch, scl = _dsm.split64(np.float64(centers[axis]))
+            mh, ml = _dsm.ds_mul(
+                jnp.asarray(sch, rdtype), jnp.asarray(scl, rdtype),
+                x_ds[axis][0], x_ds[axis][1],
+            )
+            ph = (mh, ml) if ph is None else _dsm.ds_add(*ph, mh, ml)
+        sn, cs = _dsm.ds_sincos(*ph)
+        corr = jnp.ones_like(x_ds[0][0])
+        for axis in range(2):
+            corr = corr * es_kernel_ft(
+                x_ds[axis][0] * jnp.asarray(p2.ds[axis], dtype=rdtype),
+                w, beta, xp=jnp,
+            )
+        pre = (cs + 1j * sn).astype(cdtype) / corr
+        wts = c * pre[None, :]
+
+        t = (x_ds[2][0].astype(rdtype) - zp.x_center_z) / zp.x_half_z
+        t = jnp.clip(t, -1.0, 1.0)
+        K = zp.K
+        cheb = [jnp.ones_like(t)]
+        if K > 1:
+            cheb.append(t)
+        for _ in range(2, K):
+            cheb.append(2.0 * t * cheb[-1] - cheb[-2])
+        f = jnp.stack(cheb[:K])
+        C, n = wts.shape
+        wts_k = (wts[:, None, :] * f[None, :, :]).reshape(C * K, n)
+
+        u_hi, u_lo = [], []
+        for axis in range(2):
+            ih, il = _dsm.split64(np.float64(1.0 / p2.h[axis]))
+            yh, yl = _dsm.ds_mul(
+                x_ds[axis][0], x_ds[axis][1],
+                jnp.asarray(ih, rdtype), jnp.asarray(il, rdtype),
+            )
+            uh, ul = _dsm.ds_mod_n(yh, yl, int(p2.nf[axis]))
+            u_hi.append(uh)
+            u_lo.append(ul)
+        return _spread_auto(
+            u_hi, wts_k, p2.nf, w, beta,
+            strip_config=self.strip_config, tile_config=self.tile_config,
+            u_lo_list=u_lo,
+        )
+
     def transform(self, g):
         import jax.numpy as jnp
 
@@ -905,30 +1022,36 @@ def _spread_auto(
     # the documented legacy 3-tuple (FFTVIS_TILE workflows) as classes=None.
     if tile_config is not None and len(tile_config) == 3:
         tile_config = (*tile_config, None)
-    # The strip/tiled/z-tap forms do not consume DS low parts yet; dropping
-    # them reproduces the plain-f32 behavior (engine only requests DS
-    # coordinates on paths that resolve to dense/scatter spreading).
+    # Every spreader consumes optional DS low parts through the shared
+    # cell/frac decomposition (:func:`_split_cell_frac`), so the engine's
+    # ds_coords accuracy win carries to giant tiled/strip type-3 grids too.
     if mode == "strip" and d == 2 and strip_config is not None:
-        return _spread_strip_matmul(u_list, weights, nf, w, beta, *strip_config)
+        return _spread_strip_matmul(u_list, weights, nf, w, beta,
+                                    *strip_config, u_lo_list=u_lo_list)
     if mode == "tiled" and d == 2 and tile_config is not None:
-        return _spread_tiled_matmul(u_list, weights, nf, w, beta, *tile_config)
+        return _spread_tiled_matmul(u_list, weights, nf, w, beta,
+                                    *tile_config, u_lo_list=u_lo_list)
     if mode == "dense" and d == 2:
         return _spread_dense_matmul(u_list, weights, nf, w, beta,
                                     u_lo_list=u_lo_list)
     if mode == "ztaps" and d == 3:
-        return _spread_3d_ztaps(u_list, weights, nf, w, beta)
+        return _spread_3d_ztaps(u_list, weights, nf, w, beta,
+                                u_lo_list=u_lo_list)
     if mode == "auto" and d == 2 and jax.default_backend() == "tpu":
         if tile_config is not None and int(np.prod(nf)) > DENSE_GRID_LIMIT:
-            return _spread_tiled_matmul(u_list, weights, nf, w, beta, *tile_config)
+            return _spread_tiled_matmul(u_list, weights, nf, w, beta,
+                                        *tile_config, u_lo_list=u_lo_list)
         if strip_config is not None and int(np.prod(nf)) > DENSE_GRID_LIMIT:
-            return _spread_strip_matmul(u_list, weights, nf, w, beta, *strip_config)
+            return _spread_strip_matmul(u_list, weights, nf, w, beta,
+                                        *strip_config, u_lo_list=u_lo_list)
         return _spread_dense_matmul(u_list, weights, nf, w, beta,
                                     u_lo_list=u_lo_list)
     if mode == "auto" and d == 3 and jax.default_backend() == "tpu":
         # XLA scatter serializes on TPU; the z-tap scan is exact and dense.
         # (The engine routes 3D through the lowrank-z 2D factorization, so
         # this branch is only reached via the public make_type3_fn API.)
-        return _spread_3d_ztaps(u_list, weights, nf, w, beta)
+        return _spread_3d_ztaps(u_list, weights, nf, w, beta,
+                                u_lo_list=u_lo_list)
     return _spread_scatter(u_list, weights, nf, w, beta, u_lo_list=u_lo_list)
 
 
@@ -940,6 +1063,7 @@ def _spread_strip_matmul(
     beta: float,
     strip: int,
     capacity: int,
+    u_lo_list=None,
 ):
     """2D ES spreading via x-strip binning + per-strip MXU matmuls.
 
@@ -966,6 +1090,15 @@ def _spread_strip_matmul(
     rdtype = jnp.finfo(jnp.result_type(weights, 0.0)).dtype
     uy = u_list[0].astype(rdtype)
     ux = u_list[1].astype(rdtype)
+    # Cell/frac decomposition (optionally DS-refined): kernel arguments are
+    # then formed as integer-exact distances minus a ~ulp(1) fraction, so
+    # position accuracy no longer degrades as ulp(nf) on large grids.
+    cy, fy = _split_cell_frac(
+        uy, None if u_lo_list is None else u_lo_list[0].astype(rdtype), jnp
+    )
+    cx, fx = _split_cell_frac(
+        ux, None if u_lo_list is None else u_lo_list[1].astype(rdtype), jnp
+    )
 
     nstrips = -(-nfx // strip)
     P = int(capacity)
@@ -1003,17 +1136,23 @@ def _spread_strip_matmul(
 
     def strip_body(grid, s_inp):
         s, idx_s, valid_s = s_inp
-        uy_s = uy[idx_s]
-        ux_s = ux[idx_s]
+        cy_s = cy[idx_s]
+        fy_s = fy[idx_s]
+        cx_s = cx[idx_s]
+        fx_s = fx[idx_s]
         v_s = vals[:, idx_s] * valid_s[None, :].astype(rdtype)  # (2C, P)
 
-        dy = rows[:, None] - uy_s[None, :]
-        dy = dy - nfy * jnp.round(dy / nfy)
+        # rows - cy is integer-exact, as is the periodic fold of it; the
+        # ~ulp(1) fraction is subtracted last (see _split_cell_frac).
+        dy = rows[:, None] - cy_s[None, :]
+        dy = dy - nfy * jnp.round(dy / nfy) - fy_s[None, :]
         ky = es_kernel_grid(dy, w, beta, xp=jnp)  # (nfy, P)
 
         x0 = s * strip - margin  # window start (signed; pad handles edges)
         cols = x0.astype(rdtype) + jnp.arange(XW, dtype=rdtype)
-        kx = es_kernel_grid(cols[None, :] - ux_s[:, None], w, beta, xp=jnp)
+        kx = es_kernel_grid(
+            (cols[None, :] - cx_s[:, None]) - fx_s[:, None], w, beta, xp=jnp
+        )
 
         rhs = (kx[:, None, :] * v_s.T[:, :, None]).reshape(P, c2 * XW)
         patch = ky @ rhs  # (nfy, 2C*XW)
@@ -1039,7 +1178,8 @@ def _spread_strip_matmul(
     return (out[:C] + 1j * out[C:]).astype(weights.dtype)
 
 
-def _spread_3d_ztaps(u_list, weights, nf, w: int, beta: float):
+def _spread_3d_ztaps(u_list, weights, nf, w: int, beta: float,
+                     u_lo_list=None):
     """3D ES spreading as a scan of 2D dense-matmul spreads over z-planes.
 
     For each plane p of the LAST grid axis, every source contributes its
@@ -1056,13 +1196,18 @@ def _spread_3d_ztaps(u_list, weights, nf, w: int, beta: float):
     C = weights.shape[0]
     rdtype = jnp.finfo(jnp.result_type(weights, 0.0)).dtype
     uz = u_list[2].astype(rdtype)
+    cz, fz = _split_cell_frac(
+        uz, None if u_lo_list is None else u_lo_list[2].astype(rdtype), jnp
+    )
+    u_lo_2d = None if u_lo_list is None else u_lo_list[:2]
 
     def plane(_, p):
-        dz = p.astype(rdtype) - uz
-        dz = dz - nf2 * jnp.round(dz / nf2)
+        dz = p.astype(rdtype) - cz
+        dz = dz - nf2 * jnp.round(dz / nf2) - fz
         kz = es_kernel_grid(dz, w, beta, xp=jnp)  # (n,)
         wp = weights * kz[None, :]
-        g2 = _spread_dense_matmul(u_list[:2], wp, (nf0, nf1), w, beta)
+        g2 = _spread_dense_matmul(u_list[:2], wp, (nf0, nf1), w, beta,
+                                  u_lo_list=u_lo_2d)
         return None, g2  # (C, nf0, nf1)
 
     _, planes = jax.lax.scan(plane, None, jnp.arange(nf2))
@@ -1105,6 +1250,7 @@ def _spread_tiled_matmul(
     sx: int,
     capacity: int,
     classes=None,
+    u_lo_list=None,
 ):
     """2D ES spreading via (y, x) tile binning + per-tile MXU matmuls.
 
@@ -1159,7 +1305,8 @@ def _spread_tiled_matmul(
     pad_x_hi = gx - m - nfx
     if pad_y_hi > nfy or pad_x_hi > nfx or m > nfy or m > nfx:
         # Pads would wrap more than one period: grid too small for tiling.
-        return _spread_dense_matmul(u_list, weights, nf, w, beta)
+        return _spread_dense_matmul(u_list, weights, nf, w, beta,
+                                    u_lo_list=u_lo_list)
 
     tiy = jnp.clip((uy // ty).astype(jnp.int32), 0, nty - 1)
     tix = jnp.clip((ux // sx).astype(jnp.int32), 0, ntx - 1)
@@ -1175,7 +1322,19 @@ def _spread_tiled_matmul(
     ).astype(rdtype)  # (c2, n)
     iota = jnp.arange(n, dtype=jnp.int32)
     tid_sorted, perm = jax.lax.sort((tid, iota), num_keys=1)
-    packed = jnp.concatenate([uy[None], ux[None], vals], axis=0).T  # (n, D)
+    # Pack the cell/frac decomposition (optionally DS-refined) instead of
+    # the raw coordinates: kernel arguments in the tile body become
+    # integer-exact distances minus a ~ulp(1) fraction, so position
+    # accuracy no longer degrades as ulp(nf) on large grids.
+    cy, fy = _split_cell_frac(
+        uy, None if u_lo_list is None else u_lo_list[0].astype(rdtype), jnp
+    )
+    cx, fx = _split_cell_frac(
+        ux, None if u_lo_list is None else u_lo_list[1].astype(rdtype), jnp
+    )
+    packed = jnp.concatenate(
+        [cy[None], fy[None], cx[None], fx[None], vals], axis=0
+    ).T  # (n, D)
     packed_sorted = jnp.take(packed, perm, axis=0)
     # Pad P zero rows so per-tile dynamic slices never clamp near the end.
     packed_sorted = jnp.concatenate(
@@ -1228,19 +1387,25 @@ def _spread_tiled_matmul(
                 packed_sorted, (s0, jnp.int32(0)), (Pc, packed.shape[1])
             )  # (Pc, D) contiguous
             live = ((s0 + lane) < e0).astype(rdtype)  # (Pc,)
-            uy_t = sl[:, 0]
-            ux_t = sl[:, 1]
-            v_t = sl[:, 2:].T * live[None, :]  # (c2, Pc)
+            cy_t = sl[:, 0]
+            fy_t = sl[:, 1]
+            cx_t = sl[:, 2]
+            fx_t = sl[:, 3]
+            v_t = sl[:, 4:].T * live[None, :]  # (c2, Pc)
 
+            # (rows + y0) - cell is integer-exact; the ~ulp(1) fraction is
+            # subtracted last (no periodic fold here -- pads handle wraps).
             ky = es_kernel_grid(
-                (rows_rel[:, None] + y0.astype(rdtype)) - uy_t[None, :],
+                ((rows_rel[:, None] + y0.astype(rdtype)) - cy_t[None, :])
+                - fy_t[None, :],
                 w, beta, xp=jnp,
             )  # (tyw, Pc)
             # Kill padding/overflow columns in ky too: zero coordinates can
             # otherwise alias onto real grid rows when y0 is near the origin.
             ky = ky * live[None, :]
             kx = es_kernel_grid(
-                (cols_rel[None, :] + x0.astype(rdtype)) - ux_t[:, None],
+                ((cols_rel[None, :] + x0.astype(rdtype)) - cx_t[:, None])
+                - fx_t[:, None],
                 w, beta, xp=jnp,
             )  # (Pc, xw)
 

@@ -451,7 +451,7 @@ class TPUSimulationEngine(SimulationEngine):
         ds_coords = (
             not use_ds
             and real_dtype == np.float32
-            and plan.mode == "type1"
+            and plan.mode in ("type1", "type3")
             and (
                 _dsc_env == "1"
                 or (_dsc_env != "0" and _jax.default_backend() == "tpu")
@@ -631,9 +631,18 @@ class TPUSimulationEngine(SimulationEngine):
                     ) * (TWO_PI / speed_of_light)
                 tg_ds_host = np.stack(_ds.split64(tg_eff), axis=-1)  # (3, nbl, 2)
             else:
-                lat_ds_host = np.stack(
-                    _ds.split64(plan.lattice_matrix[:2]), axis=-1
-                )  # (2, 3, 2)
+                # DS split of the coordinate matrix: lattice rows (type-1)
+                # or plane-rotation rows (type-3); + 2 pi / c for type-3.
+                if plan.lattice_matrix is not None:
+                    lat_ds_host = np.stack(
+                        _ds.split64(plan.lattice_matrix[:2]), axis=-1
+                    )  # (2, 3, 2)
+                else:
+                    _de = 2 if plan.is_coplanar else 3
+                    lat_ds_host = np.stack(
+                        _ds.split64(plan.rotation_matrix[:_de]), axis=-1
+                    )  # (d_eff, 3, 2)
+                k2pi_c_ds = _ds.split64(np.float64(TWO_PI / speed_of_light))
             freqs_ds_host = np.stack(
                 _ds.split64(freqs_padded), axis=-1
             )  # (nf_pad, 2)
@@ -860,17 +869,19 @@ class TPUSimulationEngine(SimulationEngine):
                     vi_h, vi_l = _dsm.ds_add(carry[2], carry[3], sih, sil)
                     return (vr_h, vr_l, vi_h, vi_l), None
                 if ds_coords:
-                    # DS grid coordinates for the type-1 spread:
-                    # u_i = mod((lattice @ topo)_i * f * nf_i, nf_i)
-                    # contracted entirely in two-float arithmetic, keeping
-                    # ~ulp(1) fractional positions (the plain-f32 chain
-                    # loses ~|u| * 2^-24 cells -> ~6e-5 rad of phase).
+                    # DS coordinates for the NUFFT spread, contracted
+                    # entirely in two-float arithmetic (the plain-f32
+                    # chain loses ~|value| * 2^-24 in the coordinate mod /
+                    # pre-phase -> ~6e-5 rad of phase at HERA-331 scale):
+                    #   type-1: u_i = mod((lattice @ topo)_i * f * nf_i, nf_i)
+                    #   type-3: x_i = (rot @ topo)_i * (2 pi f / c), with
+                    #           the executor doing DS pre-phase + mod.
                     from . import ds as _dsm
 
-                    lat_h = jnp.asarray(lat_ds_host[..., 0])  # (2, 3)
+                    lat_h = jnp.asarray(lat_ds_host[..., 0])  # (d_eff, 3)
                     lat_l = jnp.asarray(lat_ds_host[..., 1])
-                    u_ds = []
-                    for i2 in range(2):
+
+                    def _row_dot(i2):
                         lh, ll = _dsm.ds_mul(
                             lat_h[i2, 0], lat_l[i2, 0],
                             topo_b[0, :, 0], topo_b[0, :, 1],
@@ -881,16 +892,36 @@ class TPUSimulationEngine(SimulationEngine):
                                 topo_b[k2, :, 0], topo_b[k2, :, 1],
                             )
                             lh, ll = _dsm.ds_add(lh, ll, mh, ml)
-                        nf_i = int(plan.executor.plan.nf[i2])
-                        sh, sl = _dsm.ds_mul_f32(f_h, f_l, jnp.float32(nf_i))
-                        yh, yl = _dsm.ds_mul(lh, ll, sh, sl)
-                        u_ds.append(_dsm.ds_mod_n(yh, yl, nf_i))
-                    # Barrier: stops XLA:CPU fusion from duplicating the DS
-                    # chain's subexpressions with one-ulp differences (which
-                    # breaks the error-free transforms; NOTES.md) and from
-                    # the pathological scatter-producer fusion above.
-                    u_ds = jax.lax.optimization_barrier(u_ds)
-                    return carry + plan.executor.spread_ds(u_ds, rows), None
+                        return lh, ll
+
+                    if plan.mode == "type1":
+                        u_ds = []
+                        for i2 in range(2):
+                            lh, ll = _row_dot(i2)
+                            nf_i = int(plan.executor.plan.nf[i2])
+                            sh, sl = _dsm.ds_mul_f32(
+                                f_h, f_l, jnp.float32(nf_i)
+                            )
+                            yh, yl = _dsm.ds_mul(lh, ll, sh, sl)
+                            u_ds.append(_dsm.ds_mod_n(yh, yl, nf_i))
+                        # Barrier: stops XLA:CPU fusion from duplicating
+                        # the DS chain's subexpressions with one-ulp
+                        # differences (breaking the error-free transforms;
+                        # NOTES.md) and from the pathological
+                        # scatter-producer fusion above.
+                        u_ds = jax.lax.optimization_barrier(u_ds)
+                        return carry + plan.executor.spread_ds(u_ds, rows), None
+                    # type-3: scale rows by 2 pi f / c in DS.
+                    sh, sl = _dsm.ds_mul(
+                        f_h, f_l,
+                        jnp.float32(k2pi_c_ds[0]), jnp.float32(k2pi_c_ds[1]),
+                    )
+                    x_ds = []
+                    for i2 in range(lat_ds_host.shape[0]):
+                        lh, ll = _row_dot(i2)
+                        x_ds.append(_dsm.ds_mul(lh, ll, sh, sl))
+                    x_ds = jax.lax.optimization_barrier(x_ds)
+                    return carry + plan.executor.spread_ds(x_ds, rows), None
                 x = nufft_coords(topo_b, fv)
                 if plan.mode == "direct":
                     tg = plan.targets.astype(real_dtype)  # (d, nbl) signed

@@ -111,6 +111,42 @@ class TestDsCoords:
         scale = np.abs(want).max()
         assert np.abs(got - want).max() / scale < 1e-4
 
+    def test_fp32_type3_engine_path(self, monkeypatch):
+        """Regression (round 3): precision=1 + type-3 crashed on the
+        x64-enabled CPU backend (es_kernel_ft returned f64 quadrature ->
+        complex128 scan carry). Must run, and forced DS coordinates must
+        stay within f32 tolerance of the fp64 result."""
+        rng = np.random.default_rng(11)
+        nsrc = 150
+        ra = rng.uniform(0, 2 * np.pi, nsrc)
+        dec = np.clip(LOC.lat + rng.normal(0, 0.4, nsrc), -np.pi / 2, np.pi / 2)
+        kw = dict(
+            ants={i: np.array([*rng.uniform(-400, 400, 2), 0.0]) for i in range(8)},
+            fluxes=rng.uniform(0.1, 1.0, (nsrc, 1)), ra=ra, dec=dec,
+            freqs=np.array([1.1e8]), times=2459863.2 + np.linspace(0, 0.01, 2),
+            beam=GaussianBeam(diameter=14.0), telescope_loc=LOC,
+            polarized=True, force_use_type3=True,
+        )
+        from fftvis_tpu.tpu.engine import TPUSimulationEngine
+
+        want = simulate_vis(precision=2, **kw)
+        scale = np.abs(want).max()
+        import fftvis_tpu.wrapper as W
+
+        eng = TPUSimulationEngine(nufft_mode="type3")
+        orig = W.create_simulation_engine
+        monkeypatch.setattr(
+            W, "create_simulation_engine",
+            lambda backend, **k: eng if backend == "tpu" else orig(backend, **k),
+        )
+        got_pl = simulate_vis(precision=1, **kw)
+        assert got_pl.dtype == np.complex64
+        assert np.abs(got_pl - want).max() / scale < 1e-3
+        monkeypatch.setenv("FFTVIS_DS_COORDS", "1")
+        got_ds = simulate_vis(precision=1, **kw)
+        assert got_ds.dtype == np.complex64
+        assert np.abs(got_ds - want).max() / scale < 1e-3
+
     def test_off_by_default_on_cpu(self, monkeypatch, caplog):
         import logging
 

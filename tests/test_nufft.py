@@ -107,6 +107,154 @@ def test_type1_spread_ds_coordinates():
     assert eds < e32 / 3
 
 
+def test_type3_spread_ds_coordinates():
+    """Type-3 spread_ds (DS pre-phase + DS grid coordinates) beats the
+    plain-f32 spread against the fp64 reference."""
+    from fftvis_tpu.nufft.transform import Type3Executor, plan_type3
+    from fftvis_tpu.tpu.ds import split64
+
+    rng = np.random.default_rng(13)
+    n = 1500
+    x64 = rng.uniform(-1, 1, (2, n))
+    s = rng.uniform(-600, 600, (2, 120))
+    plan = plan_type3(s, 1.0, eps=5e-7)
+    ex = Type3Executor(plan)
+    c64 = rng.normal(size=(1, n)) + 1j * rng.normal(size=(1, n))
+    want = np.einsum("cn,mn->cm", c64, np.exp(1j * (s.T @ x64)))
+    scale = np.abs(want).max()
+
+    c32 = jnp.asarray(c64, jnp.complex64)
+    got32 = np.asarray(
+        ex.interpolate(ex.transform(ex.spread(jnp.asarray(x64, jnp.float32), c32)))
+    )
+    xh, xl = split64(x64)
+    x_ds = [(jnp.asarray(xh[i]), jnp.asarray(xl[i])) for i in range(2)]
+    gotds = np.asarray(ex.interpolate(ex.transform(ex.spread_ds(x_ds, c32))))
+
+    e32 = np.abs(got32 - want).max() / scale
+    eds = np.abs(gotds - want).max() / scale
+    assert eds < 2e-6
+    assert eds < e32 / 2
+
+
+def test_binned_spreaders_consume_ds_low_parts():
+    """The tiled / strip / z-tap spreaders consume DS coordinate low
+    parts through the shared cell/frac decomposition: an f32 spread fed
+    (u_hi, u_lo) must land at u_hi + u_lo (vs the fp64 scatter oracle),
+    not at u_hi — carrying the engine's ds_coords accuracy win to the
+    large-grid type-3 paths."""
+    from fftvis_tpu.nufft.kernels import ESKernel
+    from fftvis_tpu.nufft.transform import (
+        _spread_3d_ztaps,
+        _spread_scatter,
+        _spread_strip_matmul,
+        _spread_tiled_matmul,
+        pick_strip_width,
+    )
+
+    rng = np.random.default_rng(41)
+    k = ESKernel.from_eps(1e-9, 2.0)
+    nf = (64, 120)
+    n = 400
+    # f32-representable hi parts + low parts big enough (5e-3 cells) that
+    # ignoring them is ~1e-3-level kernel error, far above f32 noise.
+    u_hi = [
+        np.float64(np.float32(rng.uniform(0, nf[i], n))) for i in range(2)
+    ]
+    u_lo = [rng.uniform(-5e-3, 5e-3, n) for _ in range(2)]
+    c64 = rng.normal(size=(2, n)) + 1j * rng.normal(size=(2, n))
+    c32 = jnp.asarray(c64, jnp.complex64)
+    uh32 = [jnp.asarray(u, jnp.float32) for u in u_hi]
+    ul32 = [jnp.asarray(u, jnp.float32) for u in u_lo]
+
+    ref = np.asarray(
+        _spread_scatter(
+            [jnp.asarray(u_hi[i] + u_lo[i]) for i in range(2)],
+            jnp.asarray(c64), nf, k.w, k.beta,
+        )
+    )
+    scale = np.abs(ref).max()
+
+    strip = pick_strip_width(nf[1], 32)
+    sid = np.clip(np.asarray(u_hi[1]) // strip, 0, nf[1] // strip - 1)
+    cap_s = int(np.bincount(sid.astype(int), minlength=nf[1] // strip).max())
+    ty, sx = 16, 30
+    nty, ntx = -(-nf[0] // ty), -(-nf[1] // sx)
+    tid = (
+        np.clip(u_hi[0] // ty, 0, nty - 1) * ntx
+        + np.clip(u_hi[1] // sx, 0, ntx - 1)
+    ).astype(int)
+    cap_t = int(np.bincount(tid, minlength=nty * ntx).max())
+
+    for name, without, with_lo in [
+        (
+            "tiled",
+            _spread_tiled_matmul(uh32, c32, nf, k.w, k.beta, ty, sx, cap_t),
+            _spread_tiled_matmul(
+                uh32, c32, nf, k.w, k.beta, ty, sx, cap_t, u_lo_list=ul32
+            ),
+        ),
+        (
+            "strip",
+            _spread_strip_matmul(uh32, c32, nf, k.w, k.beta, strip, cap_s),
+            _spread_strip_matmul(
+                uh32, c32, nf, k.w, k.beta, strip, cap_s, u_lo_list=ul32
+            ),
+        ),
+    ]:
+        e0 = np.abs(np.asarray(without) - ref).max() / scale
+        e1 = np.abs(np.asarray(with_lo) - ref).max() / scale
+        assert e1 < 1e-5, f"{name}: DS error {e1:.2e}"
+        assert e1 < e0 / 30, f"{name}: DS {e1:.2e} vs plain {e0:.2e}"
+
+    nf3 = (40, 48, 24)
+    u_hi3 = [
+        np.float64(np.float32(rng.uniform(0, nf3[i], n))) for i in range(3)
+    ]
+    u_lo3 = [rng.uniform(-5e-3, 5e-3, n) for _ in range(3)]
+    ref3 = np.asarray(
+        _spread_scatter(
+            [jnp.asarray(u_hi3[i] + u_lo3[i]) for i in range(3)],
+            jnp.asarray(c64), nf3, k.w, k.beta,
+        )
+    )
+    got3 = np.asarray(
+        _spread_3d_ztaps(
+            [jnp.asarray(u, jnp.float32) for u in u_hi3], c32, nf3,
+            k.w, k.beta,
+            u_lo_list=[jnp.asarray(u, jnp.float32) for u in u_lo3],
+        )
+    )
+    e3_0 = np.abs(
+        np.asarray(
+            _spread_3d_ztaps(
+                [jnp.asarray(u, jnp.float32) for u in u_hi3], c32, nf3,
+                k.w, k.beta,
+            )
+        )
+        - ref3
+    ).max() / np.abs(ref3).max()
+    e3 = np.abs(got3 - ref3).max() / np.abs(ref3).max()
+    assert e3 < 1e-5, f"ztaps: DS error {e3:.2e}"
+    assert e3 < e3_0 / 30, f"ztaps: DS {e3:.2e} vs plain {e3_0:.2e}"
+
+
+def test_kernel_ft_respects_input_dtype():
+    """es_kernel_ft must follow xi's dtype under jnp: f64 quadrature
+    tables (jax_enable_x64) silently upcast fp32 pipelines to complex128
+    (engine scan-carry crash; latent until the fp32 type-3 path ran on
+    the x64-enabled CPU test backend)."""
+    from fftvis_tpu.nufft.kernels import es_kernel_ft
+
+    out32 = es_kernel_ft(jnp.asarray([0.3], jnp.float32), 8, 22.0, xp=jnp)
+    assert out32.dtype == jnp.float32
+    out64 = es_kernel_ft(jnp.asarray([0.3], jnp.float64), 8, 22.0, xp=jnp)
+    assert out64.dtype == jnp.float64
+    np.testing.assert_allclose(
+        np.asarray(out32), np.asarray(out64), rtol=1e-6
+    )
+
+
 def test_type3_single_precision():
     rng = np.random.default_rng(3)
     n, m = 500, 100
