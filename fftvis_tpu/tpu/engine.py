@@ -492,6 +492,22 @@ class TPUSimulationEngine(SimulationEngine):
             )
             nchunks = max(nchunks, -(-nsrc // (max_block * n_sdev)))
             nchunks = min(nchunks, nsrc)
+        elif plan.mode == "type1":
+            # Device efficiency, not memory: one giant source block makes
+            # the type-1 spread pipeline's working set spill VMEM, while
+            # ~4k-source blocks under lax.scan keep it resident and
+            # pipelined (measured on v5e: 180k-source sky, 26.4 ms ->
+            # 19.9 ms device, 1.33x; optimum ~4096, degrading again by
+            # 1024 -- NOTES.md round-3 block sweep). Type-1 only: the
+            # per-block work is occupancy-proportional there, whereas the
+            # type-3 strip/tile scans cost their static capacity per block
+            # (splitting a 49k sky into 12 blocks measured 11.7 -> 32.2
+            # ms), and smaller nside-64 skies (49k sources) are faster as
+            # one block on every path (13.5 -> 17.7 ms tutorial). Engages
+            # only for catalogs far past the efficiency target.
+            tgt_blk = int(os.environ.get("FFTVIS_BLOCK", "4096"))
+            if tgt_blk > 0 and nsrc > 32 * tgt_blk * n_sdev:
+                nchunks = max(nchunks, -(-nsrc // (tgt_blk * n_sdev)))
         block = int(np.ceil(nsrc / (nchunks * n_sdev)))
         nsrc_pad = block * nchunks * n_sdev
         plan.nsrc_pad, plan.nblocks, plan.block = nsrc_pad, nchunks, block
@@ -510,15 +526,24 @@ class TPUSimulationEngine(SimulationEngine):
             n_sdev == 1
             and ntimes >= 8
             and nsrc >= 4096
+            # Occupancy-proportional block work only: the type-3 strip/
+            # tile spreaders cost their static per-strip capacity per
+            # block, so the finer blocking banding needs multiplies their
+            # work faster than the skip saves it (measured 2.75x slower
+            # at 12 blocks on the forced-type-3 bench row).
+            and plan.mode in ("type1", "direct")
             and os.environ.get("FFTVIS_BAND", "") != "0"
         ):
             from ..coords.banding import plan_horizon_bands
 
             # Banding needs block granularity (the skip resolution is one
-            # block): target ~256-source blocks with >= 64 of them, even
-            # when memory alone would not chunk. Still MXU-friendly --
-            # under lax.scan the per-step body compiles once.
-            nb_try = min(max(plan.nblocks, nsrc // 256, 64), nsrc)
+            # block), but per-scan-step fixed cost dominates below ~2-4k
+            # sources per block (measured: 256-source blocks made the
+            # banded program 3.4x SLOWER than the unbanded static scan
+            # despite skipping 35% of the blocks -- tiny einsums/matmuls
+            # starve the MXU; 4096 was the device sweep's optimum).
+            _band_tgt = int(os.environ.get("FFTVIS_BAND_BLOCK", "4096"))
+            nb_try = min(max(plan.nblocks, nsrc // _band_tgt, 8), nsrc)
             blk_try = int(np.ceil(nsrc / nb_try))
             pad_try = blk_try * nb_try
             bkey = _hash_parts(

@@ -90,6 +90,11 @@ class TestEngineEquivalence:
     @pytest.mark.parametrize("polarized", [False, True])
     def test_banded_equals_plain_24h(self, polarized, monkeypatch, caplog):
         kw = self._kw(polarized)
+        # Fine-grained blocks so banding engages on this small test sky
+        # (the default targets ~4096-source blocks, chosen for per-step
+        # device efficiency, which keeps K/nblocks above the engagement
+        # threshold at this catalog size).
+        monkeypatch.setenv("FFTVIS_BAND_BLOCK", "256")
         with caplog.at_level(logging.INFO, logger="fftvis_tpu.tpu.engine"):
             v_band = simulate_vis(**kw)
         assert any("horizon banding engaged" in r.message for r in caplog.records)
@@ -101,6 +106,7 @@ class TestEngineEquivalence:
     def test_banded_equals_plain_iquv_sky(self, monkeypatch):
         """IQUV coherency rides the same permutation as the positions."""
         kw = self._kw(True, iquv=True)
+        monkeypatch.setenv("FFTVIS_BAND_BLOCK", "256")
         v_band = simulate_vis(**kw)
         monkeypatch.setenv("FFTVIS_BAND", "0")
         v_ref = simulate_vis(**kw)
@@ -112,6 +118,7 @@ class TestEngineEquivalence:
         kw = self._kw(True, nsrc=6000)
         kw["beam"] = beams
         kw["beam_idx"] = np.arange(len(kw["ants"])) % 2
+        monkeypatch.setenv("FFTVIS_BAND_BLOCK", "256")
         v_band = simulate_vis(**kw)
         monkeypatch.setenv("FFTVIS_BAND", "0")
         v_ref = simulate_vis(**kw)
