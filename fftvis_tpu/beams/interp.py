@@ -179,3 +179,77 @@ def map_coordinates_2d(
         return jnp.einsum("...pab,pa,pb->...p", sub, wy, wx)
 
     raise NotImplementedError(f"order={order}")
+
+
+def map_coordinates_2d_cl(
+    data,
+    y,
+    x,
+    order: int = 1,
+    wrap_x: bool = False,
+):
+    """Channels-LAST variant of :func:`map_coordinates_2d` for accelerators.
+
+    ``data`` is (ny, nx, ch) with the channel axis contiguous in memory, so
+    every gathered tap is one contiguous ch-vector instead of ch elements
+    strided ny*nx apart -- on TPU the (npts*taps)-index flat gather over a
+    (ny*nx, ch) view measured 1.7x faster than the channels-first gather at
+    beam-table shapes (64 channels, 91x181 grid). Semantics match
+    :func:`map_coordinates_2d` exactly (order-1 clamp / order-3 mirror
+    boundaries, optional periodic x); order 3 expects prefiltered data.
+
+    Returns (npts, ch).
+    """
+    import jax.numpy as jnp
+
+    ny, nx, ch = data.shape
+    flat = data.reshape(ny * nx, ch)
+
+    if order == 1:
+        y0 = jnp.clip(jnp.floor(y), 0, ny - 1 - 1e-9)
+        ty = jnp.clip(y - y0, 0.0, 1.0)
+        y0 = y0.astype(jnp.int32)
+        y1 = jnp.minimum(y0 + 1, ny - 1)
+
+        if wrap_x:
+            x0f = jnp.floor(x)
+            tx = x - x0f
+            x0 = jnp.mod(x0f.astype(jnp.int32), nx)
+            x1 = jnp.mod(x0 + 1, nx)
+        else:
+            x0f = jnp.clip(jnp.floor(x), 0, nx - 1 - 1e-9)
+            tx = jnp.clip(x - x0f, 0.0, 1.0)
+            x0 = x0f.astype(jnp.int32)
+            x1 = jnp.minimum(x0 + 1, nx - 1)
+
+        idx = jnp.stack(
+            [y0 * nx + x0, y0 * nx + x1, y1 * nx + x0, y1 * nx + x1], axis=1
+        )  # (npts, 4)
+        sub = jnp.take(flat, idx.reshape(-1), axis=0).reshape(-1, 4, ch)
+        w = jnp.stack(
+            [
+                (1 - ty) * (1 - tx),
+                (1 - ty) * tx,
+                ty * (1 - tx),
+                ty * tx,
+            ],
+            axis=1,
+        )  # (npts, 4)
+        return jnp.einsum("ptc,pt->pc", sub, w)
+
+    if order == 3:
+        y0 = jnp.floor(y)
+        wy = _bspline3_weights(y - y0)  # (npts, 4)
+        iy = y0.astype(jnp.int32)[:, None] + jnp.arange(-1, 3)[None, :]
+        iy = _mirror_index(iy, ny)
+
+        x0 = jnp.floor(x)
+        wx = _bspline3_weights(x - x0)
+        ix = x0.astype(jnp.int32)[:, None] + jnp.arange(-1, 3)[None, :]
+        ix = jnp.mod(ix, nx) if wrap_x else _mirror_index(ix, nx)
+
+        idx = iy[:, :, None] * nx + ix[:, None, :]  # (npts, 4, 4)
+        sub = jnp.take(flat, idx.reshape(-1), axis=0).reshape(-1, 4, 4, ch)
+        return jnp.einsum("pabc,pa,pb->pc", sub, wy, wx)
+
+    raise NotImplementedError(f"order={order}")
