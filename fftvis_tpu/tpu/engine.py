@@ -45,6 +45,7 @@ into one stacked-table interpolation.
 
 from __future__ import annotations
 
+import copy as _copy
 import logging
 import os
 from dataclasses import dataclass
@@ -52,6 +53,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..beams.interface import prepare_beams, stack_prepared
+from ..coords.erfa_lite import TelescopeLocation, times_to_jd
 from ..coords.rotation import SourceRotation, enu_to_az_za
 from ..core import coherency as coh_mod
 from ..core import utils as core_utils
@@ -334,24 +336,47 @@ class TPUSimulationEngine(SimulationEngine):
         fluxes_arr = np.asarray(fluxes)
         polarized_sky = coh_mod.classify_sky(fluxes_arr, polarized_beam=polarized)
 
-        rot = SourceRotation(
-            ra, dec, times, telescope_loc, coord_method=coord_method,
-            include_aberration=coord_method_params.get("include_aberration", True),
-        )
-        ntimes = rot.ntimes
-        # Static horizon culling: sources below the horizon at every
-        # simulated time are exact zeros (the device mask kills them);
-        # dropping them before planning shrinks every downstream shape --
-        # the TPU-shaped analogue of the reference's per-chunk dynamic
-        # compaction (ref cpu_simulate.py:940-945).
-        src_keep = rot.cull_never_visible()
-        nsrc = rot.nsrc
-        if src_keep is not None:
-            logger.info(
-                "horizon culling: %d / %d sources never rise during the "
-                "simulated times; dropped before planning",
-                src_keep.size - nsrc, src_keep.size,
+        # The coordinate chain (per-time ERFA-class matrices) and the static
+        # horizon cull are pure functions of (sky, times, site): cache the
+        # culled SourceRotation across simulate() calls of a sweep (~6 ms
+        # per call at nside-64 scale, a third of the non-relay host wall).
+        # Each call gets a SHALLOW copy: horizon banding later assigns a
+        # permuted eq_vectors onto the object (a new array, no in-place
+        # mutation), which must not leak into the pristine cached instance
+        # -- the banding plan cache keys on the pristine array identity.
+        _include_ab = coord_method_params.get("include_aberration", True)
+        rot_key = _hash_parts(
+            (
+                "rot-v1", np.asarray(ra), np.asarray(dec), times_to_jd(times),
+                repr(TelescopeLocation.from_any(telescope_loc)),
+                coord_method, bool(_include_ab),
             )
+        )
+        rot = _PLAN_CACHE.get(rot_key)
+        if rot is None:
+            rot = SourceRotation(
+                ra, dec, times, telescope_loc, coord_method=coord_method,
+                include_aberration=_include_ab,
+            )
+            # Static horizon culling: sources below the horizon at every
+            # simulated time are exact zeros (the device mask kills them);
+            # dropping them before planning shrinks every downstream shape
+            # -- the TPU-shaped analogue of the reference's per-chunk
+            # dynamic compaction (ref cpu_simulate.py:940-945).
+            rot._src_keep = rot.cull_never_visible()
+            if rot._src_keep is not None:
+                logger.info(
+                    "horizon culling: %d / %d sources never rise during "
+                    "the simulated times; dropped before planning",
+                    rot._src_keep.size - rot.nsrc, rot._src_keep.size,
+                )
+            if len(_PLAN_CACHE) >= _PROGRAM_CACHE_LIMIT:
+                _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
+            _PLAN_CACHE[rot_key] = rot
+        src_keep = rot._src_keep
+        rot = _copy.copy(rot)
+        ntimes = rot.ntimes
+        nsrc = rot.nsrc
 
         # ---------------- pair routing / basis channels ----------------
         if use_basis:
