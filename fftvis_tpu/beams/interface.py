@@ -16,7 +16,11 @@ import numpy as np
 
 from .analytic import AnalyticBeam
 from .gridded import GriddedBeam
-from .interp import map_coordinates_2d_cl, spline_prefilter_2d
+from .interp import (
+    map_coordinates_2d_cl,
+    spline_prefilter_2d,
+    upsample_prefiltered_2d,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -170,6 +174,9 @@ def prepare_beam(
             # Domain handling is decided at prepare time; the opt-in clamp
             # flag changes whether a short-za beam raises, so it keys here.
             os.environ.get("FFTVIS_ALLOW_BEAM_CLAMP", ""),
+            # The opt-in table-upsample knob changes the shipped table and
+            # the device interpolation order.
+            os.environ.get("FFTVIS_BEAM_UPSAMPLE", ""),
         )
     )
     hit = _PREPARED_CACHE.get(cache_key)
@@ -304,6 +311,28 @@ def _prepare_beam_uncached(
 
         with jax.default_device(jax.devices("cpu")[0]):
             host = np.asarray(spline_prefilter_2d(jnp.asarray(host)))
+    az0 = float(gb.axis1_array[0])
+    daz = float(gb.axis1_array[1] - gb.axis1_array[0]) if gb.axis1_array.size > 1 else 1.0
+    za0 = float(gb.axis2_array[0])
+    dza = float(gb.axis2_array[1] - gb.axis2_array[0]) if gb.axis2_array.size > 1 else 1.0
+    wrap = gb.az_wraps
+    # Opt-in accuracy/speed trade (FFTVIS_BEAM_UPSAMPLE=N, N>=2): resample
+    # the cubic spline onto an Nx-denser grid ONCE on the host, then run
+    # 4-tap order-1 interpolation on device instead of 16-tap order-3. The
+    # device kernel is gather-bound, so taps ~ time; accuracy degrades from
+    # the cubic's O(h^4) to bilinear-on-refined O((h/N)^2) -- exact at the
+    # refined nodes. Documented semantic change; off by default.
+    ups = int(os.environ.get("FFTVIS_BEAM_UPSAMPLE", "0") or "0")
+    if order == 3 and ups >= 2 and host.shape[-1] > 1 and host.shape[-2] > 1:
+        host = upsample_prefiltered_2d(host, ups, wrap_x=wrap)
+        order = 1
+        daz /= ups
+        dza /= ups
+        logger.info(
+            "FFTVIS_BEAM_UPSAMPLE=%d: beam table resampled to %dx%d, "
+            "device interpolation order 3 -> 1", ups,
+            host.shape[-2], host.shape[-1],
+        )
     # Relayout to channels-LAST (nfreq, ny, nx, chflat), chflat = the
     # flattened ([2 reim,] nvec, nfeed) response axes: on TPU each
     # interpolation tap then fetches one contiguous ch-vector instead of
@@ -315,12 +344,7 @@ def _prepare_beam_uncached(
     nfreq_t, ny_t, nx_t = host.shape[0], host.shape[-2], host.shape[-1]
     host = host.reshape(nfreq_t, -1, ny_t, nx_t)
     data = np.ascontiguousarray(np.moveaxis(host, 1, -1))
-    az0 = float(gb.axis1_array[0])
-    daz = float(gb.axis1_array[1] - gb.axis1_array[0]) if gb.axis1_array.size > 1 else 1.0
-    za0 = float(gb.axis2_array[0])
-    dza = float(gb.axis2_array[1] - gb.axis2_array[0]) if gb.axis2_array.size > 1 else 1.0
-    wrap = gb.az_wraps
-    nbeampix = gb.data_array.shape[-2] * gb.data_array.shape[-1]
+    nbeampix = ny_t * nx_t
     feed_idx = _FEED_INDEX[use_feed]
     is_power = gb.beam_type == "power"
 

@@ -181,6 +181,56 @@ def map_coordinates_2d(
     raise NotImplementedError(f"order={order}")
 
 
+def upsample_prefiltered_2d(coeff, factor: int, wrap_x: bool = False):
+    """Resample prefiltered cubic-spline coefficients onto a denser grid.
+
+    One-time host-side transform behind the ``FFTVIS_BEAM_UPSAMPLE`` knob:
+    evaluating the order-3 spline at a ``factor``x-refined lattice yields a
+    table whose ORDER-1 interpolation reproduces the cubic values exactly at
+    the refined nodes and bilinearly between them. On the gather-bound TPU
+    interpolation kernel this trades 16 taps/point for 4 at a (documented,
+    opt-in) accuracy cost of O((h/factor)^2) vs the cubic's O(h^4).
+
+    Parameters
+    ----------
+    coeff
+        (..., ny, nx) PREFILTERED cubic-B-spline coefficients
+        (:func:`spline_prefilter_2d`).
+    factor
+        Integer refinement >= 2.
+    wrap_x
+        Periodic last axis (full-2pi azimuth): the refined axis keeps the
+        period with ``nx * factor`` samples; otherwise endpoints are kept
+        with ``(nx - 1) * factor + 1`` samples. Rows always keep endpoints.
+
+    Returns
+    -------
+    (..., ny2, nx2) resampled VALUES (not coefficients), ready for order-1.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    ny, nx = coeff.shape[-2], coeff.shape[-1]
+    f = int(factor)
+    if f < 2 or ny < 2 or nx < 2:
+        raise ValueError(f"upsample needs factor>=2 and a 2D grid, got "
+                         f"factor={factor}, grid={ny}x{nx}")
+    ny2 = (ny - 1) * f + 1
+    nx2 = nx * f if wrap_x else (nx - 1) * f + 1
+    yy = np.arange(ny2, dtype=np.float64) / f
+    xx = np.arange(nx2, dtype=np.float64) / f
+    Y, X = np.meshgrid(yy, xx, indexing="ij")
+    with jax.default_device(jax.devices("cpu")[0]):
+        vals = np.asarray(
+            map_coordinates_2d(
+                jnp.asarray(coeff), jnp.asarray(Y.ravel()),
+                jnp.asarray(X.ravel()), order=3, wrap_x=wrap_x,
+                prefiltered=True,
+            )
+        )
+    return vals.reshape(coeff.shape[:-2] + (ny2, nx2))
+
+
 def map_coordinates_2d_cl(
     data,
     y,

@@ -1391,6 +1391,7 @@ class TPUSimulationEngine(SimulationEngine):
                 os.environ.get("FFTVIS_INTERP", "auto"),
                 os.environ.get("FFTVIS_TILE", ""),
                 os.environ.get("FFTVIS_DEBUG", ""),
+                os.environ.get("FFTVIS_BEAM_UPSAMPLE", ""),
                 freq_vmap,
                 freqs_dev,
                 () if not use_basis else (tuple(kl_pairs), coefs_host, ant1_dev, ant2_dev),

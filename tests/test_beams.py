@@ -510,3 +510,82 @@ def test_from_uvbeam_rejects_yfirst_4pol_power():
     uvb.beam_type = "power"
     with pytest.raises(ValueError, match="reorder feeds"):
         GriddedBeam.from_uvbeam(uvb)
+
+
+class TestBeamUpsampleKnob:
+    """FFTVIS_BEAM_UPSAMPLE=N: host-resampled table + order-1 device
+    interpolation (opt-in 16-taps -> 4-taps trade; exact at refined nodes,
+    O((h/N)^2) between them)."""
+
+    def _prepared(self, monkeypatch, ups):
+        from fftvis_tpu.beams.interface import _prepare_beam_uncached
+
+        if ups:
+            monkeypatch.setenv("FFTVIS_BEAM_UPSAMPLE", str(ups))
+        else:
+            monkeypatch.delenv("FFTVIS_BEAM_UPSAMPLE", raising=False)
+        gb = GriddedBeam.from_function(
+            GaussianBeam(diameter=14.0), n_az=91, n_za=46, freqs=(1e8,)
+        )
+        return _prepare_beam_uncached(gb, np.array([1e8]), True, {"order": 3})
+
+    def test_exact_at_refined_nodes(self, monkeypatch):
+        """Order-1 on the upsampled table reproduces the cubic spline
+        EXACTLY at refined grid nodes (the resample is spline evaluation)."""
+        gb = GriddedBeam.from_function(
+            GaussianBeam(diameter=14.0), n_az=91, n_za=46, freqs=(1e8,)
+        )
+        daz = float(gb.axis1_array[1] - gb.axis1_array[0])
+        dza = float(gb.axis2_array[1] - gb.axis2_array[0])
+        # Refined (ups=2) lattice nodes: originals plus midpoints.
+        rng = np.random.default_rng(11)
+        iaz = rng.integers(0, 2 * (gb.axis1_array.size - 1), 300)
+        iza = rng.integers(0, 2 * (gb.axis2_array.size - 1) + 1, 300)
+        az = float(gb.axis1_array[0]) + iaz * daz / 2
+        za = float(gb.axis2_array[0]) + iza * dza / 2
+        p3 = self._prepared(monkeypatch, 0)
+        pu = self._prepared(monkeypatch, 2)
+        v3 = np.asarray(p3.evaluate(jnp.asarray(az), jnp.asarray(za), 1e8, 0))
+        vu = np.asarray(pu.evaluate(jnp.asarray(az), jnp.asarray(za), 1e8, 0))
+        scale = np.abs(v3).max()
+        assert np.abs(vu - v3).max() / scale < 5e-6
+
+    def test_between_node_error_scales_quadratically(self, monkeypatch):
+        rng = np.random.default_rng(7)
+        az = rng.uniform(0, 2 * np.pi, 500)
+        za = rng.uniform(0, np.pi / 2, 500)
+        p3 = self._prepared(monkeypatch, 0)
+        v3 = np.asarray(p3.evaluate(jnp.asarray(az), jnp.asarray(za), 1e8, 0))
+        scale = np.abs(v3).max()
+        errs = {}
+        for ups in (2, 4):
+            pu = self._prepared(monkeypatch, ups)
+            vu = np.asarray(pu.evaluate(jnp.asarray(az), jnp.asarray(za), 1e8, 0))
+            errs[ups] = np.abs(vu - v3).max() / scale
+        assert errs[2] < 3e-2  # coarse 46x91 grid
+        # Quadratic convergence in the refinement factor (allow slack).
+        assert errs[4] < errs[2] / 2.5
+
+    def test_full_sim_equivalence_coarse(self, monkeypatch):
+        from fftvis_tpu import simulate_vis, TelescopeLocation
+
+        rng = np.random.default_rng(3)
+        loc = TelescopeLocation(np.deg2rad(-30.7), np.deg2rad(21.4), 1000.0)
+        ants = {i: np.array([*rng.uniform(-30, 30, 2), 0.0]) for i in range(3)}
+        gb = GriddedBeam.from_function(
+            GaussianBeam(diameter=14.0), n_az=181, n_za=91, freqs=(1e8,)
+        )
+        kw = dict(
+            ants=ants, fluxes=rng.uniform(0.1, 1, (24, 1)),
+            ra=rng.uniform(0, 2 * np.pi, 24), dec=rng.uniform(-1.2, -0.2, 24),
+            freqs=np.array([1e8]), times=2459863.2 + np.linspace(0, 0.01, 2),
+            beam=gb, telescope_loc=loc, polarized=True,
+            beam_spline_opts={"order": 3},
+        )
+        monkeypatch.delenv("FFTVIS_BEAM_UPSAMPLE", raising=False)
+        v0 = simulate_vis(**kw)
+        monkeypatch.setenv("FFTVIS_BEAM_UPSAMPLE", "4")
+        v1 = simulate_vis(**kw)
+        scale = np.abs(v0).max()
+        assert np.abs(v1 - v0).max() / scale < 2e-3
+        assert not np.array_equal(v1, v0)  # the knob actually engaged
