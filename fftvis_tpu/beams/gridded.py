@@ -39,7 +39,17 @@ class GriddedBeam:
     pixel_coordinate_system = "az_za"
 
     def __init__(self, data_array, axis1_array, axis2_array, freq_array, beam_type="efield"):
-        self.data_array = np.asarray(data_array)
+        # The table is immutable by contract (every transform returns a new
+        # GriddedBeam). Own a FROZEN array: downstream content-addressed
+        # caches can then skip per-call checksum revalidation of MB-scale
+        # tables (core/hashing.py immutable-owner fast path). A writable
+        # caller array is copied rather than having its flags mutated.
+        arr = np.asarray(data_array)
+        if arr.flags.writeable:
+            if arr is data_array or arr.base is not None:
+                arr = arr.copy()
+            arr.setflags(write=False)
+        self.data_array = arr
         self.axis1_array = np.asarray(axis1_array, dtype=float)
         self.axis2_array = np.asarray(axis2_array, dtype=float)
         self.freq_array = np.atleast_1d(np.asarray(freq_array, dtype=float))

@@ -344,6 +344,9 @@ def _prepare_beam_uncached(
     nfreq_t, ny_t, nx_t = host.shape[0], host.shape[-2], host.shape[-1]
     host = host.reshape(nfreq_t, -1, ny_t, nx_t)
     data = np.ascontiguousarray(np.moveaxis(host, 1, -1))
+    # Freeze: lets the digest memo skip per-call content revalidation
+    # (immutable-owner fast path in core/hashing.py).
+    data.setflags(write=False)
     nbeampix = ny_t * nx_t
     feed_idx = _FEED_INDEX[use_feed]
     is_power = gb.beam_type == "power"
@@ -439,11 +442,14 @@ def stack_prepared(prepared_list) -> BatchedPreparedBeams | None:
     K = len(prepared_list)
     # Per-beam tables are channels-last (nfreq, ny, nx, chflat); fuse the
     # beam axis INTO the channel axis so one flat gather serves all K.
-    table = np.ascontiguousarray(
+    stacked = np.ascontiguousarray(
         np.stack([pb.stack_table for pb in prepared_list], axis=3)
     )  # (nfreq, ny, nx, K, chflat)
-    nfreq_t, ny_t, nx_t = table.shape[:3]
-    table = table.reshape(nfreq_t, ny_t, nx_t, -1)
+    # Freeze owner BEFORE taking the reshape view so the digest memo's
+    # immutable-owner fast path applies to the view too.
+    stacked.setflags(write=False)
+    nfreq_t, ny_t, nx_t = stacked.shape[:3]
+    table = stacked.reshape(nfreq_t, ny_t, nx_t, -1)
 
     def evaluate_all(az, za, fv, fi, table_in=None):
         tab = jnp.asarray(table) if table_in is None else table_in

@@ -19,32 +19,87 @@ import numpy as np
 _DIGEST_MEMO: dict[int, tuple] = {}
 _MEMO_MIN_BYTES = 1 << 18
 
+# Consistent-inputs window: inside one engine simulate() call the same user
+# arrays are hashed several times (plan key, program key, input cache); the
+# caller is single-threaded and does not mutate its inputs MID-call, so each
+# array needs content revalidation at most once per window. Outside any
+# window every lookup revalidates (the conservative default).
+_WINDOW_DEPTH = 0
+_WINDOW_ID = 0
+
+
+class consistent_inputs:
+    """Context manager: revalidate each memoized array at most once inside.
+
+    Only enter around code that cannot mutate the hashed arrays midway
+    (e.g. one engine ``simulate()`` call). Reentrant; nested windows share
+    the outermost window's id.
+    """
+
+    def __enter__(self):
+        global _WINDOW_DEPTH, _WINDOW_ID
+        if _WINDOW_DEPTH == 0:
+            _WINDOW_ID += 1
+        _WINDOW_DEPTH += 1
+        return self
+
+    def __exit__(self, *exc):
+        global _WINDOW_DEPTH
+        _WINDOW_DEPTH -= 1
+        return False
+
 
 def _content_check(buf) -> int:
     """Cheap 64-bit content checksum: CRC32 (high word) | Adler-32 (low)."""
     return (zlib.crc32(buf) << 32) | zlib.adler32(buf)
 
 
+def _immutable_owner(arr: np.ndarray) -> bool:
+    """True when no alias of ``arr`` can mutate its buffer: the array is
+    non-writeable and so is whatever owns its memory. Framework-owned
+    tables (prepared beam grids) are frozen at construction so their
+    digests need no per-call content revalidation."""
+    if arr.flags.writeable:
+        return False
+    base = arr.base
+    return base is None or (isinstance(base, np.ndarray) and not base.flags.writeable)
+
+
 def _array_digest(arr: np.ndarray) -> bytes:
     c = arr if arr.flags.c_contiguous else np.ascontiguousarray(arr)
     meta = (arr.shape, str(arr.dtype))
     small = arr.nbytes < _MEMO_MIN_BYTES
-    crc = 0 if small else _content_check(c)
+    crc = None
     if not small:
         ent = _DIGEST_MEMO.get(id(arr))
-        if ent is not None and ent[0]() is arr and ent[1] == crc and ent[2] == meta:
-            return ent[3]
+        if ent is not None and ent[0]() is arr and ent[2] == meta:
+            if ent[1] is None:  # stored as immutable-owner: content frozen
+                return ent[3]
+            if _WINDOW_DEPTH > 0 and ent[4] == _WINDOW_ID:
+                return ent[3]  # already revalidated inside this window
+            crc = _content_check(c)
+            if ent[1] == crc:
+                if _WINDOW_DEPTH > 0:
+                    _DIGEST_MEMO[id(arr)] = ent[:4] + (_WINDOW_ID,)
+                return ent[3]
     h = hashlib.sha1()
     h.update(str(arr.dtype).encode())
     h.update(str(arr.shape).encode())
     h.update(c)  # zero-copy: hashlib consumes the buffer protocol directly
     digest = h.digest()
     if not small:
+        if _immutable_owner(arr):
+            crc = None  # content can never change: skip future revalidation
+        elif crc is None:
+            crc = _content_check(c)
         try:
             ref = weakref.ref(
                 arr, lambda _r, _i=id(arr): _DIGEST_MEMO.pop(_i, None)
             )
-            _DIGEST_MEMO[id(arr)] = (ref, crc, meta, digest)
+            _DIGEST_MEMO[id(arr)] = (
+                ref, crc, meta, digest,
+                _WINDOW_ID if _WINDOW_DEPTH > 0 else -1,
+            )
         except TypeError:  # pragma: no cover - non-weakref-able subclass
             pass
     return digest

@@ -60,6 +60,7 @@ from ..core import utils as core_utils
 from ..core.antenna_gridding import check_antpos_griddability
 from ..core.beams import plan_beam_pairs
 from ..core.hashing import beam_fingerprint as _beam_fingerprint
+from ..core.hashing import consistent_inputs as _consistent_inputs
 from ..core.hashing import hash_parts as _hash_parts
 from ..core.simulate import SimulationEngine, default_accuracy_dict, resolve_precision
 from ..core.utils import speed_of_light
@@ -243,7 +244,16 @@ class TPUSimulationEngine(SimulationEngine):
         self.freq_axis = freq_axis
 
     # ------------------------------------------------------------------
-    def simulate(
+    def simulate(self, *args, **kwargs) -> np.ndarray:
+        # One simulate() call is single-threaded and never mutates its
+        # input arrays midway: let the digest memo revalidate each hashed
+        # array at most once per call (MB-scale flux/position checksums
+        # repeated across plan/program/input cache keys were a third of
+        # the steady-state host wall).
+        with _consistent_inputs():
+            return self._simulate_impl(*args, **kwargs)
+
+    def _simulate_impl(
         self,
         ants: dict,
         freqs: np.ndarray,
@@ -320,8 +330,18 @@ class TPUSimulationEngine(SimulationEngine):
         nfeeds = 2 if polarized else 1
 
         if baselines is None:
-            reds = core_utils.get_pos_reds(ants, include_autos=True)
-            baselines = [red[0] for red in reds]
+            # Redundancy grouping is a pure function of the antenna layout
+            # and loops all O(nant^2) pairs in Python: cache the
+            # representative-baseline list across simulate() calls.
+            rkey = _hash_parts(("reds-v1", tuple(map(repr, ants)), np.array(
+                [np.asarray(v, dtype=float) for v in ants.values()])))
+            baselines = _PLAN_CACHE.get(rkey)
+            if baselines is None:
+                reds = core_utils.get_pos_reds(ants, include_autos=True)
+                baselines = [red[0] for red in reds]
+                if len(_PLAN_CACHE) >= _PROGRAM_CACHE_LIMIT:
+                    _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
+                _PLAN_CACHE[rkey] = baselines
         nbl = len(baselines)
         antnums = list(ants.keys())
         # Canonical integer form of the baseline list: hashing/caching must
@@ -2036,3 +2056,8 @@ class TPUSimulationEngine(SimulationEngine):
         if (nufft_mode or self.nufft_mode) == "direct":
             return "direct", None, bls_signed.astype(float)
         return "type1", Type1Executor(plan), None
+
+
+# inspect.signature follows __wrapped__: keep the public simulate signature
+# introspectable through the consistent-inputs window wrapper.
+TPUSimulationEngine.simulate.__wrapped__ = TPUSimulationEngine._simulate_impl

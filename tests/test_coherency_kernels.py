@@ -191,3 +191,33 @@ class TestInputCacheFreshness:
         flux *= 2.0  # in-place: same object, new content
         v2 = simulate_vis(**kw)
         np.testing.assert_allclose(v2, 2.0 * v1, rtol=1e-12)
+
+
+def test_immutable_owner_fast_path():
+    """Frozen owner arrays skip content revalidation but still digest
+    correctly: same content agrees across objects, and the skip only
+    engages when NO alias can write the buffer."""
+    from fftvis_tpu.core.hashing import _DIGEST_MEMO, _immutable_owner
+
+    rng3 = np.random.default_rng(3)
+    a = rng3.normal(size=(300, 300))
+    a.setflags(write=False)
+    assert _immutable_owner(a)
+    k0 = hash_parts(a)
+    assert hash_parts(a) == k0
+    assert _DIGEST_MEMO[id(a)][1] is None  # stored as frozen
+    assert hash_parts(a.copy()) == k0  # content-equal writable agrees
+
+    # A view of a frozen owner inherits the fast path ...
+    v = a.reshape(300, 300)
+    assert _immutable_owner(v)
+    # ... but a non-writeable VIEW of a WRITABLE base must not (the
+    # base can still mutate the shared buffer).
+    b = np.random.default_rng(4).normal(size=(300, 300))
+    w = b.reshape(300, 300)
+    w.setflags(write=False)
+    assert not _immutable_owner(w)
+    kw = hash_parts(w)
+    assert hash_parts(w) == kw
+    b[0, 0] += 1.0
+    assert hash_parts(w) != kw  # mutation through the base is tracked
