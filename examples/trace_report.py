@@ -84,6 +84,30 @@ def build(which: str):
             polarized=False, precision=2, force_use_type3=True,
             return_program=True,
         )
+    if which == "northstar":
+        # bench.py row 5: HERA-331 polarized, 37 distinct tabulated
+        # per-antenna beams, full redundant set (the scored north star).
+        from fftvis_tpu.beams.gridded import GriddedBeam
+
+        ants = hex_array(11, sep=14.6)
+        beams = [
+            GriddedBeam.from_function(
+                GaussianBeam(diameter=14.0 + 0.02 * i), n_az=181, n_za=91,
+                freqs=(1.0e8,),
+            )
+            for i in range(37)
+        ]
+        beam_idx = np.arange(len(ants)) % 37
+        times = 2459863.2 + np.linspace(0, 4 / 60 / 24, 2)
+        from fftvis_tpu.beams.interface import prepare_beams
+
+        prepared = prepare_beams(beams, np.array([1.0e8]), polarized=True)
+        return TPUSimulationEngine().simulate(
+            ants=ants, fluxes=rng.uniform(0.1, 1.0, (nsrc, 1)), ra=ra,
+            dec=dec, freqs=np.array([1.0e8]), times=times,
+            beam_list=prepared, beam_idx=beam_idx, telescope_loc=loc,
+            polarized=True, precision=2, return_program=True,
+        )
     if which == "eigen":
         ants = hex_array(4, sep=14.6)
         ant_beams = [
