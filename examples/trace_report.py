@@ -99,13 +99,10 @@ def build(which: str):
         ]
         beam_idx = np.arange(len(ants)) % 37
         times = 2459863.2 + np.linspace(0, 4 / 60 / 24, 2)
-        from fftvis_tpu.beams.interface import prepare_beams
-
-        prepared = prepare_beams(beams, np.array([1.0e8]), polarized=True)
         return TPUSimulationEngine().simulate(
             ants=ants, fluxes=rng.uniform(0.1, 1.0, (nsrc, 1)), ra=ra,
             dec=dec, freqs=np.array([1.0e8]), times=times,
-            beam_list=prepared, beam_idx=beam_idx, telescope_loc=loc,
+            beam_list=beams, beam_idx=beam_idx, telescope_loc=loc,
             polarized=True, precision=2, return_program=True,
         )
     if which == "eigen":

@@ -221,3 +221,52 @@ def test_immutable_owner_fast_path():
     assert hash_parts(w) == kw
     b[0, 0] += 1.0
     assert hash_parts(w) != kw  # mutation through the base is tracked
+
+
+class TestPlanCacheFreshness:
+    """End-to-end freshness of the round-3 planning caches: the digest
+    memo path for >=256KB user arrays, the redundancy-grouping cache, and
+    the culled-SourceRotation cache must all track input changes."""
+
+    def _kw(self, rng, nsrc=18000):
+        # nsrc chosen so flux (nsrc, 2) f64 ~ 288 KB: ABOVE the digest
+        # memo threshold (the small-flux test never exercises the memo).
+        ants = {i: np.array([*rng.uniform(-30, 30, 2), 0.0]) for i in range(3)}
+        ra = rng.uniform(0, 2 * np.pi, nsrc)
+        dec = np.clip(LOC.lat + rng.normal(0, 0.3, nsrc), -np.pi / 2, np.pi / 2)
+        flux = rng.uniform(0.1, 1.0, (nsrc, 2))
+        return dict(
+            ants=ants, fluxes=flux, ra=ra, dec=dec,
+            freqs=np.array([1.0e8, 1.1e8]),
+            times=2459863.2 + np.linspace(0, 0.01, 2),
+            beam=GaussianBeam(diameter=12.0), telescope_loc=LOC,
+            polarized=False, precision=2,
+        )
+
+    def test_big_flux_inplace_mutation_tracked(self):
+        rng = np.random.default_rng(6)
+        kw = self._kw(rng)
+        v1 = simulate_vis(**kw)
+        np.testing.assert_array_equal(v1, simulate_vis(**kw))
+        kw["fluxes"] *= 2.0  # in-place, same object: memo must revalidate
+        v2 = simulate_vis(**kw)
+        np.testing.assert_allclose(v2, 2.0 * v1, rtol=1e-10)
+
+    def test_antenna_move_recomputes_baselines(self):
+        rng = np.random.default_rng(7)
+        kw = self._kw(rng, nsrc=500)
+        v1 = simulate_vis(**kw)
+        ants2 = dict(kw["ants"])
+        ants2[2] = ants2[2] + np.array([40.0, 0.0, 0.0])  # new layout
+        kw2 = dict(kw, ants=ants2)
+        v2 = simulate_vis(**kw2)
+        assert v1.shape == v2.shape  # 3 ants -> same auto+red structure
+        assert not np.allclose(v2, v1)  # but different baselines/values
+
+    def test_time_change_recomputes_rotation(self):
+        rng = np.random.default_rng(8)
+        kw = self._kw(rng, nsrc=500)
+        v1 = simulate_vis(**kw)
+        kw2 = dict(kw, times=kw["times"] + 0.25)  # 6 hours later
+        v2 = simulate_vis(**kw2)
+        assert not np.allclose(v2, v1)
