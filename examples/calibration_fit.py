@@ -1,0 +1,131 @@
+"""Gradient-based calibration with the differentiable simulator.
+
+A capability the reference framework cannot offer (its hot path runs
+through finufft C++ / Numba, opaque to autodiff): fit physical sky and
+instrument parameters directly against measured visibilities with exact
+reverse-mode gradients through the full pipeline.
+
+Demo: (1) recover perturbed source fluxes from "observed" visibilities,
+then (2) recover a perturbed per-antenna E-field beam table, both with
+optax Adam on a jitted value_and_grad step.
+
+Run:  python examples/calibration_fit.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from fftvis_tpu import TelescopeLocation, build_differentiable_sim
+from fftvis_tpu.beams import GaussianBeam
+from fftvis_tpu.beams.gridded import GriddedBeam
+
+
+def fit(loss, params, lr=3e-2, steps=300, decay=None, label=""):
+    step = jax.jit(jax.value_and_grad(loss))
+    # decay: optionally halve the step size every `steps/6` iterations --
+    # the beam fit oscillates around its minimum at a fixed lr, while the
+    # flux fit's ill-conditioned directions need the lr held constant.
+    sched = lr if decay is None else optax.exponential_decay(
+        lr, max(1, steps // 6), decay
+    )
+    opt = optax.adam(sched)
+    state = opt.init(params)
+    l0 = None
+    for i in range(steps):
+        val, g = step(params)
+        if l0 is None:
+            l0 = float(val)
+        upd, state = opt.update(g, state)
+        params = optax.apply_updates(params, upd)
+        if i % 50 == 0 or i == steps - 1:
+            print(f"  [{label}] step {i:4d}  loss {float(val):.3e} "
+                  f"({float(val) / l0:.1e} of start)")
+    return params
+
+
+def main():
+    rng = np.random.default_rng(0)
+    loc = TelescopeLocation(np.deg2rad(-30.72), np.deg2rad(21.43), 1000.0)
+    nsrc, nant = 16, 7
+    ants = {i: np.array([*rng.uniform(-150, 150, 2), 0.0]) for i in range(nant)}
+    # Earth-rotation synthesis (8 samples over ~3.6 h) + two frequencies:
+    # enough uv coverage that per-source fluxes are well conditioned, not
+    # just the total. Sources are drawn near the zenith at the epoch -- a
+    # source below the horizon at all times has an exactly-zero Jacobian
+    # (correctly!), so its flux would be unrecoverable.
+    freqs = np.linspace(1.0e8, 1.1e8, 2)
+    times = 2459863.2 + np.linspace(0, 0.15, 8)
+    from fftvis_tpu.coords.erfa_lite import earth_rotation_angle
+
+    zen_ra = earth_rotation_angle(np.atleast_1d(times.mean()))[0] + loc.lon
+    ra = (zen_ra + rng.normal(0, 0.2, nsrc)) % (2 * np.pi)
+    dec = np.clip(loc.lat + rng.normal(0, 0.2, nsrc), -np.pi / 2, np.pi / 2)
+    true_flux = rng.uniform(0.2, 1.0, (nsrc, freqs.size))
+
+    # Two distinct per-antenna E-field beams on one az/za grid (polarized:
+    # the visibility is bilinear in the tables -> well-conditioned fit).
+    beams = [
+        GriddedBeam.from_function(
+            GaussianBeam(diameter=12.0 + i), n_az=91, n_za=46, freqs=tuple(freqs)
+        )
+        for i in range(2)
+    ]
+    kw = dict(
+        ants=ants, fluxes=true_flux, ra=ra, dec=dec, freqs=freqs, times=times,
+        beam=beams, beam_idx=np.arange(nant) % 2, telescope_loc=loc,
+        polarized=True, precision=2,
+    )
+    sim_fn, params = build_differentiable_sim(differentiate_beam=True, **kw)
+    # "Observed" visibilities (noise-free demo), materialized on the HOST
+    # as (re, im) float planes: complex device buffers (and aliased views
+    # of them, e.g. jnp.real's) cannot cross the host<->device boundary on
+    # relayed TPU runtimes, so stack fresh real planes inside jit and
+    # fetch those; the NumPy constant then embeds into the jitted loss
+    # without a device fetch.
+    planes = np.asarray(
+        jax.jit(lambda p: jnp.stack([jnp.real(sim_fn(p)), jnp.imag(sim_fn(p))]))(
+            params
+        )
+    )
+    data = planes[0] + 1j * planes[1]
+
+    # ---- 1. flux calibration ----
+    # Only "fluxes" rides in the parameter dict here: sim_fn falls back to
+    # the baked-in beam table when the key is absent, so the (known) beams
+    # stay fixed and cannot absorb the flux error (flux x beam degeneracy).
+    print(f"flux calibration ({nsrc} sources):")
+    x0 = {
+        "fluxes": jnp.asarray(
+            true_flux * (1 + 0.4 * rng.standard_normal(true_flux.shape))
+        ),
+    }
+    loss = lambda p: jnp.sum(jnp.abs(sim_fn(p) - data) ** 2)
+    sol = fit(loss, x0, steps=600, label="flux")
+    err = np.abs(np.asarray(sol["fluxes"]) - true_flux).max()
+    print(f"  max |flux error| after fit: {err:.2e}\n")
+
+    # ---- 2. beam calibration ----
+    print("beam-table calibration (2 per-antenna E-field tables):")
+    t_true = np.asarray(params["beam_table"])
+    x0 = {
+        "fluxes": params["fluxes"],
+        "beam_table": jnp.asarray(
+            t_true * (1 + 0.05 * rng.standard_normal(t_true.shape))
+        ),
+    }
+    sol = fit(loss, x0, lr=1e-2, steps=400, decay=0.5, label="beam")
+    # Evaluate under jit: eager complex ops don't dispatch on relayed TPUs.
+    resid = float(jax.jit(loss)(sol))
+    print(f"  final data residual: {resid:.3e}")
+
+
+if __name__ == "__main__":
+    main()

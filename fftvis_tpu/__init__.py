@@ -33,6 +33,7 @@ def _enable_compile_cache() -> None:
 _enable_compile_cache()
 
 from . import beams, coords, geometry, nufft, parallel
+from .autodiff import build_differentiable_sim
 from .core.beam_basis import compute_beam_basis
 from .core.simulate import SimulationEngine, default_accuracy_dict
 from .coords import TelescopeLocation
@@ -45,6 +46,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "simulate_vis",
+    "build_differentiable_sim",
     "create_simulation_engine",
     "create_beam_evaluator",
     "compute_beam_basis",

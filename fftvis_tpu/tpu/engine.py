@@ -1508,6 +1508,12 @@ class TPUSimulationEngine(SimulationEngine):
                 for h, spec in zip(host_inputs, in_specs_t)
             )
             if return_program:
+                if return_program == "full":
+                    return run, inputs, self._program_info(
+                        ntimes, nfreqs, polarized, nfeeds, use_ds, use_basis,
+                        polarized_sky, src_keep, band_perm, nsrc_pad, nf_pad,
+                        real_dtype, complex_dtype, batched_beams, fluxes_arr,
+                    )
                 return run, inputs
             from jax.experimental import multihost_utils
 
@@ -1562,6 +1568,12 @@ class TPUSimulationEngine(SimulationEngine):
             )
 
         if return_program:
+            if return_program == "full":
+                return run, inputs, self._program_info(
+                    ntimes, nfreqs, polarized, nfeeds, use_ds, use_basis,
+                    polarized_sky, src_keep, band_perm, nsrc_pad, nf_pad,
+                    real_dtype, complex_dtype, batched_beams, fluxes_arr,
+                )
             return run, inputs
 
         stacked = np.asarray(run(*inputs))
@@ -1572,6 +1584,43 @@ class TPUSimulationEngine(SimulationEngine):
             ant2_idx if use_basis else None, pair_i, pair_j,
             complex_dtype, polarized, trace_mem,
         )
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _program_info(
+        ntimes, nfreqs, polarized, nfeeds, use_ds, use_basis, polarized_sky,
+        src_keep, band_perm, nsrc_pad, nf_pad, real_dtype, complex_dtype,
+        batched_beams, fluxes_arr,
+    ) -> dict:
+        """Metadata accompanying ``return_program="full"``.
+
+        Describes how the jitted program's input tuple relates to the
+        user-level arguments, so a caller (``fftvis_tpu.autodiff``) can
+        re-derive the coherency input from fluxes inside a traced function
+        and differentiate end to end. Input tuple layout (both the
+        single-process and multi-process paths):
+
+            (mats, abvel, eq, coherency, valid, freqs, beam_table[, band...])
+        """
+        return {
+            "ntimes": ntimes,
+            "nfreqs": nfreqs,
+            "polarized": polarized,
+            "nfeeds": nfeeds,
+            "use_ds": use_ds,
+            "use_basis": use_basis,
+            "polarized_sky": polarized_sky,
+            "src_keep": src_keep,
+            "band_perm": band_perm,
+            "nsrc_pad": nsrc_pad,
+            "nf_pad": nf_pad,
+            "real_dtype": real_dtype,
+            "complex_dtype": complex_dtype,
+            "coh_index": 3,
+            "beam_table_index": 6,
+            "has_beam_table": batched_beams is not None,
+            "fluxes_shape": tuple(fluxes_arr.shape),
+        }
 
     # ------------------------------------------------------------------
     def _assemble_output(

@@ -64,6 +64,40 @@ def create_simulation_engine(backend: str = "tpu", **kwargs) -> SimulationEngine
     raise ValueError(f"Unsupported backend: {backend}")
 
 
+def prepare_beam_list(
+    beam, freqs, polarized, beam_coefs, use_feed, nant, beam_idx
+):
+    """Normalize user beams into a validated ``BeamInterface`` list.
+
+    The wrapper-level beam preparation (ref wrapper.py:247-283): wrap in
+    BeamInterface, pre-interpolate tabulated beams to the simulation
+    frequencies, convert to power beams for unpolarized sims, and validate
+    ``beam_idx``/``beam_coefs``. Shared by :func:`simulate_vis` and the
+    differentiable front-end (``fftvis_tpu.autodiff``).
+    """
+    _beam_list = beam if isinstance(beam, list) else [beam]
+    nbeam = len(_beam_list)
+    beam_idx = validate_beam_idx(beam_idx, beam_coefs, nbeam, nant)
+
+    beam_list = []
+    for bm in _beam_list:
+        bi = bm if isinstance(bm, BeamInterface) else BeamInterface(bm)
+        # Pre-interpolate tabulated beams onto the simulation frequencies
+        # once, up front (ref wrapper.py:264-269).
+        if bi._isuvbeam and bi.beam.Nfreqs > 1:
+            bi = BeamInterface(bi.beam.interp_freq(freqs), beam_type=bi.beam_type)
+
+        if not polarized and beam_coefs is None:
+            bi = prepare_beam_unpolarized(bi, use_feed=use_feed)
+        elif not polarized and beam_coefs is not None:
+            raise ValueError(
+                "Basis decomposition is not compatible with unpolarized "
+                "simulations. Set polarized=True to use beam_coefs."
+            )
+        beam_list.append(bi)
+    return beam_list, beam_idx
+
+
 def simulate_vis(
     ants: dict,
     fluxes: np.ndarray,
@@ -140,30 +174,11 @@ def simulate_vis(
 
     ants = {k: np.asarray(v) for k, v in ants.items()}
 
-    _beam_list = beam if isinstance(beam, list) else [beam]
-    nbeam = len(_beam_list)
     nant = len(ants)
-
-    beam_idx = validate_beam_idx(beam_idx, beam_coefs, nbeam, nant)
-
     freqs = np.atleast_1d(np.asarray(freqs, dtype=float))
-
-    beam_list = []
-    for bm in _beam_list:
-        bi = bm if isinstance(bm, BeamInterface) else BeamInterface(bm)
-        # Pre-interpolate tabulated beams onto the simulation frequencies
-        # once, up front (ref wrapper.py:264-269).
-        if bi._isuvbeam and bi.beam.Nfreqs > 1:
-            bi = BeamInterface(bi.beam.interp_freq(freqs), beam_type=bi.beam_type)
-
-        if not polarized and beam_coefs is None:
-            bi = prepare_beam_unpolarized(bi, use_feed=use_feed)
-        elif not polarized and beam_coefs is not None:
-            raise ValueError(
-                "Basis decomposition is not compatible with unpolarized "
-                "simulations. Set polarized=True to use beam_coefs."
-            )
-        beam_list.append(bi)
+    beam_list, beam_idx = prepare_beam_list(
+        beam, freqs, polarized, beam_coefs, use_feed, nant, beam_idx
+    )
 
     nax = nfeed = 2 if polarized else 1
 
