@@ -214,3 +214,31 @@ def test_jit_and_optimizer_recover_fluxes():
         upd, state = opt.update(g["fluxes"], state)
         x = optax.apply_updates(x, upd)
     assert float(val) < 1e-4 * l0  # loss dropped by >= 4 orders of magnitude
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_sim_and_grad_match_single_device():
+    """Mesh-sharded differentiable sim: values AND gradients must equal the
+    single-device ones (gradients flow through shard_map + psum)."""
+    from fftvis_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(12)
+    kw = _case(rng, nsrc=40, ntimes=4, nfreq=2, force_use_type3=True)
+    sim_fn, params = build_differentiable_sim(**kw)
+    sim_fn_sh, params_sh = build_differentiable_sim(
+        mesh=make_mesh(time=2, source=4), **kw
+    )
+
+    got = np.asarray(sim_fn_sh(params_sh))
+    want = np.asarray(sim_fn(params))
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=1e-11 * scale, rtol=0)
+
+    data = want * 0.93
+
+    def loss(fn):
+        return lambda p: jnp.sum(jnp.abs(fn(p) - data) ** 2)
+
+    g = np.asarray(jax.grad(loss(sim_fn))(params)["fluxes"])
+    g_sh = np.asarray(jax.grad(loss(sim_fn_sh))(params_sh)["fluxes"])
+    np.testing.assert_allclose(g_sh, g, atol=1e-10 * np.abs(g).max(), rtol=0)
