@@ -31,7 +31,14 @@ same array handed in); ``params["beam_table"]`` when
 ``differentiate_beam=True`` and the simulation uses two or more tabulated
 beams sharing one az/za grid (the stacked table the engine interpolates
 on device -- :func:`fftvis_tpu.beams.interface.stack_prepared`; this is
-the per-antenna beam-calibration scenario).
+the per-antenna beam-calibration scenario); ``params["gains"]`` when
+``differentiate_gains=True`` -- per-antenna direction-independent complex
+gains (diagonal Jones), the standard radio-interferometric calibration
+unknowns, applied as ``V'_ij = g_i V_ij g_j*`` in the output layout.
+Gains are stored as a real (re, im) leading axis -- shape
+``(2, nant, nfreqs)`` unpolarized, ``(2, nant, nfreqs, 2 feeds)``
+polarized, initialized to 1+0j -- because complex leaves neither cross
+relayed host<->device boundaries nor fit optax updates cleanly.
 
 Not differentiable (static planning inputs): antenna/source positions,
 times, frequencies -- the NUFFT grid layout, bin sort, and tile capacities
@@ -83,6 +90,7 @@ def build_differentiable_sim(
     beam_coefs: np.ndarray | None = None,
     mesh=None,
     differentiate_beam: bool = False,
+    differentiate_gains: bool = False,
 ):
     """Build ``(sim_fn, params)``: a jit/grad-able simulation closure.
 
@@ -184,6 +192,19 @@ def build_differentiable_sim(
         return _pad_to(ch, 1, nf_pad)
 
     base_inputs = list(inputs)
+    bl_ai = jnp.asarray(info["bl_index"][:, 0])
+    bl_aj = jnp.asarray(info["bl_index"][:, 1])
+
+    def _apply_gains(vis, gains):
+        """V'_ij = g_i V_ij g_j* (diagonal Jones) in the output layout."""
+        gc = gains[0] + 1j * gains[1]  # (nant, nfreqs[, 2])
+        gi, gj = gc[bl_ai], jnp.conj(gc[bl_aj])  # (nbl, nfreqs[, 2])
+        if polarized:
+            # vis (nfreqs, ntimes, a, b, nbl); feed a from ant i, b from j.
+            fi = jnp.transpose(gi, (1, 2, 0))[:, None, :, None, :]
+            fj = jnp.transpose(gj, (1, 2, 0))[:, None, None, :, :]
+            return vis * (fi * fj)
+        return vis * (gi * gj).T[:, None, :]  # (nfreqs, 1, nbl)
 
     def sim_fn(params):
         args = list(base_inputs)
@@ -194,7 +215,10 @@ def build_differentiable_sim(
         vis = (stacked[0] + 1j * stacked[1])[:ntimes, :nfreqs]
         # Reference output layout (ref cpu_simulate.py:849-854).
         vis = jnp.transpose(vis, (1, 0, 3, 4, 2))
-        return vis if polarized else vis[:, :, 0, 0, :]
+        vis = vis if polarized else vis[:, :, 0, 0, :]
+        if "gains" in params:
+            vis = _apply_gains(vis, jnp.asarray(params["gains"]))
+        return vis
 
     params = {"fluxes": jnp.asarray(np.asarray(fluxes, dtype=float))}
     if differentiate_beam:
@@ -209,4 +233,10 @@ def build_differentiable_sim(
                 "beam_idx."
             )
         params["beam_table"] = jnp.asarray(base_inputs[tab_i])
+    if differentiate_gains:
+        nant = len(ants)
+        shape = (2, nant, nfreqs) + ((2,) if polarized else ())
+        g0 = np.zeros(shape, dtype=np.float32)
+        g0[0] = 1.0  # unity gains: re=1, im=0
+        params["gains"] = jnp.asarray(g0)
     return sim_fn, params

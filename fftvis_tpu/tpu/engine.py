@@ -1513,6 +1513,7 @@ class TPUSimulationEngine(SimulationEngine):
                         ntimes, nfreqs, polarized, nfeeds, use_ds, use_basis,
                         polarized_sky, src_keep, band_perm, nsrc_pad, nf_pad,
                         real_dtype, complex_dtype, batched_beams, fluxes_arr,
+                        bl_index_arr,
                     )
                 return run, inputs
             from jax.experimental import multihost_utils
@@ -1573,6 +1574,7 @@ class TPUSimulationEngine(SimulationEngine):
                     ntimes, nfreqs, polarized, nfeeds, use_ds, use_basis,
                     polarized_sky, src_keep, band_perm, nsrc_pad, nf_pad,
                     real_dtype, complex_dtype, batched_beams, fluxes_arr,
+                    bl_index_arr,
                 )
             return run, inputs
 
@@ -1590,7 +1592,7 @@ class TPUSimulationEngine(SimulationEngine):
     def _program_info(
         ntimes, nfreqs, polarized, nfeeds, use_ds, use_basis, polarized_sky,
         src_keep, band_perm, nsrc_pad, nf_pad, real_dtype, complex_dtype,
-        batched_beams, fluxes_arr,
+        batched_beams, fluxes_arr, bl_index_arr,
     ) -> dict:
         """Metadata accompanying ``return_program="full"``.
 
@@ -1620,6 +1622,10 @@ class TPUSimulationEngine(SimulationEngine):
             "beam_table_index": 6,
             "has_beam_table": batched_beams is not None,
             "fluxes_shape": tuple(fluxes_arr.shape),
+            # (nbl, 2) antenna indices (into ants-dict order) per output
+            # baseline; lets the differentiable front-end apply per-antenna
+            # gain factors g_i . g_j^conj in the output layout.
+            "bl_index": np.asarray(bl_index_arr),
         }
 
     # ------------------------------------------------------------------

@@ -242,3 +242,75 @@ def test_sharded_sim_and_grad_match_single_device():
     g = np.asarray(jax.grad(loss(sim_fn))(params)["fluxes"])
     g_sh = np.asarray(jax.grad(loss(sim_fn_sh))(params_sh)["fluxes"])
     np.testing.assert_allclose(g_sh, g, atol=1e-10 * np.abs(g).max(), rtol=0)
+
+
+@pytest.mark.parametrize("polarized", [False, True])
+def test_gains_unity_and_formula(polarized):
+    """Unity gains are a no-op; arbitrary gains apply V' = g_i V g_j*."""
+    rng = np.random.default_rng(13)
+    kw = _case(rng, nsrc=20, polarized=polarized, force_use_type3=True)
+    sim_fn, params = build_differentiable_sim(differentiate_gains=True, **kw)
+    assert "gains" in params
+
+    base = np.asarray(sim_fn({"fluxes": params["fluxes"]}))
+    unity = np.asarray(sim_fn(params))
+    np.testing.assert_allclose(unity, base, rtol=0, atol=0)
+
+    g = np.asarray(params["gains"]).copy()
+    g[0] = rng.uniform(0.5, 1.5, g[0].shape)
+    g[1] = rng.uniform(-0.5, 0.5, g[1].shape)
+    got = np.asarray(sim_fn({**params, "gains": jnp.asarray(g)}))
+
+    # Independent host-side application of the gain formula.
+    from fftvis_tpu.core.utils import get_pos_reds
+
+    bls = [red[0] for red in get_pos_reds(kw["ants"], include_autos=True)]
+    ant_index = {a: i for i, a in enumerate(kw["ants"])}
+    gc = g[0] + 1j * g[1]  # (nant, nf[, 2])
+    want = base.copy()
+    for b, (a0, a1) in enumerate(bls):
+        i, j = ant_index[a0], ant_index[a1]
+        if polarized:
+            for fa in range(2):
+                for fb in range(2):
+                    want[:, :, fa, fb, b] *= gc[i, :, fa, None] * np.conj(
+                        gc[j, :, fb, None]
+                    )
+        else:
+            want[:, :, b] *= (gc[i] * np.conj(gc[j]))[:, None]
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=0)
+
+
+def test_gain_calibration_recovers_products():
+    """Fitting gains against gain-corrupted data recovers g_i g_j*
+    (the observable combination; one global phase is degenerate)."""
+    rng = np.random.default_rng(14)
+    kw = _case(rng, nsrc=16, nfreq=1, ntimes=3, nant=6, force_use_type3=True)
+    sim_fn, params = build_differentiable_sim(differentiate_gains=True, **kw)
+
+    g_true = np.asarray(params["gains"]).copy()
+    g_true[0] += 0.2 * rng.standard_normal(g_true[0].shape)
+    g_true[1] += 0.2 * rng.standard_normal(g_true[1].shape)
+    data = sim_fn({**params, "gains": jnp.asarray(g_true)})
+
+    def loss(g):
+        r = sim_fn({**params, "gains": g}) - data
+        return jnp.sum(jnp.abs(r) ** 2)
+
+    import optax
+
+    step = jax.jit(jax.value_and_grad(loss))
+    x = params["gains"]
+    opt = optax.adam(2e-2)
+    state = opt.init(x)
+    for _ in range(500):
+        val, grad = step(x)
+        upd, state = opt.update(grad, state)
+        x = optax.apply_updates(x, upd)
+    assert float(val) < 1e-10
+
+    gc_t = g_true[0] + 1j * g_true[1]
+    gc_f = np.asarray(x[0] + 1j * x[1])
+    prod_t = gc_t[:, None] * np.conj(gc_t[None, :])
+    prod_f = gc_f[:, None] * np.conj(gc_f[None, :])
+    np.testing.assert_allclose(prod_f, prod_t, rtol=0, atol=2e-3)
