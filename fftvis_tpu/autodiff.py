@@ -34,7 +34,11 @@ on device -- :func:`fftvis_tpu.beams.interface.stack_prepared`; this is
 the per-antenna beam-calibration scenario); ``params["gains"]`` when
 ``differentiate_gains=True`` -- per-antenna direction-independent complex
 gains (diagonal Jones), the standard radio-interferometric calibration
-unknowns, applied as ``V'_ij = g_i V_ij g_j*`` in the output layout.
+unknowns, applied in the engine's own convention
+(``V_ij[a, b] = <conj(v_i^b) v_j^a>`` -> factor ``conj(g_i^b) g_j^a``,
+feed axes unswapped on pair-flipped baselines -- see ``_apply_gains``),
+so baking the gains into per-antenna beams and using ``params["gains"]``
+are exactly equivalent.
 Gains are stored as a real (re, im) leading axis -- shape
 ``(2, nant, nfreqs)`` unpolarized, ``(2, nant, nfreqs, 2 feeds)``
 polarized, initialized to 1+0j -- because complex leaves neither cross
@@ -76,7 +80,7 @@ def build_differentiable_sim(
     telescope_loc,
     beam_idx: np.ndarray | None = None,
     baselines: list | None = None,
-    precision: int = 1,
+    precision: int = 2,
     polarized: bool = False,
     eps: float | None = None,
     upsample_factor=2,
@@ -194,16 +198,34 @@ def build_differentiable_sim(
     base_inputs = list(inputs)
     bl_ai = jnp.asarray(info["bl_index"][:, 0])
     bl_aj = jnp.asarray(info["bl_index"][:, 1])
+    bl_flip = jnp.asarray(info["flipped"])
 
     def _apply_gains(vis, gains):
-        """V'_ij = g_i V_ij g_j* (diagonal Jones) in the output layout."""
+        """Apply per-antenna diagonal-Jones gains in the output layout.
+
+        Engine convention (probed against phased per-antenna beams, and
+        matching the reference's A_i^H C A_j + final feed swap,
+        ref cpu/beams.py:147-180, cpu_simulate.py:298-300): output element
+        ``[a, b]`` of baseline (i, j) is ``<conj(v_i^b) v_j^a>``, so gains
+        enter as ``conj(g_i^b) g_j^a``. For baselines the beam-pair router
+        FLIPPED, the engine (like the reference) conjugates without
+        swapping feed axes, so there the factor is ``conj(g_i^a) g_j^b``.
+        Unpolarized: ``conj(g_i) g_j`` either way.
+        """
         gc = gains[0] + 1j * gains[1]  # (nant, nfreqs[, 2])
-        gi, gj = gc[bl_ai], jnp.conj(gc[bl_aj])  # (nbl, nfreqs[, 2])
+        gi, gj = jnp.conj(gc[bl_ai]), gc[bl_aj]  # (nbl, nfreqs[, 2])
         if polarized:
-            # vis (nfreqs, ntimes, a, b, nbl); feed a from ant i, b from j.
-            fi = jnp.transpose(gi, (1, 2, 0))[:, None, :, None, :]
-            fj = jnp.transpose(gj, (1, 2, 0))[:, None, None, :, :]
-            return vis * (fi * fj)
+            # vis (nfreqs, ntimes, a, b, nbl).
+            gi_f = jnp.transpose(gi, (1, 2, 0))  # (nfreqs, feed, nbl)
+            gj_f = jnp.transpose(gj, (1, 2, 0))
+            on_a = lambda g: g[:, None, :, None, :]
+            on_b = lambda g: g[:, None, None, :, :]
+            fac = jnp.where(
+                bl_flip,
+                on_a(gi_f) * on_b(gj_f),
+                on_b(gi_f) * on_a(gj_f),
+            )
+            return vis * fac
         return vis * (gi * gj).T[:, None, :]  # (nfreqs, 1, nbl)
 
     def sim_fn(params):

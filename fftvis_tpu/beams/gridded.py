@@ -216,7 +216,11 @@ class GriddedBeam:
         if xorient not in ("east", "north"):
             raise ValueError(f"Unrecognized x_orientation: {xorient!r}")
         if xorient == "north":
-            feeds = [{"x": "n", "y": "e", "n": "n", "e": "e"}[f] for f in feeds]
+            # Non-linear feed labels (e.g. circular 'r'/'l') pass through
+            # unchanged: x_orientation only redefines the 'x'/'y' dipoles,
+            # and such beams fall to the unrecognized-ordering check below.
+            remap = {"x": "n", "y": "e", "n": "n", "e": "e"}
+            feeds = [remap.get(f, f) for f in feeds]
         if feeds in (["n", "e"], ["y", "x"]):
             if data.shape[1] != len(feeds):
                 # Power beams with Npols != Nfeeds (e.g. 4 pol products

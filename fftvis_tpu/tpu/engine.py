@@ -602,14 +602,24 @@ class TPUSimulationEngine(SimulationEngine):
                     pad_try,
                 )
             )
-            band = _PLAN_CACHE.get(bkey, "miss")
-            if isinstance(band, str):
+            cached_band = _PLAN_CACHE.get(bkey, "miss")
+            if isinstance(cached_band, str):
                 band = plan_horizon_bands(rot, blk_try, nb_try, pad_try)
+                banded_eq = None
+                if band is not None:
+                    # Materialize the permuted catalog ONCE and cache it
+                    # frozen alongside the plan: a fresh fancy-indexed
+                    # array per call would defeat the identity-keyed
+                    # digest memo and re-hash multi-MB every simulate().
+                    banded_eq = rot.eq_vectors[:, band[0]]
+                    banded_eq.setflags(write=False)
                 if len(_PLAN_CACHE) >= _PROGRAM_CACHE_LIMIT:
                     _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
-                _PLAN_CACHE[bkey] = band
+                _PLAN_CACHE[bkey] = (band, banded_eq)
+            else:
+                band, banded_eq = cached_band
             if band is not None:
-                rot.eq_vectors = rot.eq_vectors[:, band[0]]
+                rot.eq_vectors = banded_eq
                 plan.nsrc_pad, plan.nblocks, plan.block = pad_try, nb_try, blk_try
                 nsrc_pad = pad_try
                 logger.info(
@@ -1513,7 +1523,7 @@ class TPUSimulationEngine(SimulationEngine):
                         ntimes, nfreqs, polarized, nfeeds, use_ds, use_basis,
                         polarized_sky, src_keep, band_perm, nsrc_pad, nf_pad,
                         real_dtype, complex_dtype, batched_beams, fluxes_arr,
-                        bl_index_arr,
+                        bl_index_arr, flipped_global,
                     )
                 return run, inputs
             from jax.experimental import multihost_utils
@@ -1574,7 +1584,7 @@ class TPUSimulationEngine(SimulationEngine):
                     ntimes, nfreqs, polarized, nfeeds, use_ds, use_basis,
                     polarized_sky, src_keep, band_perm, nsrc_pad, nf_pad,
                     real_dtype, complex_dtype, batched_beams, fluxes_arr,
-                    bl_index_arr,
+                    bl_index_arr, flipped_global,
                 )
             return run, inputs
 
@@ -1592,7 +1602,7 @@ class TPUSimulationEngine(SimulationEngine):
     def _program_info(
         ntimes, nfreqs, polarized, nfeeds, use_ds, use_basis, polarized_sky,
         src_keep, band_perm, nsrc_pad, nf_pad, real_dtype, complex_dtype,
-        batched_beams, fluxes_arr, bl_index_arr,
+        batched_beams, fluxes_arr, bl_index_arr, flipped_global,
     ) -> dict:
         """Metadata accompanying ``return_program="full"``.
 
@@ -1623,9 +1633,12 @@ class TPUSimulationEngine(SimulationEngine):
             "has_beam_table": batched_beams is not None,
             "fluxes_shape": tuple(fluxes_arr.shape),
             # (nbl, 2) antenna indices (into ants-dict order) per output
-            # baseline; lets the differentiable front-end apply per-antenna
-            # gain factors g_i . g_j^conj in the output layout.
+            # baseline, plus the pair-routing flip mask: the differentiable
+            # front-end needs both to apply per-antenna gains consistently
+            # with the engine's (reference-parity) flipped-baseline feed
+            # convention (conj without feed swap, ref cpu_simulate.py:298-300).
             "bl_index": np.asarray(bl_index_arr),
+            "flipped": np.asarray(flipped_global, dtype=bool),
         }
 
     # ------------------------------------------------------------------

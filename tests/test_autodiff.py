@@ -246,7 +246,8 @@ def test_sharded_sim_and_grad_match_single_device():
 
 @pytest.mark.parametrize("polarized", [False, True])
 def test_gains_unity_and_formula(polarized):
-    """Unity gains are a no-op; arbitrary gains apply V' = g_i V g_j*."""
+    """Unity gains are a no-op; arbitrary gains apply the engine-convention
+    factor conj(g_i^b) g_j^a (single shared beam -> no pair flips here)."""
     rng = np.random.default_rng(13)
     kw = _case(rng, nsrc=20, polarized=polarized, force_use_type3=True)
     sim_fn, params = build_differentiable_sim(differentiate_gains=True, **kw)
@@ -261,7 +262,8 @@ def test_gains_unity_and_formula(polarized):
     g[1] = rng.uniform(-0.5, 0.5, g[1].shape)
     got = np.asarray(sim_fn({**params, "gains": jnp.asarray(g)}))
 
-    # Independent host-side application of the gain formula.
+    # Independent host-side application: out[a, b] of baseline (i, j) is
+    # <conj(v_i^b) v_j^a>, so gains enter as conj(g_i^b) g_j^a.
     from fftvis_tpu.core.utils import get_pos_reds
 
     bls = [red[0] for red in get_pos_reds(kw["ants"], include_autos=True)]
@@ -273,12 +275,55 @@ def test_gains_unity_and_formula(polarized):
         if polarized:
             for fa in range(2):
                 for fb in range(2):
-                    want[:, :, fa, fb, b] *= gc[i, :, fa, None] * np.conj(
-                        gc[j, :, fb, None]
-                    )
+                    want[:, :, fa, fb, b] *= np.conj(gc[i, :, fb, None]) * gc[
+                        j, :, fa, None
+                    ]
         else:
-            want[:, :, b] *= (gc[i] * np.conj(gc[j]))[:, None]
+            want[:, :, b] *= (np.conj(gc[i]) * gc[j])[:, None]
     np.testing.assert_allclose(got, want, rtol=2e-6, atol=0)
+
+
+def test_gains_equal_phased_per_antenna_beams():
+    """The convention anchor: applying params['gains'] must EXACTLY equal
+    baking the same complex per-feed factors into each antenna's own
+    E-field beam and re-simulating -- including on baselines the beam-pair
+    router flips (where the engine, like the reference, conjugates without
+    swapping feed axes; ref cpu_simulate.py:298-300)."""
+    rng = np.random.default_rng(15)
+    nant = 4
+    kw = _case(rng, nsrc=18, nfreq=2, ntimes=2, nant=nant, polarized=True,
+               force_use_type3=True)
+    base = GriddedBeam.from_function(
+        GaussianBeam(diameter=11.0), n_az=73, n_za=37, freqs=tuple(kw["freqs"])
+    )
+    gc = (rng.uniform(0.6, 1.4, (nant, 2, 2))
+          * np.exp(1j * rng.uniform(-1.2, 1.2, (nant, 2, 2))))  # (ant, nf, feed)
+
+    beams = []
+    for k in range(nant):
+        data = np.array(base.data_array)  # (vec, feed, nf, za, az)
+        data *= gc[k].T[None, :, :, None, None]
+        beams.append(GriddedBeam(data, base.axis1_array, base.axis2_array,
+                                 base.freq_array, beam_type="efield"))
+    kw_beams = {**kw, "beam": beams, "beam_idx": np.arange(nant)}
+    want = simulate_vis(backend="tpu", **kw_beams)
+
+    kw_base = {**kw, "beam": [base.copy() for _ in range(nant)],
+               "beam_idx": np.arange(nant)}
+    sim_fn, params = build_differentiable_sim(
+        differentiate_gains=True, **kw_base
+    )
+    g = np.stack([gc.real, gc.imag]).astype(np.float32)
+    got = np.asarray(sim_fn({**params, "gains": jnp.asarray(g)}))
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=3e-6 * scale, rtol=0)
+
+    # The anchor is only meaningful if some baselines actually flipped.
+    from fftvis_tpu.core.utils import get_pos_reds
+
+    bls = [red[0] for red in get_pos_reds(kw["ants"], include_autos=True)]
+    ant_index = {a: i for i, a in enumerate(kw["ants"])}
+    assert any(ant_index[a0] > ant_index[a1] for a0, a1 in bls)
 
 
 def test_gain_calibration_recovers_products():
