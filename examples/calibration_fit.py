@@ -83,7 +83,9 @@ def main():
         beam=beams, beam_idx=np.arange(nant) % 2, telescope_loc=loc,
         polarized=True, precision=2,
     )
-    sim_fn, params = build_differentiable_sim(differentiate_beam=True, **kw)
+    sim_fn, params = build_differentiable_sim(
+        differentiate_beam=True, differentiate_gains=True, **kw
+    )
     # "Observed" visibilities (noise-free demo), materialized on the HOST
     # as (re, im) float planes: complex device buffers (and aliased views
     # of them, e.g. jnp.real's) cannot cross the host<->device boundary on
@@ -124,7 +126,35 @@ def main():
     sol = fit(loss, x0, lr=1e-2, steps=400, decay=0.5, label="beam")
     # Evaluate under jit: eager complex ops don't dispatch on relayed TPUs.
     resid = float(jax.jit(loss)(sol))
-    print(f"  final data residual: {resid:.3e}")
+    print(f"  final data residual: {resid:.3e}\n")
+
+    # ---- 3. gain calibration ----
+    # Per-antenna complex gains (diagonal Jones) -- the standard
+    # direction-independent calibration. The observable combinations are
+    # the products conj(g_i) g_j; one global phase is degenerate.
+    print("gain calibration (7 antennas, per-feed complex gains):")
+    g_true = np.asarray(params["gains"]).copy()
+    g_true[0] += 0.15 * rng.standard_normal(g_true[0].shape)
+    g_true[1] += 0.15 * rng.standard_normal(g_true[1].shape)
+    planes = np.asarray(
+        jax.jit(
+            lambda p: jnp.stack([jnp.real(sim_fn(p)), jnp.imag(sim_fn(p))])
+        )({**params, "gains": jnp.asarray(g_true)})
+    )
+    gdata = planes[0] + 1j * planes[1]
+    gloss = lambda p: jnp.sum(
+        jnp.abs(sim_fn({**params, "gains": p["gains"]}) - gdata) ** 2
+    )
+    sol = fit(gloss, {"gains": params["gains"]}, lr=2e-2, steps=400,
+              label="gain")
+    gc_t = g_true[0] + 1j * g_true[1]
+    g_f = np.asarray(sol["gains"])  # fetch floats; complex math on host
+    gc_f = g_f[0] + 1j * g_f[1]
+    prod_err = np.abs(
+        gc_f[:, None] * np.conj(gc_f[None, :])
+        - gc_t[:, None] * np.conj(gc_t[None, :])
+    ).max()
+    print(f"  max |gain-product error| after fit: {prod_err:.2e}")
 
 
 if __name__ == "__main__":
