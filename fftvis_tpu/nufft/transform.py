@@ -435,6 +435,200 @@ def make_type1_fn(plan: Type1Plan):
     return run
 
 
+@dataclass(frozen=True)
+class Type1ExactPlan:
+    """Plan for the exact separable-DFT type-1 (gridded-array) transform.
+
+    ``nf`` here is the MODE grid -- 2 kmax + 1 per axis, rounded up to
+    ``nhi * K`` so the split-k factor outer product (see
+    :class:`Type1ExactExecutor`) reshapes contiguously -- not an
+    oversampled fine grid; there is no kernel, no FFT and no
+    deconvolution. The <=2 K - 1 padding rows per axis hold modes beyond
+    kmax that are computed but never gathered.
+    """
+
+    d: int
+    nf: tuple[int, ...]
+    kmax: tuple[int, ...]
+    # Per-axis split k = khi * K + klo with K ~ sqrt(nm): (K, nhi) pairs.
+    split: tuple[tuple[int, int], ...]
+    # Per-target gather positions into the (kmax-shifted, padded) mode grid.
+    gather_idx: np.ndarray
+    n_targets: int
+
+
+def plan_type1_exact(modes: np.ndarray) -> Type1ExactPlan:
+    """Plan an exact type-1 at integer ``modes`` (no eps: the transform is
+    evaluated exactly, up to floating-point roundoff)."""
+    modes = np.atleast_2d(np.asarray(modes, dtype=np.int64))
+    d, m = modes.shape
+    kmax = tuple(
+        int(max(np.max(np.abs(modes[axis])) if m else 1, 1))
+        for axis in range(d)
+    )
+    split = []
+    nf = []
+    for km in kmax:
+        nm = 2 * km + 1
+        K = max(int(round(np.sqrt(nm))), 1)
+        nhi = -(-nm // K)
+        split.append((K, nhi))
+        nf.append(nhi * K)
+    flat = np.zeros(m, dtype=np.int64)
+    for axis in range(d):
+        flat = flat * nf[axis] + (modes[axis] + kmax[axis])
+    return Type1ExactPlan(
+        d=d, nf=tuple(nf), kmax=kmax, split=tuple(split),
+        gather_idx=flat.astype(np.int32), n_targets=m,
+    )
+
+
+class Type1ExactExecutor:
+    """Exact type-1 via separable DFT factor matmuls (no ES kernel, no FFT).
+
+    For a gridded array the requested modes are integers |k| <= kmax, so
+
+        V_k = sum_s c_s e^{+i (ky xy_s + kx xx_s)}
+
+    factors exactly as ``M = Ey^T diag(c) Ex`` with
+    ``E[s, j] = e^{+i k_j x_s}`` -- two (n, nm) complex factor matrices
+    and one MXU matmul per channel. Compared with the dense ES spreader +
+    FFT + deconvolved gather (the reference's type-1 computes the full ES
+    mode grid, ref cpu/nufft.py:120-175), this does strictly fewer MACs
+    per source, needs no FFT or deconvolution, shrinks the scan-carry
+    grid ~5-7x, and has NO eps truncation error at all.
+
+    TPU cost model: sin/cos are expensive multi-op VPU polynomials, so
+    building E entry-by-entry (n * nm sincos per axis) loses to the ES
+    spreader's cheap exp kernel. Instead each axis splits k = khi K + klo
+    with K ~ sqrt(nm): E = A[s, khi] * B[s, klo] needs only
+    n (nhi + K) ~ 2 n sqrt(nm) sincos plus one fused complex multiply per
+    entry (~5x fewer transcendentals; measured 1.63 -> 0.72 ms per 49k x
+    (81 x 161) spread, at ES-spreader parity before the saved FFT). The
+    mode grid is padded to nhi * K so the outer product reshapes
+    contiguously (padding rows are never gathered).
+
+    Phase accuracy: the factor argument is reduced with an error-free
+    integer-cell split: k * cell is exact in f32 (the engine gates this
+    path on kmax * nm < 2^23) and reduced mod nm exactly up to a
+    self-correcting (phase mod 2 pi) off-by-one, leaving a trig argument
+    of magnitude <~ 2 pi that carries only ulp-level error regardless of
+    kmax; the split adds one ~ulp complex multiply. Double-single low
+    parts from the engine's ds_coords chain fold into the fractional
+    term, so position accuracy matches the DS dense-ES path.
+    """
+
+    channel_multiplier = 1
+
+    def __init__(self, plan: Type1ExactPlan):
+        if plan.d != 2:
+            raise ValueError("Type1ExactExecutor supports 2D mode grids")
+        self.plan = plan
+
+    def fresh_copy(self):
+        return type(self)(self.plan)
+
+    def _factor(self, u, u_lo, axis: int, rdtype):
+        """E[s, j] = exp(+2 pi i (j - kmax) u_s / nm) as (n, nm) re/im.
+
+        ``u`` lives in [0, nm) with nm = nhi * K the padded mode count;
+        rows j >= 2 kmax + 1 are padding modes (computed, never read).
+        """
+        import jax.numpy as jnp
+
+        nm = int(self.plan.nf[axis])
+        km = int(self.plan.kmax[axis])
+        K, nhi = self.plan.split[axis]
+        m = u.shape[0]
+        cell, frac = _split_cell_frac(
+            u.astype(rdtype),
+            None if u_lo is None else u_lo.astype(rdtype),
+            jnp,
+        )
+
+        def phases(kvals, reduce_mod):
+            q = kvals[None, :] * cell[:, None]  # integer product, exact
+            if reduce_mod:
+                q = q - nm * jnp.round(q / nm)  # mod into ~[-nm/2, nm/2]
+            arg = (q + kvals[None, :] * frac[:, None]) * (2.0 * np.pi / nm)
+            return jnp.cos(arg), jnp.sin(arg)
+
+        khi = jnp.arange(nhi, dtype=rdtype) * K - km
+        klo = jnp.arange(K, dtype=rdtype)  # |klo cell| < K nm: no mod needed
+        ar, ai = phases(khi, True)  # (n, nhi)
+        br, bi = phases(klo, False)  # (n, K)
+        er = ar[:, :, None] * br[:, None, :] - ai[:, :, None] * bi[:, None, :]
+        ei = ar[:, :, None] * bi[:, None, :] + ai[:, :, None] * br[:, None, :]
+        return er.reshape(m, nm), ei.reshape(m, nm)
+
+    def _grid(self, u_list, u_lo_list, c):
+        import jax.numpy as jnp
+
+        rdtype = jnp.finfo(jnp.result_type(c, 0.0)).dtype
+        lo = (None, None) if u_lo_list is None else u_lo_list
+        eyr, eyi = self._factor(u_list[0], lo[0], 0, rdtype)  # (n, nmy)
+        exr, exi = self._factor(u_list[1], lo[1], 1, rdtype)  # (n, nmx)
+        ey = jax_complex(eyr, eyi)
+        ex = jax_complex(exr, exi)
+        # Materialize the (C, n, nm_small) RHS on the SMALLER axis (less
+        # HBM traffic when XLA does not operand-fuse the broadcast).
+        if self.plan.nf[0] <= self.plan.nf[1]:
+            rhs = c[:, :, None] * ey[None, :, :]  # (C, n, nmy)
+            g = jnp.einsum("sx,csy->cyx", ex, rhs)
+        else:
+            rhs = c[:, :, None] * ex[None, :, :]  # (C, n, nmx)
+            g = jnp.einsum("sy,csx->cyx", ey, rhs)
+        return g.astype(c.dtype)
+
+    def spread(self, x, c):
+        """x: (d, n) radians (2 pi periodic); c: (C, n). Returns (C, *nf)."""
+        import jax.numpy as jnp
+
+        p = self.plan
+        u = [
+            jnp.mod(x[axis] / (2.0 * jnp.pi) * p.nf[axis], p.nf[axis])
+            for axis in range(p.d)
+        ]
+        return self._grid(u, None, c)
+
+    def spread_ds(self, u_ds, c):
+        """Spread from double-single grid coordinates (see Type1Executor)."""
+        return self._grid(
+            [u[0] for u in u_ds], [u[1] for u in u_ds], c
+        )
+
+    def transform(self, g):
+        return g  # the mode grid IS the accumulator; nothing to do
+
+    def gather(self, G, sel: np.ndarray | None = None):
+        import jax.numpy as jnp
+
+        p = self.plan
+        idx = p.gather_idx if sel is None else p.gather_idx[sel]
+        return G.reshape(G.shape[0], -1)[:, jnp.asarray(idx)]
+
+    def gather_padded(self, G, sel_pad: np.ndarray):
+        import jax.numpy as jnp
+
+        p = self.plan
+        P, m_max = sel_pad.shape
+        flat = G.reshape(P, -1, int(np.prod(p.nf)))
+        idx = p.gather_idx[sel_pad]  # (P, m_max) host
+        return jnp.take_along_axis(
+            flat,
+            jnp.broadcast_to(
+                jnp.asarray(idx)[:, None, :], flat.shape[:2] + (m_max,)
+            ),
+            axis=2,
+        )
+
+
+def jax_complex(re, im):
+    import jax
+
+    return jax.lax.complex(re, im)
+
+
 def pick_strip_width(nfx: int, target: int = 128) -> int:
     """Largest divisor of nfx that is <= ~1.5x the target lane width.
 

@@ -92,8 +92,10 @@ def _plan_fingerprint(exec_plan) -> tuple:
     """Full-array fingerprint of a transform plan (repr truncates arrays)."""
     if exec_plan is None:
         return ()
-    from ..nufft.transform import Type1Plan, Type3Plan
+    from ..nufft.transform import Type1ExactPlan, Type1Plan, Type3Plan
 
+    if isinstance(exec_plan, Type1ExactPlan):
+        return ("t1x", exec_plan.nf, exec_plan.kmax, exec_plan.gather_idx)
     k = exec_plan.kernel
     if isinstance(exec_plan, Type1Plan):
         return (
@@ -462,6 +464,7 @@ class TPUSimulationEngine(SimulationEngine):
                 npairs,
                 self.nufft_mode,
                 _jax.default_backend(),
+                os.environ.get("FFTVIS_TYPE1", "auto"),
             )
         )
         plan = _PLAN_CACHE.get(plan_key)
@@ -2119,10 +2122,51 @@ class TPUSimulationEngine(SimulationEngine):
         self, bls_signed, eps, upsample_factor, nsrc, nbl, n_modes, npairs,
         nfeeds, nufft_mode=None,
     ):
-        """Gridded arrays: ES type-1 vs exact factored small-case DFT."""
-        plan = plan_type1(bls_signed, eps, upsample_factor)
+        """Gridded arrays: exact factored DFT vs ES type-1.
+
+        The exact separable-DFT executor dominates the dense ES spreader
+        everywhere the dense regime applies (strictly fewer MACs, no
+        FFT/deconvolution, ~5-7x smaller scan carry, zero truncation
+        error -- see Type1ExactExecutor), so it is the default whenever
+        the MODE grid fits the dense-spread size class AND the factor
+        phases stay f32-error-free (per-axis kmax * nm < 2^23; beyond
+        that the integer product k * cell is no longer exact in f32 --
+        only extremely elongated lattices hit this). FFTVIS_TYPE1=
+        {auto,exact,es} overrides (es keeps the ES + FFT pipeline, e.g.
+        for comparison benchmarks).
+        """
+        import os
+
+        from ..nufft.transform import (
+            DENSE_GRID_LIMIT,
+            Type1ExactExecutor,
+            plan_type1_exact,
+        )
+
         if (nufft_mode or self.nufft_mode) == "direct":
             return "direct", None, bls_signed.astype(float)
+        t1_env = os.environ.get("FFTVIS_TYPE1", "auto")
+        xplan = plan_type1_exact(bls_signed)
+        f32_safe = all(
+            k * n < 2**23 for k, n in zip(xplan.kmax, xplan.nf)
+        )
+        if t1_env == "exact" and not f32_safe:
+            logger.warning(
+                "FFTVIS_TYPE1=exact forced on a lattice whose factor "
+                "phases exceed the f32-exact bound (kmax*nm >= 2^23 on "
+                "some axis, mode grid %s); expect degraded accuracy in "
+                "float32.", xplan.nf,
+            )
+        if t1_env == "exact" or (
+            t1_env != "es"
+            and f32_safe
+            and int(np.prod(xplan.nf)) <= DENSE_GRID_LIMIT
+        ):
+            logger.info(
+                "Gridded path: exact separable DFT (mode grid %s)", xplan.nf
+            )
+            return "type1", Type1ExactExecutor(xplan), None
+        plan = plan_type1(bls_signed, eps, upsample_factor)
         return "type1", Type1Executor(plan), None
 
 

@@ -107,6 +107,113 @@ def test_type1_spread_ds_coordinates():
     assert eds < e32 / 3
 
 
+def test_type1_exact_matches_direct():
+    """The exact separable-DFT type-1 has no eps: it must match the dense
+    direct sum to floating-point roundoff in both precisions."""
+    from fftvis_tpu.nufft.transform import Type1ExactExecutor, plan_type1_exact
+
+    rng = np.random.default_rng(21)
+    n = 500
+    x = rng.uniform(0, 2 * np.pi, size=(2, n))
+    c = rng.normal(size=(2, n)) + 1j * rng.normal(size=(2, n))
+    modes = rng.integers(-17, 18, size=(2, 91))
+    want = direct_type1_np(x, c, modes)
+    scale = np.abs(want).max()
+
+    ex = Type1ExactExecutor(plan_type1_exact(modes))
+    got64 = np.asarray(
+        ex.gather(ex.transform(ex.spread(jnp.asarray(x), jnp.asarray(c))))
+    )
+    assert np.abs(got64 - want).max() / scale < 1e-12
+
+    got32 = np.asarray(
+        ex.gather(
+            ex.transform(
+                ex.spread(
+                    jnp.asarray(x, jnp.float32), jnp.asarray(c, jnp.complex64)
+                )
+            )
+        )
+    )
+    assert np.abs(got32 - want).max() / scale < 5e-6
+
+
+def test_type1_exact_spread_ds_coordinates():
+    """DS grid coordinates restore near-fp64 positions on the exact path:
+    the integer cell enters the factor phase error-free, so only the
+    ~ulp(1) fractional term survives."""
+    from fftvis_tpu.nufft.transform import Type1ExactExecutor, plan_type1_exact
+    from fftvis_tpu.tpu.ds import split64
+
+    rng = np.random.default_rng(22)
+    n = 2000
+    modes = rng.integers(-20, 21, size=(2, 200))
+    ex = Type1ExactExecutor(plan_type1_exact(modes))
+    nf = np.array(ex.plan.nf)[:, None]
+    x64 = rng.uniform(-np.pi, np.pi, (2, n))
+    c64 = rng.normal(size=(1, n)) + 1j * rng.normal(size=(1, n))
+    want = direct_type1_np(np.mod(x64, 2 * np.pi), c64, modes)
+    scale = np.abs(want).max()
+
+    c32 = jnp.asarray(c64, jnp.complex64)
+    got32 = np.asarray(
+        ex.gather(ex.transform(ex.spread(jnp.asarray(x64, jnp.float32), c32)))
+    )
+    uh, ul = split64(np.mod(x64 / (2 * np.pi) * nf, nf))
+    u_ds = [(jnp.asarray(uh[i], jnp.float32), jnp.asarray(ul[i], jnp.float32))
+            for i in range(2)]
+    gotds = np.asarray(ex.gather(ex.transform(ex.spread_ds(u_ds, c32))))
+
+    e32 = np.abs(got32 - want).max() / scale
+    eds = np.abs(gotds - want).max() / scale
+    assert eds < 1e-6
+    assert eds <= e32
+
+
+def test_type1_exact_gather_padded_matches_gather():
+    from fftvis_tpu.nufft.transform import Type1ExactExecutor, plan_type1_exact
+
+    rng = np.random.default_rng(23)
+    modes = rng.integers(-9, 10, size=(2, 40))
+    ex = Type1ExactExecutor(plan_type1_exact(modes))
+    x = rng.uniform(0, 2 * np.pi, size=(2, 120))
+    P, nf2 = 3, 2
+    c = rng.normal(size=(P * nf2, 120)) + 1j * rng.normal(size=(P * nf2, 120))
+    G = ex.transform(ex.spread(jnp.asarray(x), jnp.asarray(c)))
+    sel_pad = np.stack([rng.permutation(40)[:12] for _ in range(P)])
+    got = np.asarray(ex.gather_padded(G, sel_pad))  # (P, nf2, 12)
+    for p in range(P):
+        want = np.asarray(ex.gather(G, sel=sel_pad[p]))[p * nf2:(p + 1) * nf2]
+        np.testing.assert_allclose(got[p], want, rtol=1e-12)
+
+
+def test_gridded_path_selection_gates():
+    """Exact executor for compact lattices; ES fallback past the f32-exact
+    phase bound or the dense size class; env override honored."""
+    from fftvis_tpu.nufft.transform import Type1ExactExecutor, Type1Executor
+    from fftvis_tpu.tpu.engine import TPUSimulationEngine
+
+    eng = TPUSimulationEngine()
+    compact = np.stack(
+        [np.arange(-15, 16), np.arange(-15, 16)]
+    )
+    mode, ex, _ = eng._select_gridded_path(compact, 1e-6, 2.0, 100, 31, 31, 1, 1)
+    assert mode == "type1" and isinstance(ex, Type1ExactExecutor)
+
+    # One enormous axis: kmax*nm >= 2^23 -> ES pipeline.
+    elong = np.stack([np.array([-4000, 0, 4000]), np.array([0, 1, 0])])
+    _, ex2, _ = eng._select_gridded_path(elong, 1e-6, 2.0, 100, 3, 3, 1, 1)
+    assert isinstance(ex2, Type1Executor)
+
+    import os
+    os.environ["FFTVIS_TYPE1"] = "es"
+    try:
+        _, ex3, _ = eng._select_gridded_path(compact, 1e-6, 2.0, 100, 31, 31, 1, 1)
+        assert isinstance(ex3, Type1Executor)
+    finally:
+        del os.environ["FFTVIS_TYPE1"]
+
+
 def test_type3_spread_ds_coordinates():
     """Type-3 spread_ds (DS pre-phase + DS grid coordinates) beats the
     plain-f32 spread against the fp64 reference."""
