@@ -1195,16 +1195,19 @@ def _spread_auto(
     (:func:`_spread_dense_matmul`) -- the ES kernel is zero outside its
     support, so the dense outer-product formulation is exact, handles both
     periodic wraps through periodic distances, and rides the systolic array.
-    Large grids route through the (y, x) tile-binned variant when the
-    planner supplied a per-tile capacity bound (the strip form is its
-    dense-in-y predecessor, kept for comparison). CPU keeps the cheap
-    scatter. Override with
-    FFTVIS_SPREADER={auto,scatter,dense,strip,tiled}.
+    Large grids route through the tile-binned Pallas band-accumulator
+    kernel (nufft/pallas_spread.py; measured 10x the XLA tile scan on the
+    spread stage on v5e) when its geometry gate passes, else the (y, x)
+    tile-binned XLA scan with the planner's per-tile capacity bound (the
+    strip form is its dense-in-y predecessor, kept for comparison). CPU
+    keeps the cheap scatter. Override with
+    FFTVIS_SPREADER={auto,pallas,scatter,dense,strip,tiled}.
 
-    (A per-source Pallas kernel was evaluated and retired: its rank-1 VPU
-    patch updates cost n * grid-area work, while TPU dynamic gathers run
-    ~150 ns/element -- the measured winner is the bin-sorted tile-matmul
-    form here, which keeps everything on the MXU with contiguous slices.)
+    (A per-SOURCE Pallas kernel was evaluated in round 2 and retired: its
+    rank-1 VPU patch updates cost n * grid-area work. The round-3 Pallas
+    kernel is the bin-sorted tile-matmul form itself -- MXU patches from
+    contiguous chunk slices, band accumulation in VMEM -- which is why it
+    beats the lax.scan lowering instead of losing to it.)
     """
     import os
 
@@ -1216,6 +1219,29 @@ def _spread_auto(
     # the documented legacy 3-tuple (FFTVIS_TILE workflows) as classes=None.
     if tile_config is not None and len(tile_config) == 3:
         tile_config = (*tile_config, None)
+    if mode == "pallas":
+        # Fused band-accumulator kernel (see nufft/pallas_spread.py). When
+        # the geometry/dtype gate fails, fall back to the standard "auto"
+        # lowering choice -- NEVER to the scatter path, whose sequential
+        # per-index lowering is the very pathology the binned spreaders
+        # exist to avoid (a fall-through here measured 74x slower than the
+        # tiled spreader on the forced-type-3 bench row).
+        if d == 2:
+            from .pallas_spread import (
+                pallas_spread_ok,
+                pallas_tile_shape,
+                spread_pallas_tiled,
+            )
+
+            C, n = weights.shape
+            ty, sx = pallas_tile_shape(nf, w, 2 * C, tile_config)
+            rdt = np.finfo(np.result_type(weights.dtype, np.float32)).dtype
+            if pallas_spread_ok(nf, w, ty, sx, 2 * C, n, rdt):
+                return spread_pallas_tiled(
+                    u_list, weights, nf, w, beta, ty, sx,
+                    u_lo_list=u_lo_list,
+                )
+        mode = "auto"
     # Every spreader consumes optional DS low parts through the shared
     # cell/frac decomposition (:func:`_split_cell_frac`), so the engine's
     # ds_coords accuracy win carries to giant tiled/strip type-3 grids too.
@@ -1232,12 +1258,33 @@ def _spread_auto(
         return _spread_3d_ztaps(u_list, weights, nf, w, beta,
                                 u_lo_list=u_lo_list)
     if mode == "auto" and d == 2 and jax.default_backend() == "tpu":
-        if tile_config is not None and int(np.prod(nf)) > DENSE_GRID_LIMIT:
-            return _spread_tiled_matmul(u_list, weights, nf, w, beta,
-                                        *tile_config, u_lo_list=u_lo_list)
-        if strip_config is not None and int(np.prod(nf)) > DENSE_GRID_LIMIT:
-            return _spread_strip_matmul(u_list, weights, nf, w, beta,
-                                        *strip_config, u_lo_list=u_lo_list)
+        if int(np.prod(nf)) > DENSE_GRID_LIMIT:
+            # Large grids: the Pallas band-accumulator kernel when its
+            # geometry/VMEM gate passes (measured 10x the tiled scan on the
+            # spread stage, 1.35x the full forced-type-3 engine row on v5e,
+            # bit-matched), else the capacity-planned XLA tile/strip scans.
+            from .pallas_spread import (
+                pallas_spread_ok,
+                pallas_tile_shape,
+                spread_pallas_tiled,
+            )
+
+            C, n = weights.shape
+            pty, psx = pallas_tile_shape(nf, w, 2 * C, tile_config)
+            rdt = np.finfo(np.result_type(weights.dtype, np.float32)).dtype
+            if pallas_spread_ok(nf, w, pty, psx, 2 * C, n, rdt):
+                return spread_pallas_tiled(
+                    u_list, weights, nf, w, beta, pty, psx,
+                    u_lo_list=u_lo_list,
+                )
+            if tile_config is not None:
+                return _spread_tiled_matmul(u_list, weights, nf, w, beta,
+                                            *tile_config,
+                                            u_lo_list=u_lo_list)
+            if strip_config is not None:
+                return _spread_strip_matmul(u_list, weights, nf, w, beta,
+                                            *strip_config,
+                                            u_lo_list=u_lo_list)
         return _spread_dense_matmul(u_list, weights, nf, w, beta,
                                     u_lo_list=u_lo_list)
     if mode == "auto" and d == 3 and jax.default_backend() == "tpu":
@@ -1668,7 +1715,19 @@ def _spread_tiled_matmul(
             )
             grid = grid + seg
 
-    # Fold pads back periodically (single wrap: pads are < one period).
+    return _fold_frame(grid, nfy, nfx, m, C, weights.dtype)
+
+
+def _fold_frame(grid, nfy: int, nfx: int, m: int, C: int, out_dtype):
+    """Fold an m-padded (2C, nfy+2m', nfx+2m'') frame back periodically.
+
+    ``grid`` is the assembled overlap-add frame: real/imag channel planes of
+    the fine grid with an ``m``-column/row pad on the low sides and whatever
+    the tile lattice left on the high sides (< one period by the callers'
+    guards). Shared by the XLA tiled spreader and the Pallas band spreader.
+    """
+    import jax.numpy as jnp  # noqa: F401  (callers pass jnp arrays)
+
     core = grid[:, m : m + nfy, m : m + nfx]
     # y: low pad rows [0, m) belong to rows nfy-m..; high pad to rows 0..
     core = core.at[:, nfy - m :, :].add(grid[:, :m, m : m + nfx])
@@ -1689,7 +1748,7 @@ def _spread_tiled_matmul(
     core = core.at[:, :, nfx - m :].add(lx)
     core = core.at[:, :, : rx.shape[2]].add(rx)
 
-    return (core[:C] + 1j * core[C:]).astype(weights.dtype)
+    return (core[:C] + 1j * core[C:]).astype(out_dtype)
 
 
 def _split_cell_frac(u, u_lo, xp):
