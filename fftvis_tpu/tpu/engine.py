@@ -2066,14 +2066,26 @@ class TPUSimulationEngine(SimulationEngine):
             # a grid row). The factor 2 approximates tile-occupancy slack
             # (capacity x ntiles / nsrc); the MXU's algebraic-intensity
             # advantage over elementwise work is folded into the constant.
+            from ..nufft.pallas_spread import (
+                pallas_spread_ok,
+                pallas_tile_shape,
+            )
             from ..nufft.transform import DENSE_GRID_LIMIT, pick_tile_shape
 
             nfy, nfx = probe.nf
             if nfy * nfx > DENSE_GRID_LIMIT:
-                ty, sx = pick_tile_shape(probe.nf, w, 2)
                 m2 = 2 * (w // 2 + 2)
-                tyw = -(-(ty + m2) // 8) * 8
-                per_mode = 2.0 * nsrc * tyw * (sx + m2)
+                pty, psx = pallas_tile_shape(probe.nf, w, 2 * C)
+                if pallas_spread_ok(
+                    probe.nf, w, pty, psx, 2 * C, int(nsrc), np.float32
+                ):
+                    # Pallas band kernel: occupancy-proportional window
+                    # work, no capacity slack (measured 10x the tile scan).
+                    per_mode = 1.0 * nsrc * (pty + m2) * (psx + m2)
+                else:
+                    ty, sx = pick_tile_shape(probe.nf, w, 2)
+                    tyw = -(-(ty + m2) // 8) * 8
+                    per_mode = 2.0 * nsrc * tyw * (sx + m2)
             else:
                 per_mode = 1.0 * nsrc * float(nfy * nfx)
         else:
