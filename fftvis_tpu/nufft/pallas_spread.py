@@ -196,8 +196,10 @@ def _build_pallas_call(nf, w: int, beta: float, ty: int, sx: int, c2: int,
                 rhs = kx * (sl[4 + ci : 5 + ci, :] * live)  # (xw, Pc)
                 patch = jax.lax.dot_general(
                     rhs, ky, (((1,), (1,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32,
-                )  # (xw, hw) on the MXU
+                )  # (xw, hw) on the MXU (full f32 -- never bf16 passes:
+                # the trace context's matmul precision must not matter)
                 cur = out_ref[0, ci, pl.ds(bx0, xw), :]
                 out_ref[0, ci, pl.ds(bx0, xw), :] = cur + patch
             return 0

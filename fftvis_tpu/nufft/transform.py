@@ -812,6 +812,34 @@ class Type3Executor:
             self._interp_cache[key] = ti
         return ti
 
+    def _window_interp(self, sel, G):
+        """Windowed interpolation: Pallas kernel when its gate passes,
+        else the XLA tiled scan (cached per target set and kind)."""
+        import jax
+
+        imode = os.environ.get("FFTVIS_INTERP", "auto")
+        if imode in ("pallas", "auto"):
+            from .pallas_interp import PallasInterp, pallas_interp_ok
+
+            c2 = 2 * int(G.shape[0])
+            rdt = np.finfo(np.result_type(G.dtype, np.float32)).dtype
+            m_here = self.plan.n_targets if sel is None else len(sel)
+            if (
+                imode == "pallas" or jax.default_backend() == "tpu"
+            ) and pallas_interp_ok(
+                self.plan.nf, self.plan.kernel.w, c2, m_here, rdt
+            ):
+                key = (
+                    None if sel is None else np.asarray(sel).tobytes(),
+                    "pallas",
+                )
+                ti = self._interp_cache.get(key)
+                if ti is None:
+                    ti = PallasInterp(self.plan, sel)
+                    self._interp_cache[key] = ti
+                return ti
+        return self._tiled_interp(sel)
+
     def spread(self, x, c):
         """x: (d, n) source coords within the planned extent; c: (C, n)."""
         import jax.numpy as jnp
@@ -915,14 +943,14 @@ class Type3Executor:
         m_here = p.n_targets if sel is None else len(sel)
         imode = os.environ.get("FFTVIS_INTERP", "auto")
         if p.d == 2 and (
-            imode == "tiled"
+            imode in ("tiled", "pallas")
             or (
                 imode == "auto"
                 and jax.default_backend() == "tpu"
                 and m_here * p.kernel.w**2 > 32768
             )
         ):
-            return self._tiled_interp(sel)(G)
+            return self._window_interp(sel, G)(G)
         rdtype = jnp.finfo(G.dtype).dtype
         ti = [t if sel is None else t[sel] for t in p.tap_idx]
         tv = [
@@ -979,6 +1007,7 @@ class Type3LowrankZExecutor:
         self._interp_cache: dict = {}
 
     _tiled_interp = Type3Executor._tiled_interp
+    _window_interp = Type3Executor._window_interp
 
     @property
     def channel_multiplier(self) -> int:
@@ -1122,12 +1151,12 @@ class Type3LowrankZExecutor:
         rdtype = jnp.finfo(G.dtype).dtype
         m_here = p2.n_targets if sel is None else len(sel)
         imode = os.environ.get("FFTVIS_INTERP", "auto")
-        if imode == "tiled" or (
+        if imode in ("tiled", "pallas") or (
             imode == "auto"
             and jax.default_backend() == "tpu"
             and m_here * p2.kernel.w**2 > 32768
         ):
-            o = self._tiled_interp(sel)(G)  # (C*K, m)
+            o = self._window_interp(sel, G)(G)  # (C*K, m)
             o_re, o_im = jnp.real(o), jnp.imag(o)
         else:
             ti = [t if sel is None else t[sel] for t in p2.tap_idx]
