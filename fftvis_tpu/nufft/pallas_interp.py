@@ -85,7 +85,8 @@ def pallas_interp_ok(nf, w: int, c2: int, m: int, rdtype) -> bool:
 
 @functools.lru_cache(maxsize=64)
 def _build_interp_call(w: int, c2: int, gy: int, gx: int, T: int,
-                       m_pad: int, pc: int, interpret: bool):
+                       m_pad: int, pc: int, interpret: bool,
+                       vma=frozenset()):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -159,7 +160,7 @@ def _build_interp_call(w: int, c2: int, gy: int, gx: int, T: int,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((c2, m_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((c2, m_pad), jnp.float32, vma=vma),
         interpret=interpret,
     )
 
@@ -250,11 +251,22 @@ class PallasInterp:
         gy = nfy + self.pad_y
         gx = nfx + self.pad_x
 
+        from .pallas_spread import _vma_of
+
         interpret = jax.default_backend() != "tpu"
         call = _build_interp_call(
-            self.w, c2, gy, gx, self.T, self.m_pad, pc, interpret
+            self.w, c2, gy, gx, self.T, self.m_pad, pc, interpret,
+            vma=_vma_of(Gr),
         )
-        flat = call(
+        # pallas_call has no batching rule; under an outer vmap (the engine
+        # batches the frequency axis) lower to a sequential scan instead.
+        def _sequential(c):
+            return jax.custom_batching.sequential_vmap(
+                lambda s, e, y0, x0, p, g: c(s, e, y0, x0, p, g)
+            )
+
+        seq_call = _sequential(call)
+        flat = seq_call(
             jnp.asarray(self.starts),
             jnp.asarray(self.ends),
             jnp.asarray(self.tile_y0),

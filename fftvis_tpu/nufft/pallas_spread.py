@@ -131,9 +131,41 @@ def pallas_spread_ok(nf, w: int, ty: int, sx: int, c2: int, n: int,
     return True
 
 
+def _vma_of(*arrays):
+    """Union of the operands' varying-axes (shard_map vma) as a frozenset.
+
+    Under jax.shard_map with check_vma (the default), a pallas_call must
+    declare how its outputs vary across mesh axes; the output varies over
+    exactly the axes any input does.
+    """
+    import jax
+
+    vs = set()
+    for a in arrays:
+        v = getattr(jax.typeof(a), "vma", None)
+        if v:
+            vs |= set(v)
+    return frozenset(vs)
+
+
+def interpret_shardmap_blocked(*arrays) -> bool:
+    """True when the INTERPRET-mode kernel cannot run these operands.
+
+    On non-TPU backends the kernels execute in Pallas interpret mode,
+    which lowers to plain jax ops; inside shard_map with check_vma those
+    ops mix kernel-internal unvarying indices with varying data and fail
+    the vma checker. The compiled TPU lowering is a single primitive with
+    a declared output vma and is unaffected. Callers fall back to the XLA
+    spreders/interp in this (test-only) combination.
+    """
+    import jax
+
+    return jax.default_backend() != "tpu" and bool(_vma_of(*arrays))
+
+
 @functools.lru_cache(maxsize=64)
 def _build_pallas_call(nf, w: int, beta: float, ty: int, sx: int, c2: int,
-                       pc: int, interpret: bool):
+                       pc: int, interpret: bool, vma=frozenset()):
     """Compile-cached pallas_call for one static geometry."""
     import jax
     import jax.numpy as jnp
@@ -217,7 +249,9 @@ def _build_pallas_call(nf, w: int, beta: float, ty: int, sx: int, c2: int,
     call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nty, c2, gx, hw), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (nty, c2, gx, hw), jnp.float32, vma=vma
+        ),
         interpret=interpret,
     )
     return call
@@ -278,9 +312,18 @@ def spread_pallas_tiled(u_list, weights, nf, w: int, beta: float,
 
     interpret = jax.default_backend() != "tpu"
     call = _build_pallas_call(
-        (nfy, nfx), w, float(beta), ty, sx, c2, pc, interpret
+        (nfy, nfx), w, float(beta), ty, sx, c2, pc, interpret,
+        vma=_vma_of(starts, ends, packed_sorted),
     )
-    bands = call(starts, ends, packed_sorted)  # (nty, c2, gx, hw)
+    # pallas_call has no batching rule; under an outer vmap (the engine
+    # batches the frequency axis) lower to a sequential scan instead.
+    def _sequential(c):
+        return jax.custom_batching.sequential_vmap(
+            lambda s, e, p: c(s, e, p)
+        )
+
+    seq_call = _sequential(call)
+    bands = seq_call(starts, ends, packed_sorted)  # (nty, c2, gx, hw)
     bands = bands.transpose(0, 1, 3, 2)  # (nty, c2, hw, gx)
 
     # --- XLA post-pass: y overlap-add of adjacent bands into the frame ---

@@ -820,14 +820,17 @@ class Type3Executor:
         imode = os.environ.get("FFTVIS_INTERP", "auto")
         if imode in ("pallas", "auto"):
             from .pallas_interp import PallasInterp, pallas_interp_ok
+            from .pallas_spread import interpret_shardmap_blocked
 
             c2 = 2 * int(G.shape[0])
             rdt = np.finfo(np.result_type(G.dtype, np.float32)).dtype
             m_here = self.plan.n_targets if sel is None else len(sel)
             if (
-                imode == "pallas" or jax.default_backend() == "tpu"
-            ) and pallas_interp_ok(
-                self.plan.nf, self.plan.kernel.w, c2, m_here, rdt
+                (imode == "pallas" or jax.default_backend() == "tpu")
+                and pallas_interp_ok(
+                    self.plan.nf, self.plan.kernel.w, c2, m_here, rdt
+                )
+                and not interpret_shardmap_blocked(G)
             ):
                 key = (
                     None if sel is None else np.asarray(sel).tobytes(),
@@ -1257,6 +1260,7 @@ def _spread_auto(
         # tiled spreader on the forced-type-3 bench row).
         if d == 2:
             from .pallas_spread import (
+                interpret_shardmap_blocked,
                 pallas_spread_ok,
                 pallas_tile_shape,
                 spread_pallas_tiled,
@@ -1265,7 +1269,9 @@ def _spread_auto(
             C, n = weights.shape
             ty, sx = pallas_tile_shape(nf, w, 2 * C, tile_config)
             rdt = np.finfo(np.result_type(weights.dtype, np.float32)).dtype
-            if pallas_spread_ok(nf, w, ty, sx, 2 * C, n, rdt):
+            if pallas_spread_ok(
+                nf, w, ty, sx, 2 * C, n, rdt
+            ) and not interpret_shardmap_blocked(*u_list, weights):
                 return spread_pallas_tiled(
                     u_list, weights, nf, w, beta, ty, sx,
                     u_lo_list=u_lo_list,
@@ -1293,6 +1299,7 @@ def _spread_auto(
             # spread stage, 1.35x the full forced-type-3 engine row on v5e,
             # bit-matched), else the capacity-planned XLA tile/strip scans.
             from .pallas_spread import (
+                interpret_shardmap_blocked,
                 pallas_spread_ok,
                 pallas_tile_shape,
                 spread_pallas_tiled,
@@ -1301,7 +1308,9 @@ def _spread_auto(
             C, n = weights.shape
             pty, psx = pallas_tile_shape(nf, w, 2 * C, tile_config)
             rdt = np.finfo(np.result_type(weights.dtype, np.float32)).dtype
-            if pallas_spread_ok(nf, w, pty, psx, 2 * C, n, rdt):
+            if pallas_spread_ok(
+                nf, w, pty, psx, 2 * C, n, rdt
+            ) and not interpret_shardmap_blocked(*u_list, weights):
                 return spread_pallas_tiled(
                     u_list, weights, nf, w, beta, pty, psx,
                     u_lo_list=u_lo_list,

@@ -139,6 +139,60 @@ def test_pallas_engine_type3_equivalence(monkeypatch):
     np.testing.assert_allclose(got, want, atol=5e-5 * scale, rtol=0)
 
 
+def test_pallas_engine_sharded_matches_unsharded(monkeypatch):
+    """Pallas env + shard_map SPMD: correct results, graceful fallback.
+
+    On the CPU test backend the kernels run in interpret mode, which
+    cannot satisfy shard_map's vma checker (kernel-internal indices are
+    unvarying) -- the dispatch must detect that and fall back to the XLA
+    lowerings WITHOUT crashing or changing results. On TPU the compiled
+    kernels are single primitives with a declared output vma and run
+    under shard_map directly (exercised by the hardware bench).
+    """
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+
+    from fftvis_tpu import TelescopeLocation
+    from fftvis_tpu.beams import GaussianBeam
+    from fftvis_tpu.beams.interface import (
+        BeamInterface,
+        prepare_beam_unpolarized,
+    )
+    from fftvis_tpu.geometry import hex_array
+    from fftvis_tpu.parallel.mesh import make_mesh
+    from fftvis_tpu.tpu.engine import TPUSimulationEngine
+
+    rng = np.random.default_rng(11)
+    loc = TelescopeLocation(np.deg2rad(-30.72), np.deg2rad(21.43), 1000.0)
+    nsrc = 500
+    ra = rng.uniform(0, 2 * np.pi, nsrc)
+    dec = np.clip(loc.lat + rng.normal(0, 0.4, nsrc), -np.pi / 2, np.pi / 2)
+    kw = dict(
+        ants=hex_array(3, sep=14.6),
+        fluxes=rng.uniform(0.1, 1.0, (nsrc, 2)),
+        ra=ra, dec=dec,
+        freqs=np.array([1.0e8, 1.1e8]),
+        times=2459863.2 + np.linspace(0, 0.01, 2),
+        beam_list=[prepare_beam_unpolarized(
+            BeamInterface(GaussianBeam(diameter=14.0))
+        )],
+        telescope_loc=loc,
+        polarized=False,
+        precision=1,
+        force_use_type3=True,
+    )
+    monkeypatch.setenv("FFTVIS_SPREADER", "pallas")
+    monkeypatch.setenv("FFTVIS_INTERP", "pallas")
+    want = TPUSimulationEngine(nufft_mode="type3").simulate(**kw)
+    got = TPUSimulationEngine(
+        nufft_mode="type3", mesh=make_mesh(time=2, source=2)
+    ).simulate(**kw)
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=1e-5 * scale, rtol=0)
+
+
 def test_pallas_env_dispatch(monkeypatch):
     """FFTVIS_SPREADER=pallas routes _spread_auto through the kernel."""
     from fftvis_tpu.nufft.transform import _spread_auto
