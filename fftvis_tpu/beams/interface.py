@@ -17,7 +17,7 @@ import numpy as np
 from .analytic import AnalyticBeam
 from .gridded import GriddedBeam
 from .interp import (
-    map_coordinates_2d_cl,
+    interp_table_cl,
     spline_prefilter_2d,
     upsample_prefiltered_2d,
 )
@@ -358,7 +358,7 @@ def _prepare_beam_uncached(
             xx = jnp.mod(az - az0, 2 * jnp.pi) / daz
         else:
             xx = (az - az0) / daz
-        vals = map_coordinates_2d_cl(
+        vals = interp_table_cl(
             dslice, yy, xx, order=order, wrap_x=wrap
         )  # (nsrc, chflat)
         vals = jnp.moveaxis(vals, 0, -1).reshape(ch_shape + (vals.shape[0],))
@@ -459,7 +459,7 @@ def stack_prepared(prepared_list) -> BatchedPreparedBeams | None:
             xx = jnp.mod(az - az0, 2 * jnp.pi) / daz
         else:
             xx = (az - az0) / daz
-        vals = map_coordinates_2d_cl(
+        vals = interp_table_cl(
             dslice, yy, xx, order=order, wrap_x=wrap
         )  # (nsrc, K*chflat)
         vals = jnp.moveaxis(vals, 0, -1).reshape(

@@ -231,6 +231,40 @@ def upsample_prefiltered_2d(coeff, factor: int, wrap_x: bool = False):
     return vals.reshape(coeff.shape[:-2] + (ny2, nx2))
 
 
+def interp_table_cl(data, y, x, order: int = 1, wrap_x: bool = False):
+    """Channels-last table interpolation with lowering dispatch.
+
+    FFTVIS_BEAM_EVAL=pallas routes to the Pallas one-hot-matmul evaluator
+    (beams/pallas_eval.py, gather-free); the default is the XLA gather
+    form (:func:`map_coordinates_2d_cl`). Measured on v5e at the scored
+    north-star/eigen table shapes the two are at PARITY (1.01x / 0.95x,
+    bit-matched to ~1e-7): the channels-last layout already amortizes the
+    tap gathers to ~2 ms per row, so the kernel is kept as a verified
+    alternative rather than the default.
+    """
+    import os
+
+    import jax
+
+    mode = os.environ.get("FFTVIS_BEAM_EVAL", "gather")
+    if mode == "pallas":
+        from ..nufft.pallas_spread import interpret_shardmap_blocked
+        from .pallas_eval import (
+            pallas_beam_eval_ok,
+            pallas_map_coordinates_cl,
+        )
+
+        ny, nx, ch = (int(v) for v in data.shape)
+        rdt = np.result_type(data.dtype, np.float32)
+        if pallas_beam_eval_ok(ny, nx, ch, order, rdt) and (
+            not interpret_shardmap_blocked(data, y, x)
+        ):
+            return pallas_map_coordinates_cl(
+                data, y, x, order=order, wrap_x=wrap_x
+            )
+    return map_coordinates_2d_cl(data, y, x, order=order, wrap_x=wrap_x)
+
+
 def map_coordinates_2d_cl(
     data,
     y,

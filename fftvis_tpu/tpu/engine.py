@@ -1422,6 +1422,7 @@ class TPUSimulationEngine(SimulationEngine):
                 # into the program; they must key the cache too.
                 os.environ.get("FFTVIS_SPREADER", "auto"),
                 os.environ.get("FFTVIS_INTERP", "auto"),
+                os.environ.get("FFTVIS_BEAM_EVAL", "gather"),
                 os.environ.get("FFTVIS_TILE", ""),
                 os.environ.get("FFTVIS_DEBUG", ""),
                 os.environ.get("FFTVIS_BEAM_UPSAMPLE", ""),
