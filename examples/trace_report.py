@@ -145,13 +145,24 @@ def main():
         tr = json.load(f)
     agg: collections.Counter = collections.Counter()
     cnt: collections.Counter = collections.Counter()
+    meta: dict = {}
     for e in tr.get("traceEvents", []):
         if e.get("ph") == "X":
             agg[e["name"]] += e.get("dur", 0)
             cnt[e["name"]] += 1
+            # XLA op events carry source attribution (the jax name_stack /
+            # named_scope path) in args; keep one sample per op name so
+            # fusions are attributable to pipeline stages.
+            args = e.get("args") or {}
+            tag = args.get("tf_op") or args.get("long_name")
+            if tag and e["name"] not in meta:
+                meta[e["name"]] = str(tag)
     print(f"== {which}: top {top_n} ops by total device time ==")
     for name, dur in agg.most_common(top_n):
-        print(f"{dur / 1e3:9.2f} ms  x{cnt[name]:5d}  {name[:110]}")
+        extra = meta.get(name, "")
+        if extra:
+            extra = f"  [{extra[:90]}]"
+        print(f"{dur / 1e3:9.2f} ms  x{cnt[name]:5d}  {name[:80]}{extra}")
     print(f"trace dir: {logdir}")
 
 

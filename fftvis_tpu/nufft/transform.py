@@ -44,6 +44,28 @@ from .kernels import ESKernel, es_kernel_ft, es_kernel_grid, next_fast_size
 # --------------------------------------------------------------------------
 
 
+def _scoped(name):
+    """Wrap an executor stage in jax.named_scope for profiler attribution.
+
+    The tag flows into HLO op metadata, letting examples/trace_report.py
+    attribute fused device ops to pipeline stages.
+    """
+
+    def deco(fn):
+        import functools
+
+        @functools.wraps(fn)
+        def wrapper(*a, **k):
+            import jax
+
+            with jax.named_scope(name):
+                return fn(*a, **k)
+
+        return wrapper
+
+    return deco
+
+
 @dataclass(frozen=True)
 class Type1Plan:
     """Plan for a d-dimensional type-1 transform gathered at fixed modes.
@@ -361,6 +383,7 @@ class Type1Executor:
     def fresh_copy(self):
         return type(self)(self.plan)
 
+    @_scoped("nufft_spread")
     def spread(self, x, c):
         """x: (d, n) radians (2 pi periodic); c: (C, n). Returns (C, *nf)."""
         import jax.numpy as jnp
@@ -372,6 +395,7 @@ class Type1Executor:
         ]
         return _spread_auto(u, c, p.nf, p.kernel.w, p.kernel.beta)
 
+    @_scoped("nufft_spread")
     def spread_ds(self, u_ds, c):
         """Spread from double-single grid coordinates.
 
@@ -385,9 +409,11 @@ class Type1Executor:
             self.plan.kernel.beta, u_lo_list=[u[1] for u in u_ds],
         )
 
+    @_scoped("nufft_fft")
     def transform(self, g):
         return _forward_modes(g, self.plan.nf)
 
+    @_scoped("nufft_gather")
     def gather(self, G, sel: np.ndarray | None = None):
         """Gather modes; ``sel`` optionally selects target rows (static)."""
         import jax.numpy as jnp
@@ -400,6 +426,7 @@ class Type1Executor:
         out = flat[:, jnp.asarray(idx)] * jnp.asarray(dec, dtype=rdtype)[None, :]
         return out.astype(G.dtype)
 
+    @_scoped("nufft_gather")
     def gather_padded(self, G, sel_pad: np.ndarray):
         """Batched per-pair gather: (P*nf2, *nf) -> (P, nf2, m_max).
 
@@ -580,6 +607,7 @@ class Type1ExactExecutor:
             g = jnp.einsum("sy,csx->cyx", ey, rhs)
         return g.astype(c.dtype)
 
+    @_scoped("nufft_spread")
     def spread(self, x, c):
         """x: (d, n) radians (2 pi periodic); c: (C, n). Returns (C, *nf)."""
         import jax.numpy as jnp
@@ -591,15 +619,18 @@ class Type1ExactExecutor:
         ]
         return self._grid(u, None, c)
 
+    @_scoped("nufft_spread")
     def spread_ds(self, u_ds, c):
         """Spread from double-single grid coordinates (see Type1Executor)."""
         return self._grid(
             [u[0] for u in u_ds], [u[1] for u in u_ds], c
         )
 
+    @_scoped("nufft_fft")
     def transform(self, g):
         return g  # the mode grid IS the accumulator; nothing to do
 
+    @_scoped("nufft_gather")
     def gather(self, G, sel: np.ndarray | None = None):
         import jax.numpy as jnp
 
@@ -607,6 +638,7 @@ class Type1ExactExecutor:
         idx = p.gather_idx if sel is None else p.gather_idx[sel]
         return G.reshape(G.shape[0], -1)[:, jnp.asarray(idx)]
 
+    @_scoped("nufft_gather")
     def gather_padded(self, G, sel_pad: np.ndarray):
         import jax.numpy as jnp
 
@@ -843,6 +875,7 @@ class Type3Executor:
                 return ti
         return self._tiled_interp(sel)
 
+    @_scoped("nufft_spread")
     def spread(self, x, c):
         """x: (d, n) source coords within the planned extent; c: (C, n)."""
         import jax.numpy as jnp
@@ -872,6 +905,7 @@ class Type3Executor:
             strip_config=self.strip_config, tile_config=self.tile_config,
         )
 
+    @_scoped("nufft_spread")
     def spread_ds(self, x_ds, c):
         """Spread from double-single source coordinates.
 
@@ -925,6 +959,7 @@ class Type3Executor:
             u_lo_list=u_lo,
         )
 
+    @_scoped("nufft_fft")
     def transform(self, g):
         import jax.numpy as jnp
 
@@ -937,6 +972,7 @@ class Type3Executor:
             G = G * jnp.asarray(p.deconv[axis], dtype=rdtype).reshape(s)
         return G
 
+    @_scoped("nufft_interp")
     def interpolate(self, G, sel: np.ndarray | None = None):
         """Evaluate targets (optionally a static subset ``sel``) from G."""
         import jax
@@ -1019,6 +1055,7 @@ class Type3LowrankZExecutor:
     def fresh_copy(self):
         return type(self)(self.zplan)
 
+    @_scoped("nufft_spread")
     def spread(self, x, c):
         """x: (3, n) source coords; c: (C, n). Returns (C*K, nf0, nf1)."""
         import jax.numpy as jnp
@@ -1068,6 +1105,7 @@ class Type3LowrankZExecutor:
             strip_config=self.strip_config, tile_config=self.tile_config,
         )
 
+    @_scoped("nufft_spread")
     def spread_ds(self, x_ds, c):
         """Spread from double-single coordinates (3 axes; see
         Type3Executor.spread_ds). The z factorization (Chebyshev modes,
@@ -1132,6 +1170,7 @@ class Type3LowrankZExecutor:
             u_lo_list=u_lo,
         )
 
+    @_scoped("nufft_fft")
     def transform(self, g):
         import jax.numpy as jnp
 
@@ -1144,6 +1183,7 @@ class Type3LowrankZExecutor:
             G = G * jnp.asarray(p2.deconv[axis], dtype=rdtype).reshape(s)
         return G
 
+    @_scoped("nufft_interp")
     def interpolate(self, G, sel: np.ndarray | None = None):
         """(C*K, nf0, nf1) -> (C, m[sel]): 2D taps then z-mode contraction."""
         import jax
@@ -1251,6 +1291,10 @@ def _spread_auto(
     # the documented legacy 3-tuple (FFTVIS_TILE workflows) as classes=None.
     if tile_config is not None and len(tile_config) == 3:
         tile_config = (*tile_config, None)
+    # Capacity 0 marks an "unplanned" config (the engine skipped capacity
+    # planning because the Pallas gate provably passes); the XLA tile scan
+    # must never run with it -- only the (ty, sx) choice is meaningful.
+    tiled_usable = tile_config is not None and int(tile_config[2]) > 0
     if mode == "pallas":
         # Fused band-accumulator kernel (see nufft/pallas_spread.py). When
         # the geometry/dtype gate fails, fall back to the standard "auto"
@@ -1283,7 +1327,7 @@ def _spread_auto(
     if mode == "strip" and d == 2 and strip_config is not None:
         return _spread_strip_matmul(u_list, weights, nf, w, beta,
                                     *strip_config, u_lo_list=u_lo_list)
-    if mode == "tiled" and d == 2 and tile_config is not None:
+    if mode == "tiled" and d == 2 and tiled_usable:
         return _spread_tiled_matmul(u_list, weights, nf, w, beta,
                                     *tile_config, u_lo_list=u_lo_list)
     if mode == "dense" and d == 2:
@@ -1315,7 +1359,7 @@ def _spread_auto(
                     u_list, weights, nf, w, beta, pty, psx,
                     u_lo_list=u_lo_list,
                 )
-            if tile_config is not None:
+            if tiled_usable:
                 return _spread_tiled_matmul(u_list, weights, nf, w, beta,
                                             *tile_config,
                                             u_lo_list=u_lo_list)

@@ -636,7 +636,16 @@ class TPUSimulationEngine(SimulationEngine):
         # Large type-3 grids route through the strip-binned spreader; its
         # static per-strip capacity comes from a host-side sliding-window
         # bound over the (exactly known) rotated source coordinates.
-        self._configure_strip_spreader(plan, rot, freqs)
+        # The spread channel count decides whether the Pallas kernel's
+        # plan-time gate already guarantees it will take the spread (the
+        # capacity/class planning is then skipped entirely).
+        _c_weights = (len(kl_pairs) if use_basis else npairs) * nfeeds**2
+        self._configure_strip_spreader(
+            plan, rot, freqs,
+            c2=2 * _c_weights * getattr(plan.executor, "channel_multiplier", 1)
+            if plan.executor is not None else 2,
+            rdtype=real_dtype,
+        )
 
         nt_pad = int(np.ceil(ntimes / n_tdev)) * n_tdev
 
@@ -846,24 +855,37 @@ class TPUSimulationEngine(SimulationEngine):
                 flip_pad = flipped_global[sel_pad] & sel_valid
 
         def source_block_weights(az, za, mask, flux_f, fv, gfi, beamtab=None):
-            """Evaluate beams + coherency for one source block: (C, B)."""
+            """Evaluate beams + coherency for one source block: (C, B).
+
+            jax.named_scope tags flow into the HLO op metadata, so the
+            profiler (examples/trace_report.py) can attribute fused ops to
+            pipeline stages.
+            """
             if batched_beams is not None and len(pair_i) > 0:
-                evals_all = batched_beams.evaluate_all(az, za, fv, gfi, beamtab)
-                rows = coh_mod.apparent_coherency_rows_batched(
-                    evals_all, pair_i, pair_j, flux_f, polarized, polarized_sky
-                ).astype(complex_dtype)
+                with jax.named_scope("beam_eval"):
+                    evals_all = batched_beams.evaluate_all(
+                        az, za, fv, gfi, beamtab
+                    )
+                with jax.named_scope("coherency"):
+                    rows = coh_mod.apparent_coherency_rows_batched(
+                        evals_all, pair_i, pair_j, flux_f, polarized,
+                        polarized_sky,
+                    ).astype(complex_dtype)
                 return rows * mask[None, :]
-            evals = [pb.evaluate(az, za, fv, gfi) for pb in prepared]
-            if use_basis:
-                rows = [
-                    eval_pair_rows(evals, k, l, flux_f) for (k, l) in kl_pairs
-                ]
-            else:
-                rows = [
-                    eval_pair_rows(evals, bi, bj, flux_f)
-                    for (bi, bj) in pair_plan.pairs
-                ]
-            rows = jnp.concatenate(rows, axis=0)  # (C, B)
+            with jax.named_scope("beam_eval"):
+                evals = [pb.evaluate(az, za, fv, gfi) for pb in prepared]
+            with jax.named_scope("coherency"):
+                if use_basis:
+                    rows = [
+                        eval_pair_rows(evals, k, l, flux_f)
+                        for (k, l) in kl_pairs
+                    ]
+                else:
+                    rows = [
+                        eval_pair_rows(evals, bi, bj, flux_f)
+                        for (bi, bj) in pair_plan.pairs
+                    ]
+                rows = jnp.concatenate(rows, axis=0)  # (C, B)
             return rows * mask[None, :]
 
         def nufft_coords(topo, fv):
@@ -1709,7 +1731,8 @@ class TPUSimulationEngine(SimulationEngine):
         return vis[:, :, 0, 0, :].astype(complex_out)
 
     # ------------------------------------------------------------------
-    def _configure_strip_spreader(self, plan, rot, freqs) -> None:
+    def _configure_strip_spreader(self, plan, rot, freqs, c2: int = 2,
+                                  rdtype=np.float32) -> None:
         """Set binned-spreader capacities on a type-3 executor (large grids).
 
         Default: the (y, x) tiled spreader; FFTVIS_SPREADER=strip selects
@@ -1752,6 +1775,32 @@ class TPUSimulationEngine(SimulationEngine):
             plan.executor.strip_config = None
             plan.executor.tile_config = None
             return
+        if mode_env in ("auto", "pallas"):
+            # When the Pallas band kernel's gate provably passes for every
+            # spread call (same static inputs the trace-time gate sees),
+            # the XLA tile scan is unreachable: skip the per-(time, freq)
+            # capacity histogram and class planning, the dominant host
+            # cost of type-3 planning on long observations. tile_config
+            # keeps the (ty, sx) choice with capacity 0 = "unplanned";
+            # _spread_auto treats that as no-config on its fallback paths.
+            from ..nufft.pallas_spread import (
+                pallas_spread_ok,
+                pallas_tile_shape,
+            )
+
+            pty, psx = pallas_tile_shape(eplan.nf, eplan.kernel.w, c2)
+            if pallas_spread_ok(
+                eplan.nf, eplan.kernel.w, pty, psx, c2,
+                int(plan.block), np.dtype(rdtype),
+            ):
+                plan.executor.strip_config = None
+                plan.executor.tile_config = (pty, psx, 0, None)
+                logger.info(
+                    "type-3 spread: Pallas band kernel gate passes "
+                    "(tile=(%d, %d), c2=%d, block=%d); capacity planning "
+                    "skipped", pty, psx, c2, int(plan.block),
+                )
+                return
 
         scale_min = TWO_PI * float(np.min(freqs)) / speed_of_light
         # Padding sources land at one fixed location; account for them.
