@@ -105,6 +105,26 @@ def build(which: str):
             beam_list=beams, beam_idx=beam_idx, telescope_loc=loc,
             polarized=True, precision=2, return_program=True,
         )
+    if which == "longobs":
+        # bench.py row 6: 24h observation, nside=128 sky (196k sources),
+        # hex-8 gridded array -> banded + blocked type-1 path.
+        ra128, dec128 = healpix_radec(128)
+        ants = hex_array(8, sep=14.6)
+        keys = list(ants.keys())
+        bls = [
+            (keys[i], keys[j])
+            for i in range(len(keys))
+            for j in range(i, len(keys))
+        ]
+        times24 = 2459863.2 + np.linspace(0, 1.0, 24)
+        flux24 = rng.uniform(0.1, 1.0, (ra128.size, 2))
+        beam = prepare_beam_unpolarized(BeamInterface(GaussianBeam(diameter=14.0)))
+        return TPUSimulationEngine().simulate(
+            ants=ants, fluxes=flux24, ra=ra128, dec=dec128, freqs=freqs2,
+            times=times24, beam_list=[beam], telescope_loc=loc,
+            baselines=bls, polarized=False, precision=2,
+            return_program=True,
+        )
     if which == "eigen":
         ants = hex_array(4, sep=14.6)
         ant_beams = [

@@ -2219,8 +2219,29 @@ class TPUSimulationEngine(SimulationEngine):
                 "some axis, mode grid %s); expect degraded accuracy in "
                 "float32.", xplan.nf,
             )
+        # MXU-utilization crossover (measured on v5e): the exact path's
+        # factor einsum tiles its (C*nmy, nmx) output onto the 128x128
+        # systolic array, so at SMALL channel counts (C*nm < ~128) it runs
+        # at ~10% utilization while its trig/complex factor build -- which
+        # is C-independent VPU work -- dominates; the ES dense spread +
+        # FFT is 1.4-2x faster there (24h banded row: 42 -> 20.8 ms,
+        # outputs within the fp32 accuracy class at 2.3e-6). At large C
+        # the exact einsum fills the MXU (~75% peak on the north-star
+        # row's 2812 channels) and its strictly-fewer MACs win. TPU-only:
+        # on fp64 backends the default eps (1e-13) would force a w=16 ES
+        # kernel and the exact path's zero truncation error matters.
+        import jax as _jax
+
+        c_tot = max(1, npairs) * nfeeds**2
+        prefer_es = t1_env == "es" or (
+            t1_env == "auto"
+            and _jax.default_backend() == "tpu"
+            and c_tot * int(min(xplan.nf)) < 128
+            and (eps is None or eps >= 1e-7)
+        )
         if t1_env == "exact" or (
-            t1_env != "es"
+            not prefer_es
+            and t1_env != "es"
             and f32_safe
             and int(np.prod(xplan.nf)) <= DENSE_GRID_LIMIT
         ):

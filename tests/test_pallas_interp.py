@@ -82,6 +82,46 @@ def test_pallas_interp_gate():
     assert not pallas_interp_ok(plan.nf + (3,), w, 2, 100, np.float32)
 
 
+def test_pallas_engine_multipair_type3(monkeypatch):
+    """Multi-beam-pair type-3 with BOTH Pallas kernels forced == defaults.
+
+    Exercises the per-pair interpolation subsets (each pair's baselines
+    are a distinct host-planned sel) through PallasInterp, and the
+    multi-channel spread through the band kernel.
+    """
+    from fftvis_tpu import TelescopeLocation, simulate_vis
+    from fftvis_tpu.beams import GaussianBeam
+
+    rng = np.random.default_rng(9)
+    loc = TelescopeLocation(np.deg2rad(-30.72), np.deg2rad(21.43), 1000.0)
+    nsrc = 600
+    ra = rng.uniform(0, 2 * np.pi, nsrc)
+    dec = np.clip(loc.lat + rng.normal(0, 0.4, nsrc), -np.pi / 2, np.pi / 2)
+    ants = {i: np.array([*rng.uniform(-60, 60, 2), 0.0]) for i in range(6)}
+    kw = dict(
+        ants=ants,
+        fluxes=rng.uniform(0.1, 1.0, (nsrc, 2)),
+        ra=ra, dec=dec,
+        freqs=np.array([1.0e8, 1.1e8]),
+        times=2459863.2 + np.linspace(0, 0.01, 2),
+        beam=[GaussianBeam(diameter=12.0), GaussianBeam(diameter=14.0)],
+        beam_idx=np.array([0, 1, 0, 1, 0, 1]),
+        telescope_loc=loc,
+        polarized=True,
+        precision=1,
+        force_use_type3=True,
+        backend="tpu",
+    )
+    monkeypatch.setenv("FFTVIS_SPREADER", "pallas")
+    monkeypatch.setenv("FFTVIS_INTERP", "pallas")
+    got = simulate_vis(**kw)
+    monkeypatch.setenv("FFTVIS_SPREADER", "scatter")
+    monkeypatch.setenv("FFTVIS_INTERP", "auto")
+    want = simulate_vis(**kw)
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=5e-5 * scale, rtol=0)
+
+
 def test_pallas_interp_env_dispatch(monkeypatch):
     """FFTVIS_INTERP=pallas routes Type3Executor.interpolate through it."""
     from fftvis_tpu.nufft.transform import Type3Executor
