@@ -140,13 +140,24 @@ def _build_eval_call(ny: int, nx: int, ch: int, order: int, wrap_x: bool,
         ia_yT = (ia // _AX).astype(jnp.float32)
         ia_xT = (ia % _AX).astype(jnp.float32)
 
+        def _fold(v, n):
+            # v mod n via floor division, with a correction step: XLA may
+            # lower division by a constant as a reciprocal multiply, so
+            # floor(k*n / n) lands off by one EXACTLY at multiples of n
+            # (caught by the fuzz soak at x in [nx, nx+1)). The inputs are
+            # integer-valued f32 well inside 2^24, so the true remainder
+            # is exact once the quotient is corrected.
+            q = jnp.floor(v / n)
+            r = v - n * q
+            r = jnp.where(r >= n, r - n, r)
+            return jnp.where(r < 0, r + n, r)
+
         def _mirror(i, n):
             # scipy 'mirror' boundary: reflect about the edges, period 2n-2.
             if n == 1:
                 return jnp.zeros_like(i)
-            p = float(2 * n - 2)
-            j = jnp.abs(i)
-            j = j - p * jnp.floor(j / p)
+            p = 2 * n - 2
+            j = _fold(jnp.abs(i), p)
             return jnp.where(j >= n, p - j, j)
 
         def _bspline3(tf):
@@ -174,7 +185,7 @@ def _build_eval_call(ny: int, nx: int, ch: int, order: int, wrap_x: bool,
                     # the wrap columns.
                     x0 = jnp.floor(xv)
                     tx = xv - x0
-                    cm = x0 - nx * jnp.floor(x0 / nx)
+                    cm = _fold(x0, nx)
                     return (
                         (cm + padl, 1.0 - tx),
                         (cm + 1.0 + padl, tx),
@@ -199,7 +210,7 @@ def _build_eval_call(ny: int, nx: int, ch: int, order: int, wrap_x: bool,
                     # Fold only the integer cell (exact); taps then reach
                     # [-1, nx+1] and the 8-col pads cover them without any
                     # further modular fold.
-                    cm = x0 - nx * jnp.floor(x0 / nx)
+                    cm = _fold(x0, nx)
                     return tuple(
                         (cm + (k - 1) + padl, wk)
                         for k, wk in enumerate(ws)
@@ -306,7 +317,13 @@ def pallas_map_coordinates_cl(data, y, x, order: int = 1,
     # binning needs only the integer cell, folded the same way.
     cxf = jnp.floor(xv)
     if wrap_x:
-        cxf = cxf - nx * jnp.floor(cxf / nx)
+        # Same corrected fold as the kernel (reciprocal-multiply division
+        # lowers floor(k*n / n) off by one at exact multiples of n); the
+        # binning tile and the kernel's folded cell must agree.
+        q = jnp.floor(cxf / nx)
+        cxf = cxf - nx * q
+        cxf = jnp.where(cxf >= nx, cxf - nx, cxf)
+        cxf = jnp.where(cxf < 0, cxf + nx, cxf)
     else:
         cxf = jnp.clip(cxf, 0.0, float(nx - 1))
     tiy = jnp.clip((yv // _TY).astype(jnp.int32), 0, nty - 1)

@@ -63,6 +63,42 @@ def test_pallas_beam_eval_matches_gather(order, wrap, ny, nx, ch):
     np.testing.assert_allclose(got, want, atol=2e-6 * scale, rtol=0)
 
 
+@pytest.mark.parametrize("order", [1, 3])
+def test_pallas_beam_eval_period_boundary(order):
+    """Coordinates at exact period multiples (x in [nx, nx+1), [-nx, ...)).
+
+    Regression for the constant-division fold: XLA lowers x/nx as a
+    reciprocal multiply, so floor(k*nx / nx) evaluated off by one exactly
+    at multiples of nx, silently dropping those sources (fuzz seed 3037).
+    """
+    rng = np.random.default_rng(1)
+    ny, nx, ch = 104, 110, 3
+    data = rng.normal(size=(ny, nx, ch)).astype(np.float32)
+    if order == 3:
+        data = np.asarray(
+            spline_prefilter_2d(jnp.asarray(data), axes=(0, 1)),
+            dtype=np.float32,
+        )
+    d = jnp.asarray(data)
+    n = 64
+    y = jnp.asarray(rng.uniform(0, ny - 1, n), jnp.float32)
+    x = np.concatenate([
+        rng.uniform(nx, nx + 1, n // 4),          # one period above
+        rng.uniform(-nx - 1, -nx, n // 4),        # one period below
+        np.array([0.0, float(nx), float(2 * nx), -float(nx)]),
+        rng.uniform(0, nx, n - 3 * (n // 4) - 4 + n // 4),
+    ]).astype(np.float32)[:n]
+    x = jnp.asarray(x)
+    got = np.asarray(
+        pallas_map_coordinates_cl(d, y, x, order=order, wrap_x=True)
+    )
+    want = np.asarray(
+        map_coordinates_2d_cl(d, y, x, order=order, wrap_x=True)
+    )
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=2e-5 * scale, rtol=0)
+
+
 def test_pallas_beam_eval_gate():
     assert not pallas_beam_eval_ok(91, 181, 8, 1, np.float64)
     assert not pallas_beam_eval_ok(91, 181, 8, 2, np.float32)  # bad order
