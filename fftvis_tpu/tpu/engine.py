@@ -576,9 +576,13 @@ class TPUSimulationEngine(SimulationEngine):
             and nsrc >= 4096
             # Occupancy-proportional block work only: the type-3 strip/
             # tile spreaders cost their static per-strip capacity per
-            # block, so the finer blocking banding needs multiplies their
-            # work faster than the skip saves it (measured 2.75x slower
-            # at 12 blocks on the forced-type-3 bench row).
+            # block (measured 2.75x slower at 12 blocks on the forced-
+            # type-3 bench row), and even the occupancy-proportional
+            # Pallas band spreader loses under banding because its
+            # O(grid) overlap-add/fold post-pass runs per BLOCK call
+            # (measured 0.44x on a banded 24h type-3 A/B, v5e). Type-3
+            # banding needs a deferred-assembly accumulator (bands as the
+            # scan carry, one assembly in transform()) -- round-4 agenda.
             and plan.mode in ("type1", "direct")
             and os.environ.get("FFTVIS_BAND", "") != "0"
         ):

@@ -125,6 +125,36 @@ class TestEngineEquivalence:
         scale = np.abs(v_ref).max()
         assert np.abs(v_band - v_ref).max() / scale < 1e-11
 
+    def test_type3_banding_stays_off(self, monkeypatch, caplog):
+        """Type-3 never bands: even the occupancy-proportional Pallas
+        spreader loses under banding because its O(grid) overlap-add
+        post-pass runs per block call (measured 0.44x on a banded 24h
+        type-3 A/B on v5e). Deferred band assembly is the round-4 fix;
+        until then the gate must keep type-3 unbanded AND correct."""
+        from fftvis_tpu.beams.interface import (
+            BeamInterface,
+            prepare_beam_unpolarized,
+        )
+        from fftvis_tpu.tpu.engine import TPUSimulationEngine
+
+        kw = self._kw(False, nsrc=9000)
+        kw["precision"] = 1
+        kw["force_use_type3"] = True
+        kw["beam_list"] = [
+            prepare_beam_unpolarized(BeamInterface(kw.pop("beam")))
+        ]
+        monkeypatch.setenv("FFTVIS_SPREADER", "pallas")
+        monkeypatch.setenv("FFTVIS_BAND_BLOCK", "256")
+        with caplog.at_level(logging.INFO, logger="fftvis_tpu.tpu.engine"):
+            v = TPUSimulationEngine(nufft_mode="type3").simulate(**kw)
+        assert not any(
+            "horizon banding engaged" in r.message for r in caplog.records
+        )
+        monkeypatch.setenv("FFTVIS_SPREADER", "scatter")
+        v_ref = TPUSimulationEngine(nufft_mode="type3").simulate(**kw)
+        scale = np.abs(v_ref).max()
+        assert np.abs(v - v_ref).max() / scale < 5e-5
+
     def test_banded_off_under_source_sharding(self, caplog):
         """The block table is a global-order construct: a sharded source
         axis disables banding (and still gets the right answer)."""
