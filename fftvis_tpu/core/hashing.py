@@ -19,7 +19,12 @@ import numpy as np
 # scheme while catching strictly more accidental mutations than Adler's
 # 16-bit partial sums (any change to a single 8-byte word flips the sum).
 _DIGEST_MEMO: dict[int, tuple] = {}
-_MEMO_MIN_BYTES = 1 << 18
+# SHA1 runs ~0.5 GB/s; the CRC+sum revalidation pair ~4 GB/s. Above 64 KB
+# the memo + revalidate path wins even for a single reuse, and the engine
+# re-hashes its inputs every simulate() call (plan key, program key, input
+# cache), so mid-size host arrays (per-time rotation matrices, masks,
+# culled coordinate blocks) are worth memoizing too.
+_MEMO_MIN_BYTES = 1 << 16
 
 # Consistent-inputs window: inside one engine simulate() call the same user
 # arrays are hashed several times (plan key, program key, input cache); the

@@ -156,7 +156,11 @@ def _cache_store(key: str, run) -> None:
 
 
 _INPUT_CACHE: "dict[str, object]" = {}
-_INPUT_CACHE_LIMIT = 8
+# Each simulate() configuration now caches ~7 device inputs (eq/coh/valid/
+# beamtab plus the KB-scale mats/abvel/freqs/banding arrays); 32 entries
+# keep a handful of alternating configurations resident without thrash.
+# Entries are device buffers -- HBM-backed, host cost is just the dict.
+_INPUT_CACHE_LIMIT = 32
 
 
 def _cached_device_put(build, key_parts):
@@ -1573,9 +1577,15 @@ class TPUSimulationEngine(SimulationEngine):
         # parameter sweeps re-call simulate() with the same catalog, and both
         # the host prep copies and the relayed-link uploads are expensive.
         _dt_key = (str(real_dtype), str(complex_dtype))
+        # The small per-time inputs (rotation matrices, aberration, freqs,
+        # banding schedule) are rebuilt as fresh host arrays every call, so
+        # a plain jnp.asarray re-uploads them each time (~3-4 ms of
+        # device_put dispatch per steady-state call on relayed runtimes).
+        # Content-keying them is cheap -- they are KB-scale -- and sweep
+        # calls with unchanged times/freqs hit the device cache.
         inputs = (
-            jnp.asarray(mats_host),
-            jnp.asarray(abvel_host),
+            _cached_device_put(lambda: mats_host, ("mats", mats_host)),
+            _cached_device_put(lambda: abvel_host, ("abvel", abvel_host)),
             _cached_device_put(
                 _build_eq_ds if (use_ds or ds_coords) else _build_eq,
                 (
@@ -1591,7 +1601,7 @@ class TPUSimulationEngine(SimulationEngine):
             _cached_device_put(
                 _build_valid, ("valid", nsrc, nsrc_pad, str(real_dtype))
             ),
-            jnp.asarray(freqs_dev),
+            _cached_device_put(lambda: freqs_dev, ("freqs", freqs_dev)),
             # Stacked beam table as a real input (replicated); a tiny dummy
             # when there is no batched table so the program arity is fixed.
             _cached_device_put(
@@ -1605,7 +1615,8 @@ class TPUSimulationEngine(SimulationEngine):
         )
         if banded:
             inputs = inputs + (
-                jnp.asarray(act_idx_host), jnp.asarray(act_val_host)
+                _cached_device_put(lambda: act_idx_host, ("actidx", act_idx_host)),
+                _cached_device_put(lambda: act_val_host, ("actval", act_val_host)),
             )
 
         if return_program:
