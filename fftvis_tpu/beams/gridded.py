@@ -50,9 +50,22 @@ class GriddedBeam:
                 arr = arr.copy()
             arr.setflags(write=False)
         self.data_array = arr
-        self.axis1_array = np.asarray(axis1_array, dtype=float)
-        self.axis2_array = np.asarray(axis2_array, dtype=float)
-        self.freq_array = np.atleast_1d(np.asarray(freq_array, dtype=float))
+
+        def _own_frozen(orig):
+            a = np.atleast_1d(np.asarray(orig, dtype=float))
+            if a.flags.writeable:
+                # Never mutate flags on (a view of) the caller's array.
+                if a is orig or a.base is not None:
+                    a = a.copy()
+                a.setflags(write=False)
+            return a
+
+        # Axis/freq arrays are hashed inside every beam fingerprint (cache
+        # keys are rebuilt each simulate() call); frozen owners make those
+        # digests one-time (immutable-owner memo in core/hashing.py).
+        self.axis1_array = _own_frozen(axis1_array)
+        self.axis2_array = _own_frozen(axis2_array)
+        self.freq_array = _own_frozen(freq_array)
         self.beam_type = beam_type
         if self.data_array.ndim != 5:
             raise ValueError("data_array must be 5-dimensional (vec, feed, freq, za, az)")

@@ -14,6 +14,7 @@ import logging
 
 import numpy as np
 
+from ..core.hashing import cache_get_lru as _cache_get_lru
 from .analytic import AnalyticBeam
 from .gridded import GriddedBeam
 from .interp import (
@@ -142,7 +143,14 @@ class PreparedBeam:
 
 
 _PREPARED_CACHE: dict = {}
-_PREPARED_CACHE_LIMIT = 32
+# LRU capacity. Must exceed the number of DISTINCT beams in one simulate()
+# call or every call thrashes the whole cache and re-runs freq interp +
+# spline prefiltering for every beam (measured: the 37-beam north-star row
+# spent ~90 ms/call rebuilding beams against the old 32-slot FIFO).
+# prepare_beams() grows it to fit the largest beam list seen (2x margin,
+# capped); entries hold ~0.1-2 MB host tables each.
+_PREPARED_CACHE_LIMIT = 64
+_PREPARED_CACHE_MAX_LIMIT = 1024
 
 
 def prepare_beam(
@@ -179,13 +187,13 @@ def prepare_beam(
             os.environ.get("FFTVIS_BEAM_UPSAMPLE", ""),
         )
     )
-    hit = _PREPARED_CACHE.get(cache_key)
+    hit = _cache_get_lru(_PREPARED_CACHE, cache_key)
     if hit is not None:
         return hit
     prepared = _prepare_beam_uncached(
         beam, freqs, polarized, spline_opts, interpolation_function, use_feed
     )
-    if len(_PREPARED_CACHE) >= _PREPARED_CACHE_LIMIT:
+    while len(_PREPARED_CACHE) >= _PREPARED_CACHE_LIMIT:
         _PREPARED_CACHE.pop(next(iter(_PREPARED_CACHE)))
     _PREPARED_CACHE[cache_key] = prepared
     return prepared
@@ -436,7 +444,7 @@ def stack_prepared(prepared_list) -> BatchedPreparedBeams | None:
     cache_key = hash_parts(
         (specs[0], tuple(pb.stack_table for pb in prepared_list))
     )
-    hit = _STACK_CACHE.get(cache_key)
+    hit = _cache_get_lru(_STACK_CACHE, cache_key)
     if hit is not None:
         return hit
     K = len(prepared_list)
@@ -485,6 +493,13 @@ def stack_prepared(prepared_list) -> BatchedPreparedBeams | None:
 def prepare_beams(beam_list, freqs, polarized, spline_opts=None,
                   interpolation_function="az_za_map_coordinates", use_feed="x"):
     """Prepare every beam in a list (engine entry point)."""
+    global _PREPARED_CACHE_LIMIT
+    # Per-antenna-beam sims pass O(nants) distinct beams per call; the LRU
+    # must hold the whole working set or steady-state calls rebuild every
+    # beam. Grow (never shrink) to 2x the largest list seen, capped.
+    want = min(2 * len(beam_list), _PREPARED_CACHE_MAX_LIMIT)
+    if want > _PREPARED_CACHE_LIMIT:
+        _PREPARED_CACHE_LIMIT = want
     return [
         prepare_beam(
             b,

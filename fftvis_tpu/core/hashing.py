@@ -89,8 +89,14 @@ def _immutable_owner(arr: np.ndarray) -> bool:
 
 def _array_digest(arr: np.ndarray) -> bytes:
     c = arr if arr.flags.c_contiguous else np.ascontiguousarray(arr)
-    meta = (arr.shape, str(arr.dtype))
-    small = arr.nbytes < _MEMO_MIN_BYTES
+    # dtype.str is a C-level attribute; str(dtype) costs ~14 us per call in
+    # Python and cache keys hash hundreds of small arrays per simulate().
+    meta = (arr.shape, arr.dtype.str)
+    # Frozen (immutable-owner) arrays are memoized at ANY size: their
+    # content can never change, so even a tiny axis/coordinate array is
+    # worth a one-time digest (beam fingerprints re-hash them every call).
+    frozen = _immutable_owner(arr)
+    small = arr.nbytes < _MEMO_MIN_BYTES and not frozen
     crc = None
     if not small:
         ent = _DIGEST_MEMO.get(id(arr))
@@ -105,12 +111,12 @@ def _array_digest(arr: np.ndarray) -> bytes:
                     _DIGEST_MEMO[id(arr)] = ent[:4] + (_WINDOW_ID,)
                 return ent[3]
     h = hashlib.sha1()
-    h.update(str(arr.dtype).encode())
+    h.update(arr.dtype.str.encode())
     h.update(str(arr.shape).encode())
     h.update(c)  # zero-copy: hashlib consumes the buffer protocol directly
     digest = h.digest()
     if not small:
-        if _immutable_owner(arr):
+        if frozen:
             crc = None  # content can never change: skip future revalidation
         elif crc is None:
             crc = _content_check(c)
@@ -125,6 +131,22 @@ def _array_digest(arr: np.ndarray) -> bytes:
         except TypeError:  # pragma: no cover - non-weakref-able subclass
             pass
     return digest
+
+
+def cache_get_lru(cache: dict, key):
+    """dict-as-LRU lookup: a hit moves the key to the back.
+
+    Every bounded cache in this package evicts from the FRONT of its dict
+    (``cache.pop(next(iter(cache)))``); plain ``dict.get`` makes that FIFO,
+    which thrashes catastrophically when a steady-state working set exceeds
+    the limit (N+1 round-robin keys against an N-slot FIFO miss every
+    lookup). Moving hits to the back turns the same eviction into LRU.
+    """
+    hit = cache.get(key)
+    if hit is not None:
+        cache.pop(key)
+        cache[key] = hit
+    return hit
 
 
 def hash_parts(parts) -> str:

@@ -60,6 +60,7 @@ from ..core import utils as core_utils
 from ..core.antenna_gridding import check_antpos_griddability
 from ..core.beams import plan_beam_pairs
 from ..core.hashing import beam_fingerprint as _beam_fingerprint
+from ..core.hashing import cache_get_lru as _cache_get_lru
 from ..core.hashing import consistent_inputs as _consistent_inputs
 from ..core.hashing import hash_parts as _hash_parts
 from ..core.simulate import SimulationEngine, default_accuracy_dict, resolve_precision
@@ -173,7 +174,7 @@ def _cached_device_put(build, key_parts):
     import jax.numpy as jnp
 
     key = _hash_parts(key_parts)
-    hit = _INPUT_CACHE.get(key)
+    hit = _cache_get_lru(_INPUT_CACHE, key)
     if hit is not None:
         return hit
     dev = jnp.asarray(build() if callable(build) else build)
@@ -341,7 +342,7 @@ class TPUSimulationEngine(SimulationEngine):
             # representative-baseline list across simulate() calls.
             rkey = _hash_parts(("reds-v1", tuple(map(repr, ants)), np.array(
                 [np.asarray(v, dtype=float) for v in ants.values()])))
-            baselines = _PLAN_CACHE.get(rkey)
+            baselines = _cache_get_lru(_PLAN_CACHE, rkey)
             if baselines is None:
                 reds = core_utils.get_pos_reds(ants, include_autos=True)
                 baselines = [red[0] for red in reds]
@@ -378,7 +379,7 @@ class TPUSimulationEngine(SimulationEngine):
                 coord_method, bool(_include_ab),
             )
         )
-        rot = _PLAN_CACHE.get(rot_key)
+        rot = _cache_get_lru(_PLAN_CACHE, rot_key)
         if rot is None:
             rot = SourceRotation(
                 ra, dec, times, telescope_loc, coord_method=coord_method,
@@ -420,7 +421,7 @@ class TPUSimulationEngine(SimulationEngine):
                 (tuple(map(repr, antnums)), bl_index_arr,
                  None if beam_idx is None else np.asarray(beam_idx))
             )
-            cached_pp = _PLAN_CACHE.get(pp_key)
+            cached_pp = _cache_get_lru(_PLAN_CACHE, pp_key)
             if cached_pp is None:
                 pair_plan = plan_beam_pairs(antnums, baselines, beam_idx)
                 flipped_global = np.zeros(nbl, dtype=bool)
@@ -471,7 +472,7 @@ class TPUSimulationEngine(SimulationEngine):
                 os.environ.get("FFTVIS_TYPE1", "auto"),
             )
         )
-        plan = _PLAN_CACHE.get(plan_key)
+        plan = _cache_get_lru(_PLAN_CACHE, plan_key)
         if plan is None:
             plan = self._plan_transform(
                 ants, baselines, freqs, eps, upsample_factor, flat_array_tol,
@@ -613,7 +614,9 @@ class TPUSimulationEngine(SimulationEngine):
                     pad_try,
                 )
             )
-            cached_band = _PLAN_CACHE.get(bkey, "miss")
+            cached_band = _cache_get_lru(_PLAN_CACHE, bkey)
+            if cached_band is None:
+                cached_band = "miss"
             if isinstance(cached_band, str):
                 band = plan_horizon_bands(rot, blk_try, nb_try, pad_try)
                 banded_eq = None
@@ -1475,7 +1478,7 @@ class TPUSimulationEngine(SimulationEngine):
             )
         )
 
-        run = _PROGRAM_CACHE.get(cache_key)
+        run = _cache_get_lru(_PROGRAM_CACHE, cache_key)
         in_specs_t = None
         if mesh is not None:
             from jax.sharding import PartitionSpec as P

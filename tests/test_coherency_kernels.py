@@ -270,3 +270,46 @@ class TestPlanCacheFreshness:
         kw2 = dict(kw, times=kw["times"] + 0.25)  # 6 hours later
         v2 = simulate_vis(**kw2)
         assert not np.allclose(v2, v1)
+
+
+class TestBeamCacheWorkingSet:
+    """The prepared-beam LRU must hold a whole per-antenna beam list.
+
+    Regression: with a 32-slot FIFO, a 37-distinct-beam simulate() call
+    (the north-star configuration) evicted every entry every call --
+    steady-state sweeps re-ran frequency interpolation and spline
+    prefiltering for all beams (~90 ms/call measured on the bench host).
+    The cache is now LRU and prepare_beams() grows its capacity to fit the
+    largest beam list seen.
+    """
+
+    def test_large_beam_list_hits_cache_on_second_call(self, monkeypatch):
+        from fftvis_tpu.beams import interface as bi
+        from fftvis_tpu.beams.gridded import GriddedBeam
+
+        nbeams = bi._PREPARED_CACHE_LIMIT + 5  # exceeds the static limit
+        beams = [
+            GriddedBeam.from_function(
+                GaussianBeam(diameter=12.0 + 0.01 * i),
+                n_az=31, n_za=16, freqs=(1.0e8,),
+            )
+            for i in range(nbeams)
+        ]
+        misses = []
+        orig = bi._prepare_beam_uncached
+
+        def counting(*a, **k):
+            misses.append(1)
+            return orig(*a, **k)
+
+        monkeypatch.setattr(bi, "_prepare_beam_uncached", counting)
+        freqs = np.array([1.0e8])
+        kw = dict(
+            freqs=freqs, polarized=True, spline_opts=None,
+            interpolation_function="az_za_map_coordinates", use_feed="x",
+        )
+        bi.prepare_beams(beams, **kw)
+        first = len(misses)
+        assert first == nbeams  # cold: every beam prepared once
+        bi.prepare_beams(beams, **kw)
+        assert len(misses) == first  # steady: zero rebuilds
