@@ -184,15 +184,35 @@ def _cached_device_put(build, key_parts):
     return dev
 
 
-def _with_f32_matmuls(fn):
-    """Wrap a callable so tracing/compilation sees float32 matmul precision."""
+def _matmul_precision(f32_pipeline: bool = True) -> str:
+    """Engine-wide matmul precision (traced into the program).
+
+    'float32' (HIGHEST; bf16x6 passes on TPU) is the default and the
+    accuracy contract. FFTVIS_MATMUL_PRECISION accepts any
+    jax.default_matmul_precision value -- 'high' (bf16x3 passes, ~2x MXU
+    throughput on f32 pipelines) is an opt-in for workloads whose accuracy
+    budget tolerates ~1e-5-class contractions (measured on v5e: tutorial
+    row 9.3e-6 vs 3.8e-6, north-star row 4.2e-5 -- FAILS its 1e-5 gate,
+    which is why this can never be the default). fp64 pipelines (CPU
+    backends at precision=2) ignore the override: demoting f64 matmul
+    passes would silently break the fp64 contract.
+    """
+    if not f32_pipeline:
+        return "float32"
+    return os.environ.get("FFTVIS_MATMUL_PRECISION", "float32")
+
+
+def _with_f32_matmuls(fn, f32_pipeline: bool = True):
+    """Wrap a callable so tracing/compilation sees the engine precision."""
     import functools
 
     import jax
 
+    prec = _matmul_precision(f32_pipeline)
+
     @functools.wraps(fn)
     def wrapped(*args, **kwargs):
-        with jax.default_matmul_precision("float32"):
+        with jax.default_matmul_precision(prec):
             return fn(*args, **kwargs)
 
     return wrapped
@@ -1459,6 +1479,7 @@ class TPUSimulationEngine(SimulationEngine):
                 os.environ.get("FFTVIS_TILE", ""),
                 os.environ.get("FFTVIS_DEBUG", ""),
                 os.environ.get("FFTVIS_BEAM_UPSAMPLE", ""),
+                _matmul_precision(str(real_dtype) == "float32"),
                 freq_vmap,
                 freqs_dev,
                 () if not use_basis else (tuple(kl_pairs), coefs_host, ant1_dev, ant2_dev),
@@ -1511,7 +1532,7 @@ class TPUSimulationEngine(SimulationEngine):
                 )
             # TPU matmuls default to bfloat16 operands; the NUFFT
             # spread/interp contractions and coherency einsums need full f32.
-            run = _with_f32_matmuls(run)
+            run = _with_f32_matmuls(run, str(real_dtype) == "float32")
             _cache_store(cache_key, run)
 
         # Multi-process (DCN) meshes: the mesh spans devices this process

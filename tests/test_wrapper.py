@@ -279,3 +279,29 @@ class TestDegenerateSkies:
         )
         vis = simulate_vis(**kw)
         np.testing.assert_array_equal(vis, np.zeros_like(vis))
+
+
+def test_matmul_precision_knob_never_touches_fp64(monkeypatch):
+    """FFTVIS_MATMUL_PRECISION tunes f32 pipelines only: demoting f64
+    matmul passes would silently break the precision=2 contract on fp64
+    backends, so the engine must ignore the knob there."""
+    import numpy as np
+
+    from fftvis_tpu import TelescopeLocation, simulate_vis
+    from fftvis_tpu.beams import GaussianBeam
+
+    rng = np.random.default_rng(3)
+    loc = TelescopeLocation(np.deg2rad(-30.7), np.deg2rad(21.4), 1000.0)
+    ants = {i: np.array([*rng.uniform(-50, 50, 2), 0.0]) for i in range(3)}
+    kw = dict(
+        ants=ants, fluxes=rng.uniform(0.1, 1, (16, 2)),
+        ra=rng.uniform(0, 2 * np.pi, 16), dec=rng.uniform(-1.2, -0.2, 16),
+        freqs=np.linspace(1e8, 1.2e8, 2),
+        times=2459863.2 + np.linspace(0, 0.01, 2),
+        beam=GaussianBeam(diameter=12.0), telescope_loc=loc, polarized=True,
+        precision=2,
+    )
+    v1 = simulate_vis(**kw)
+    monkeypatch.setenv("FFTVIS_MATMUL_PRECISION", "high")
+    v2 = simulate_vis(**kw)
+    np.testing.assert_array_equal(v1, v2)
