@@ -72,18 +72,39 @@ def _relay_link_floor(nbytes, repeats):
     return bw, t_rtt, nbytes / bw + t_rtt
 
 
-def _device_compute_time(run, inputs, repeats):
+def _device_compute_time(run, inputs, repeats, loops=8):
     """Device compute time of a jitted program, excluding bulk D2H.
 
     On relayed dev runtimes ``block_until_ready`` does not force execution
     (results materialize at fetch), so the honest measurement is fetching a
     SCALAR reduction of the output -- full compute, 8-byte transfer -- and
     subtracting the measured round-trip floor of a trivial scalar fetch.
+
+    When the program runs in single-digit milliseconds the ~24 ms RTT's
+    jitter dominates a one-shot subtraction, so the timed program executes
+    ``loops`` back-to-back iterations inside one ``lax.fori_loop`` and the
+    measurement divides by ``loops``. The carry feeds back into an input
+    as ``x * (1 + 1e-30 * acc)`` -- numerically below one f32 ulp, but XLA
+    cannot prove the iterations identical, so the body is re-executed
+    rather than hoisted out of the loop.
     """
     import jax
     import jax.numpy as jnp
 
-    summed = jax.jit(lambda *a: run(*a).sum())
+    def looped(*a):
+        def body(_, acc):
+            scale = 1.0 + 1e-30 * acc
+            pert = tuple(
+                x * scale.astype(x.dtype)
+                if jnp.issubdtype(x.dtype, jnp.inexact)
+                else x
+                for x in a
+            )
+            return acc + jnp.abs(jnp.asarray(run(*pert))).sum()
+
+        return jax.lax.fori_loop(0, loops, body, jnp.float32(0.0))
+
+    summed = jax.jit(looped)
     trivial = jax.jit(lambda x: (x + 1.0).sum())
     x = jnp.ones((8, 8), jnp.float32)
     float(summed(*inputs))  # compile
@@ -91,7 +112,7 @@ def _device_compute_time(run, inputs, repeats):
 
     t_sum = _steady(lambda: float(summed(*inputs)), repeats)
     t_rtt = _steady(lambda: float(trivial(x)), repeats)
-    return max(t_sum - t_rtt, 1e-5), t_rtt
+    return max((t_sum - t_rtt) / loops, 1e-5), t_rtt
 
 
 def main():
