@@ -289,8 +289,13 @@ def pallas_map_coordinates_cl(data, y, x, order: int = 1,
 
     # --- XLA pre-pass: pad the table, mod/bin/sort the coordinates ---
     if wrap_x:
-        left = data[:, nx - _PADL :, :]
-        right = data[:, :_PADL, :]
+        # Modular indexing, not plain slices: a table narrower than the
+        # pad (nx < 8) must TILE periodically, or the pre-pads come up
+        # short and the padded width drifts below the window extent
+        # (found by the fuzz soak: nx=5 wrap built a 24-wide table for a
+        # 32-wide window slice).
+        left = data[:, np.arange(-_PADL, 0) % nx, :]
+        right = data[:, np.arange(_PADL) % nx, :]
     else:
         left = jnp.zeros((ny, _PADL, ch), data.dtype)
         right = jnp.zeros((ny, _PADL, ch), data.dtype)

@@ -597,6 +597,40 @@ class Type1ExactExecutor:
         exr, exi = self._factor(u_list[1], lo[1], 1, rdtype)  # (n, nmx)
         ey = jax_complex(eyr, eyi)
         ex = jax_complex(exr, exi)
+        C, n = c.shape
+        nmy, nmx = int(self.plan.nf[0]), int(self.plan.nf[1])
+        # Two MXU formulations with IDENTICAL logical FLOPs
+        # (C * n * nmy * nmx complex MACs); the choice is tile geometry:
+        #
+        # - FACTORED (einsum): contract ex (n, nmx) against a broadcast
+        #   rhs = c * ey, i.e. a (2C*nmy, n) x (n, nmx) matmul. M is huge
+        #   but N = nmx pads to the 128-lane tile: at the north-star
+        #   geometry (nmx = 21) the MXU runs ~16% filled -- measured 26 ms
+        #   of the 37 ms device program. XLA operand-fuses the rhs
+        #   broadcast, so nothing large materializes; this is the only
+        #   option when C is small (M = 2C in the outer form would starve
+        #   instead) or the mode grid is huge.
+        # - OUTER-PRODUCT: materialize E[s, y*nmx+x] = ey * ex (complex,
+        #   n x nmy*nmx) and run ONE (C, n) x (n, nmy*nmx) matmul: N fills
+        #   (441 at the north star), M = 2C fills when C is large -- which
+        #   is exactly the regime the engine routes to this executor.
+        #   Costs an n*nmy*nmx complex temporary; gate on its size.
+        outer_env = os.environ.get("FFTVIS_EXACT_OUTER", "auto")
+        e_bytes = 2 * n * nmy * nmx * np.dtype(rdtype).itemsize
+        use_outer = outer_env == "1" or (
+            outer_env == "auto"
+            and 2 * C >= 128  # M must fill (measured: eigen C2=288 ok here)
+            # N must fill too: at nmy*nmx < 128 the factored einsum wins
+            # despite its nmx-starved tiles (measured on v5e: eigen row
+            # nm^2=49 is 1.2x FASTER factored; north star nm^2=441 is
+            # 1.3x faster outer at 2.8e-6 accuracy).
+            and nmy * nmx >= 128
+            and e_bytes <= 512 * 1024 * 1024
+        )
+        if use_outer:
+            E = (ey[:, :, None] * ex[:, None, :]).reshape(n, nmy * nmx)
+            g = (c @ E).reshape(C, nmy, nmx)
+            return g.astype(c.dtype)
         # Materialize the (C, n, nm_small) RHS on the SMALLER axis (less
         # HBM traffic when XLA does not operand-fuse the broadcast).
         if self.plan.nf[0] <= self.plan.nf[1]:

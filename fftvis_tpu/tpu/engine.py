@@ -1479,6 +1479,7 @@ class TPUSimulationEngine(SimulationEngine):
                 os.environ.get("FFTVIS_TILE", ""),
                 os.environ.get("FFTVIS_DEBUG", ""),
                 os.environ.get("FFTVIS_BEAM_UPSAMPLE", ""),
+                os.environ.get("FFTVIS_EXACT_OUTER", "auto"),
                 _matmul_precision(str(real_dtype) == "float32"),
                 freq_vmap,
                 freqs_dev,

@@ -138,6 +138,34 @@ def test_type1_exact_matches_direct():
     assert np.abs(got32 - want).max() / scale < 5e-6
 
 
+def test_type1_exact_outer_product_form_matches(monkeypatch):
+    """The large-C outer-product MXU formulation (E = ey*ex materialized,
+    one (C, n) @ (n, nmy*nmx) matmul) is algebraically the factored einsum
+    with a different tile geometry: both branches must match the direct
+    sum, and auto must engage the outer form at 2C >= 128 with nm^2 >= 128
+    (the north-star regime; measured 1.3x device on v5e)."""
+    from fftvis_tpu.nufft.transform import Type1ExactExecutor, plan_type1_exact
+
+    rng = np.random.default_rng(33)
+    n, C, km = 700, 70, 8  # 2C = 140 >= 128; nm^2 = 289 >= 128
+    x = rng.uniform(0, 2 * np.pi, size=(2, n))
+    c = rng.normal(size=(C, n)) + 1j * rng.normal(size=(C, n))
+    modes = rng.integers(-km, km + 1, size=(2, 61))
+    want = direct_type1_np(x, c, modes)
+    scale = np.abs(want).max()
+    ex = Type1ExactExecutor(plan_type1_exact(modes))
+
+    outs = {}
+    for env in ("0", "1", "auto"):
+        monkeypatch.setenv("FFTVIS_EXACT_OUTER", env)
+        outs[env] = np.asarray(
+            ex.gather(ex.transform(ex.spread(jnp.asarray(x), jnp.asarray(c))))
+        )
+        assert np.abs(outs[env] - want).max() / scale < 1e-12
+    # auto must follow the outer branch here (same summation order)
+    np.testing.assert_array_equal(outs["auto"], outs["1"])
+
+
 def test_type1_exact_spread_ds_coordinates():
     """DS grid coordinates restore near-fp64 positions on the exact path:
     the integer cell enters the factor phase error-free, so only the
