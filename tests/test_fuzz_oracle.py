@@ -136,3 +136,126 @@ def test_fuzz_tiled_spreader_vs_oracle(seed, monkeypatch):
     })
     scale = max(np.abs(want).max(), 1e-12)
     np.testing.assert_allclose(got, want, atol=2e-5 * scale, rtol=0)
+
+
+def _draw_gridded_case(seed):
+    """Random GRIDDED-lattice configuration: the exact separable-DFT path,
+    its ES+FFT small-C crossover, the outer-product MXU form, and horizon
+    banding are reachable only on lattice arrays, which the positions the
+    plain fuzz draws never form."""
+    from fftvis_tpu.geometry import hex_array, square_array
+
+    rng = np.random.default_rng(10_000 + seed)
+    sep = float(rng.uniform(8, 20))
+    if rng.integers(0, 2):
+        ants = hex_array(int(rng.integers(2, 4)), sep=sep)
+    else:
+        ants = square_array(int(rng.integers(2, 4)), sep=sep)
+    # In-plane rotation and a shear keep the lattice griddable; random
+    # removal exercises partial-lattice mode sets.
+    th = rng.uniform(0, 2 * np.pi)
+    R = np.array(
+        [[np.cos(th), -np.sin(th), 0], [np.sin(th), np.cos(th), 0], [0, 0, 1]]
+    )
+    shear = np.eye(3)
+    if rng.integers(0, 2):
+        shear[0, 1] = float(rng.uniform(-0.4, 0.4))
+    ants = {k: shear @ (R @ v) for k, v in ants.items()}
+    keys = list(ants.keys())
+    for k in rng.permutation(keys)[: int(rng.integers(0, max(1, len(keys) // 4)))]:
+        ants.pop(int(k))
+    nant = len(ants)
+
+    nsrc = int(rng.integers(15, 60))
+    ra = rng.uniform(0, 2 * np.pi, nsrc)
+    dec = np.arcsin(rng.uniform(-1, 1, nsrc))
+    nfreq = int(rng.integers(1, 3))
+    ntime = int(rng.integers(1, 3))
+    freqs = np.sort(rng.uniform(FREQ_LO, FREQ_HI, nfreq))
+    times = JD0 + np.sort(rng.uniform(0, 0.03, ntime))
+    polarized = bool(rng.integers(0, 2))
+    flux = rng.uniform(0.1, 1.0, (nsrc, nfreq))
+    kw = dict(
+        ants=ants, fluxes=flux, ra=ra, dec=dec, freqs=freqs, times=times,
+        telescope_loc=LOC, polarized=polarized, precision=2,
+    )
+    # Per-antenna beams push the exact path's channel count (C = npairs *
+    # nfeeds^2) toward the outer-product regime.
+    if rng.integers(0, 3) == 0 and nant >= 3:
+        nbeam = int(rng.integers(2, min(nant, 4) + 1))
+        kw["beam"] = [_draw_beam(rng, freqs, polarized) for _ in range(nbeam)]
+        kw["beam_idx"] = rng.integers(0, nbeam, nant)
+    else:
+        kw["beam"] = _draw_beam(rng, freqs, polarized)
+    return kw
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_fuzz_gridded_vs_oracle(seed, monkeypatch):
+    kw = _draw_gridded_case(seed)
+    rng = np.random.default_rng(20_000 + seed)
+    monkeypatch.setenv(
+        "FFTVIS_TYPE1", str(rng.choice(["auto", "exact", "es"]))
+    )
+    monkeypatch.setenv(
+        "FFTVIS_EXACT_OUTER", str(rng.choice(["auto", "0", "1"]))
+    )
+    if rng.integers(0, 2):
+        # Tiny banding blocks force the horizon-banded scan to engage on
+        # these small skies.
+        monkeypatch.setenv("FFTVIS_BAND_BLOCK", "8")
+        monkeypatch.setenv("FFTVIS_BLOCK", "8")
+    got = simulate_vis(backend="tpu", **kw)
+    want = simulate_vis(backend="direct", **kw)
+    assert got.shape == want.shape
+    scale = max(np.abs(want).max(), 1e-12)
+    np.testing.assert_allclose(got, want, atol=2e-5 * scale, rtol=0)
+
+
+@pytest.mark.parametrize("seed", range(30_000, 30_008))
+def test_fuzz_eigenbeam_vs_oracle(seed):
+    """Random eigenbeam-basis configurations (beam_coefs path) against the
+    per-antenna direct sim they compress. Both sides interpolate the SAME
+    gridded tables (the basis is exact on table samples; an analytic
+    comparison would measure table interpolation error instead), and the
+    basis path requires polarized=True by API contract."""
+    from fftvis_tpu import compute_beam_basis
+
+    rng = np.random.default_rng(seed)
+    nant = int(rng.integers(3, 6))
+    span = float(rng.uniform(40, 150))
+    ants = {
+        i: np.array([*rng.uniform(-span, span, 2), 0.0]) for i in range(nant)
+    }
+    nsrc = int(rng.integers(15, 50))
+    ra = rng.uniform(0, 2 * np.pi, nsrc)
+    dec = np.arcsin(rng.uniform(-1, 1, nsrc))
+    freqs = np.array([float(rng.uniform(FREQ_LO, FREQ_HI))])
+    ntime = int(rng.integers(1, 3))
+    times = JD0 + np.sort(rng.uniform(0, 0.02, ntime))
+    flux = rng.uniform(0.1, 1.0, (nsrc, 1))
+    n_az = int(rng.integers(90, 150))
+    n_za = int(rng.integers(40, 70))
+    ant_beams = [
+        GriddedBeam.from_function(
+            GaussianBeam(diameter=float(rng.uniform(10, 14))),
+            n_az=n_az, n_za=n_za, freqs=freqs, za_max=np.pi / 2,
+        )
+        for _ in range(nant)
+    ]
+    eig, coefs = compute_beam_basis(
+        ant_beams, float(freqs[0]), polarized=True, threshold=1e-12,
+    )
+    kw = dict(
+        ants=ants, fluxes=flux, ra=ra, dec=dec, freqs=freqs, times=times,
+        telescope_loc=LOC, polarized=True, precision=2,
+    )
+    got = simulate_vis(
+        beam=eig, beam_coefs=coefs[:, :, None], backend="tpu", **kw
+    )
+    want = simulate_vis(
+        beam=list(ant_beams), beam_idx=np.arange(nant), backend="direct", **kw
+    )
+    assert got.shape == want.shape
+    scale = max(np.abs(want).max(), 1e-12)
+    np.testing.assert_allclose(got, want, atol=5e-5 * scale, rtol=0)
