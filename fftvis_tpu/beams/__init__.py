@@ -17,6 +17,7 @@ from .interface import (
     prepare_beams,
 )
 from .interp import map_coordinates_2d, spline_prefilter_2d
+from .io import read_beamfits, read_cst, write_beamfits
 
 __all__ = [
     "AnalyticBeam",
@@ -35,4 +36,7 @@ __all__ = [
     "diameter_to_sigma",
     "map_coordinates_2d",
     "spline_prefilter_2d",
+    "read_cst",
+    "read_beamfits",
+    "write_beamfits",
 ]
