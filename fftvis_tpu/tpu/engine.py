@@ -594,21 +594,30 @@ class TPUSimulationEngine(SimulationEngine):
         # exactly on the host (coords/banding.py) and cached; engages only
         # when >= 15% of (time, block) instances drop. The source axis must
         # be unsharded (the block table is a global-order construct).
+        #
+        # Two execution shapes:
+        # - type1/direct/DS: scan over the K per-time active blocks
+        #   (banded_body; per-block work is occupancy-proportional there).
+        # - type3: COMPACTION -- gather the K active blocks into one
+        #   contiguous (K*block) axis (a lax.scan of dynamic slices, the
+        #   measured-fast pattern on this TPU) and run the normal pipeline
+        #   once on it. A banded block SCAN loses for type-3 because the
+        #   spread's O(grid) overlap-add/fold post-pass runs per block
+        #   call (measured 0.44x on a banded 24h type-3 A/B, v5e);
+        #   compaction pays exactly one spread + post-pass per (time,
+        #   freq) while beam eval, coherency, pre-phase, bin-sort and
+        #   spread all pay K*block instead of nsrc. Requires a spread
+        #   whose cost is occupancy-proportional at (K*block)-source
+        #   calls (_type3_compact_ok): the capacity-planned strip/tiled
+        #   XLA scans are excluded.
+        _c_weights = (len(kl_pairs) if use_basis else npairs) * nfeeds**2
         band = None
+        band_compact = False
         if (
             n_sdev == 1
             and ntimes >= 8
             and nsrc >= 4096
-            # Occupancy-proportional block work only: the type-3 strip/
-            # tile spreaders cost their static per-strip capacity per
-            # block (measured 2.75x slower at 12 blocks on the forced-
-            # type-3 bench row), and even the occupancy-proportional
-            # Pallas band spreader loses under banding because its
-            # O(grid) overlap-add/fold post-pass runs per BLOCK call
-            # (measured 0.44x on a banded 24h type-3 A/B, v5e). Type-3
-            # banding needs a deferred-assembly accumulator (bands as the
-            # scan carry, one assembly in transform()) -- round-4 agenda.
-            and plan.mode in ("type1", "direct")
+            and (use_ds or plan.mode in ("type1", "direct", "type3"))
             and os.environ.get("FFTVIS_BAND", "") != "0"
         ):
             from ..coords.banding import plan_horizon_bands
@@ -623,6 +632,14 @@ class TPUSimulationEngine(SimulationEngine):
             nb_try = min(max(plan.nblocks, nsrc // _band_tgt, 8), nsrc)
             blk_try = int(np.ceil(nsrc / nb_try))
             pad_try = blk_try * nb_try
+            _compact = plan.mode == "type3" and not use_ds
+            _viable = (not _compact) or self._type3_compact_ok(
+                plan,
+                2 * _c_weights
+                * getattr(plan.executor, "channel_multiplier", 1),
+                real_dtype,
+                pad_try,
+            )
             bkey = _hash_parts(
                 (
                     "band-v1",
@@ -637,6 +654,8 @@ class TPUSimulationEngine(SimulationEngine):
             cached_band = _cache_get_lru(_PLAN_CACHE, bkey)
             if cached_band is None:
                 cached_band = "miss"
+            if not _viable:
+                cached_band = (None, None)  # capacity-planned type-3 spread
             if isinstance(cached_band, str):
                 band = plan_horizon_bands(rot, blk_try, nb_try, pad_try)
                 banded_eq = None
@@ -656,13 +675,21 @@ class TPUSimulationEngine(SimulationEngine):
                 rot.eq_vectors = banded_eq
                 plan.nsrc_pad, plan.nblocks, plan.block = pad_try, nb_try, blk_try
                 nsrc_pad = pad_try
+                band_compact = _compact
+                if band_compact:
+                    # Spread calls see the compacted (K*block) axis, not
+                    # one block; the Pallas plan-time gate must bound VMEM
+                    # at that size (K <= nblocks, so pad_try is the cap).
+                    plan.spread_n = pad_try
                 logger.info(
                     "horizon banding engaged: %d of %d source blocks "
-                    "scanned per time",
+                    "%s per time",
                     band[1].shape[1], nb_try,
+                    "compacted" if band_compact else "scanned",
                 )
         band_perm = None if band is None else band[0]
         banded = band is not None
+        K_band = int(band[1].shape[1]) if banded else 0
 
         # Large type-3 grids route through the strip-binned spreader; its
         # static per-strip capacity comes from a host-side sliding-window
@@ -670,7 +697,6 @@ class TPUSimulationEngine(SimulationEngine):
         # The spread channel count decides whether the Pallas kernel's
         # plan-time gate already guarantees it will take the spread (the
         # capacity/class planning is then skipped entirely).
-        _c_weights = (len(kl_pairs) if use_basis else npairs) * nfeeds**2
         self._configure_strip_spreader(
             plan, rot, freqs,
             c2=2 * _c_weights * getattr(plan.executor, "channel_multiplier", 1)
@@ -936,19 +962,26 @@ class TPUSimulationEngine(SimulationEngine):
             gfi = jnp.minimum(gshift + fi, nfreqs - 1)
 
             flux_f = jnp.take(coh_a, fi, axis=1)
-            if not banded:
+            if not banded or band_compact:
                 # Reshape the (local) source axis into (nblocks, block).
-                if use_ds or ds_coords:
-                    topo_blocks = topo_t.reshape(3, plan.nblocks, plan.block, 2)
+                # Compacted banding: the per-time gather already reduced
+                # the axis to (K_band * block); run it as ONE mega-block
+                # (exactly one spread + overlap-add post-pass per freq).
+                if band_compact:
+                    nb_eff, blk_eff = 1, K_band * plan.block
                 else:
-                    topo_blocks = topo_t.reshape(3, plan.nblocks, plan.block)
-                az_blocks = az_t.reshape(plan.nblocks, plan.block)
-                za_blocks = za_t.reshape(plan.nblocks, plan.block)
-                mask_blocks = mask_t.reshape(plan.nblocks, plan.block)
+                    nb_eff, blk_eff = plan.nblocks, plan.block
+                if use_ds or ds_coords:
+                    topo_blocks = topo_t.reshape(3, nb_eff, blk_eff, 2)
+                else:
+                    topo_blocks = topo_t.reshape(3, nb_eff, blk_eff)
+                az_blocks = az_t.reshape(nb_eff, blk_eff)
+                za_blocks = za_t.reshape(nb_eff, blk_eff)
+                mask_blocks = mask_t.reshape(nb_eff, blk_eff)
                 if not polarized_sky:  # (nsrc, nfreq) flux
-                    flux_blocks = flux_f.reshape(plan.nblocks, plan.block)
+                    flux_blocks = flux_f.reshape(nb_eff, blk_eff)
                 else:  # (nsrc, nfreq, 2, 2) coherency
-                    flux_blocks = flux_f.reshape(plan.nblocks, plan.block, 2, 2)
+                    flux_blocks = flux_f.reshape(nb_eff, blk_eff, 2, 2)
 
             C = npairs * nfeeds**2
 
@@ -1131,7 +1164,7 @@ class TPUSimulationEngine(SimulationEngine):
                     _mark = lambda a: a  # noqa: E731
                 init = jax.tree.map(_mark, init)
 
-            if banded:
+            if banded and not band_compact:
                 # Horizon-band scan: only the per-time ACTIVE blocks run
                 # (contiguous dynamic slices of the RA-ordered source
                 # axis); padded table rows point at block 0 with weight 0.
@@ -1314,9 +1347,10 @@ class TPUSimulationEngine(SimulationEngine):
             )
         else:
             _cmult = getattr(plan.executor, "channel_multiplier", 1)
+            _blk_eff = K_band * plan.block if band_compact else plan.block
             _per_freq_bytes = (
                 2 * _C_total * _cmult * int(np.prod(plan.executor.plan.nf)) * 8
-                + plan.block * _C_total * _cmult * 16
+                + _blk_eff * _C_total * _cmult * 16
             )
         freq_vmap = (
             nfreqs_local > 1
@@ -1397,19 +1431,53 @@ class TPUSimulationEngine(SimulationEngine):
                 mask_up = (topo_hi[2] > 0).astype(real_dtype) * valid_a
                 az, za = enu_to_az_za(topo_hi[0], topo_hi[1], orientation="uvbeam")
 
+                coh_t = coh_a
+                if band_compact:
+                    # Gather the K active blocks into one contiguous
+                    # (K_band * block) axis: a scan of per-block contiguous
+                    # dynamic slices (stacked into the scan ys -- the
+                    # measured-fast copy pattern on this TPU; flat gathers
+                    # are ~150 ns/element). Padded table rows re-copy block
+                    # 0 with weight 0 -- exact, like the banded scan.
+                    blkn = plan.block
+
+                    def _cstep(_, xsk):
+                        bi, av = xsk
+                        s0 = bi * blkn
+                        return None, (
+                            jax.lax.dynamic_slice_in_dim(topo, s0, blkn, axis=1),
+                            jax.lax.dynamic_slice_in_dim(az, s0, blkn, axis=0),
+                            jax.lax.dynamic_slice_in_dim(za, s0, blkn, axis=0),
+                            jax.lax.dynamic_slice_in_dim(
+                                mask_up, s0, blkn, axis=0
+                            ) * av.astype(real_dtype),
+                            jax.lax.dynamic_slice_in_dim(coh_a, s0, blkn, axis=0),
+                        )
+
+                    _, (t_s, a_s, z_s, m_s, c_s) = jax.lax.scan(
+                        _cstep, None, (aidx, aval)
+                    )
+                    topo = jnp.moveaxis(t_s, 0, 1).reshape(
+                        (3, K_band * blkn) + t_s.shape[3:]
+                    )
+                    az = a_s.reshape(K_band * blkn)
+                    za = z_s.reshape(K_band * blkn)
+                    mask_up = m_s.reshape(K_band * blkn)
+                    coh_t = c_s.reshape((K_band * blkn,) + c_s.shape[2:])
+
                 if freq_vmap:
                     # Batch all frequencies into one program (MXU-friendly;
                     # a scan of tiny per-freq bodies is dispatch-bound).
                     vis_t = jax.vmap(
                         lambda fi: per_freq(
-                            topo, az, za, mask_up, coh_a, freqs_a, gshift,
+                            topo, az, za, mask_up, coh_t, freqs_a, gshift,
                             fi, beamtab, aidx, aval,
                         )
                     )(jnp.arange(nfreqs_local))
                 else:
                     def freq_body(_, fi):
                         return None, per_freq(
-                            topo, az, za, mask_up, coh_a, freqs_a, gshift,
+                            topo, az, za, mask_up, coh_t, freqs_a, gshift,
                             fi, beamtab, aidx, aval,
                         )
 
@@ -1771,6 +1839,43 @@ class TPUSimulationEngine(SimulationEngine):
         return vis[:, :, 0, 0, :].astype(complex_out)
 
     # ------------------------------------------------------------------
+    def _type3_compact_ok(self, plan, c2: int, rdtype, n_max: int) -> bool:
+        """Whether type-3 spread cost is occupancy-proportional at
+        ``n_max``-source calls, making banding-by-compaction a pure win.
+
+        True for the dense 2D spreader (small grids), the 3D z-plane dense
+        scan, the Pallas band-accumulator kernel (when its VMEM/geometry
+        gate passes at ``n_max`` sources), and the non-TPU XLA fallbacks
+        (dense/scatter -- test backends). False for the capacity-planned
+        strip/tiled XLA scans: their per-call cost is the static capacity,
+        and their host-side occupancy bounds assume calls of one source
+        block (a compacted mega-block could exceed the per-tile capacity
+        clamp and silently drop sources).
+        """
+        import jax as _jax
+
+        from ..nufft.transform import DENSE_GRID_LIMIT
+
+        ex = plan.executor
+        eplan = getattr(ex, "plan", None)
+        if ex is None or eplan is None:
+            return False
+        mode_env = os.environ.get("FFTVIS_SPREADER", "auto")
+        if mode_env in ("strip", "tiled"):
+            return False
+        if _jax.default_backend() != "tpu":
+            return True
+        if eplan.d != 2:
+            return True  # 3D z-plane dense scan: cost scales with n
+        if int(np.prod(eplan.nf)) <= DENSE_GRID_LIMIT:
+            return True  # dense matmul spreader
+        from ..nufft.pallas_spread import pallas_spread_ok, pallas_tile_shape
+
+        pty, psx = pallas_tile_shape(eplan.nf, eplan.kernel.w, c2)
+        return pallas_spread_ok(
+            eplan.nf, eplan.kernel.w, pty, psx, c2, n_max, np.dtype(rdtype)
+        )
+
     def _configure_strip_spreader(self, plan, rot, freqs, c2: int = 2,
                                   rdtype=np.float32) -> None:
         """Set binned-spreader capacities on a type-3 executor (large grids).
@@ -1828,17 +1933,20 @@ class TPUSimulationEngine(SimulationEngine):
                 pallas_tile_shape,
             )
 
+            # Compacted banding feeds the spread a (K*block) axis, not one
+            # block: gate VMEM at the plan's recorded worst call size.
+            _n_gate = int(getattr(plan, "spread_n", 0) or plan.block)
             pty, psx = pallas_tile_shape(eplan.nf, eplan.kernel.w, c2)
             if pallas_spread_ok(
                 eplan.nf, eplan.kernel.w, pty, psx, c2,
-                int(plan.block), np.dtype(rdtype),
+                _n_gate, np.dtype(rdtype),
             ):
                 plan.executor.strip_config = None
                 plan.executor.tile_config = (pty, psx, 0, None)
                 logger.info(
                     "type-3 spread: Pallas band kernel gate passes "
                     "(tile=(%d, %d), c2=%d, block=%d); capacity planning "
-                    "skipped", pty, psx, c2, int(plan.block),
+                    "skipped", pty, psx, c2, _n_gate,
                 )
                 return
 

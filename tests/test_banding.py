@@ -125,12 +125,13 @@ class TestEngineEquivalence:
         scale = np.abs(v_ref).max()
         assert np.abs(v_band - v_ref).max() / scale < 1e-11
 
-    def test_type3_banding_stays_off(self, monkeypatch, caplog):
-        """Type-3 never bands: even the occupancy-proportional Pallas
-        spreader loses under banding because its O(grid) overlap-add
-        post-pass runs per block call (measured 0.44x on a banded 24h
-        type-3 A/B on v5e). Deferred band assembly is the round-4 fix;
-        until then the gate must keep type-3 unbanded AND correct."""
+    @pytest.mark.parametrize("spreader", ["auto", "pallas"])
+    def test_type3_banding_compacts(self, spreader, monkeypatch, caplog):
+        """Type-3 bands via per-time COMPACTION (one gathered mega-block,
+        exactly one spread + post-pass per (time, freq)) when the spread
+        is occupancy-proportional -- the Pallas band kernel or the dense/
+        fallback paths. A banded block SCAN was measured 0.44x for type-3
+        (per-block O(grid) overlap-add post-pass); compaction is the fix."""
         from fftvis_tpu.beams.interface import (
             BeamInterface,
             prepare_beam_unpolarized,
@@ -143,17 +144,69 @@ class TestEngineEquivalence:
         kw["beam_list"] = [
             prepare_beam_unpolarized(BeamInterface(kw.pop("beam")))
         ]
-        monkeypatch.setenv("FFTVIS_SPREADER", "pallas")
+        monkeypatch.setenv("FFTVIS_SPREADER", spreader)
+        monkeypatch.setenv("FFTVIS_BAND_BLOCK", "256")
+        with caplog.at_level(logging.INFO, logger="fftvis_tpu.tpu.engine"):
+            v = TPUSimulationEngine(nufft_mode="type3").simulate(**kw)
+        assert any(
+            "horizon banding engaged" in r.message and "compacted" in r.message
+            for r in caplog.records
+        )
+        monkeypatch.setenv("FFTVIS_BAND", "0")
+        v_ref = TPUSimulationEngine(nufft_mode="type3").simulate(**kw)
+        scale = np.abs(v_ref).max()
+        assert np.abs(v - v_ref).max() / scale < 5e-5
+
+    def test_type3_fp64_banding_compacts_exactly(self, monkeypatch, caplog):
+        """fp64 (CPU) type-3 compaction equals the unbanded program to
+        summation-order rounding. (nufft_mode pins type-3: the FLOP model
+        would otherwise choose the exact direct path at this size, which
+        correctly bands via the block scan instead.)"""
+        from fftvis_tpu.beams.interface import BeamInterface
+        from fftvis_tpu.tpu.engine import TPUSimulationEngine
+
+        kw = self._kw(True, nsrc=9000)
+        kw["force_use_type3"] = True
+        kw["beam_list"] = [BeamInterface(kw.pop("beam"))]
+        monkeypatch.setenv("FFTVIS_BAND_BLOCK", "256")
+        with caplog.at_level(logging.INFO, logger="fftvis_tpu.tpu.engine"):
+            v_band = TPUSimulationEngine(nufft_mode="type3").simulate(**kw)
+        assert any(
+            "horizon banding engaged" in r.message and "compacted" in r.message
+            for r in caplog.records
+        )
+        monkeypatch.setenv("FFTVIS_BAND", "0")
+        v_ref = TPUSimulationEngine(nufft_mode="type3").simulate(**kw)
+        scale = np.abs(v_ref).max()
+        assert np.abs(v_band - v_ref).max() / scale < 1e-11
+
+    def test_type3_capacity_planned_spreaders_stay_unbanded(
+        self, monkeypatch, caplog
+    ):
+        """The strip/tiled XLA scans cost static capacity per call and
+        their occupancy bounds assume one-block calls: no compaction."""
+        from fftvis_tpu.beams.interface import (
+            BeamInterface,
+            prepare_beam_unpolarized,
+        )
+        from fftvis_tpu.tpu.engine import TPUSimulationEngine
+
+        kw = self._kw(False, nsrc=9000)
+        kw["force_use_type3"] = True
+        kw["beam_list"] = [
+            prepare_beam_unpolarized(BeamInterface(kw.pop("beam")))
+        ]
+        monkeypatch.setenv("FFTVIS_SPREADER", "tiled")
         monkeypatch.setenv("FFTVIS_BAND_BLOCK", "256")
         with caplog.at_level(logging.INFO, logger="fftvis_tpu.tpu.engine"):
             v = TPUSimulationEngine(nufft_mode="type3").simulate(**kw)
         assert not any(
             "horizon banding engaged" in r.message for r in caplog.records
         )
-        monkeypatch.setenv("FFTVIS_SPREADER", "scatter")
+        monkeypatch.delenv("FFTVIS_SPREADER")
         v_ref = TPUSimulationEngine(nufft_mode="type3").simulate(**kw)
         scale = np.abs(v_ref).max()
-        assert np.abs(v - v_ref).max() / scale < 5e-5
+        assert np.abs(v - v_ref).max() / scale < 1e-9
 
     def test_banded_off_under_source_sharding(self, caplog):
         """The block table is a global-order construct: a sharded source
