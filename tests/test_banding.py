@@ -208,6 +208,66 @@ class TestEngineEquivalence:
         scale = np.abs(v_ref).max()
         assert np.abs(v - v_ref).max() / scale < 1e-9
 
+    def test_type3_compaction_per_antenna_beams(self, monkeypatch, caplog):
+        """Pair routing (multi-beam) runs on the compacted mega-block:
+        per-antenna-beam type-3 banding equals the unbanded program."""
+        from fftvis_tpu.beams.interface import BeamInterface
+        from fftvis_tpu.tpu.engine import TPUSimulationEngine
+
+        kw = self._kw(True, nsrc=9000)
+        kw.pop("beam")
+        kw["beam_list"] = [
+            BeamInterface(GaussianBeam(diameter=12.0)),
+            BeamInterface(GaussianBeam(diameter=14.0)),
+        ]
+        kw["beam_idx"] = np.arange(len(kw["ants"])) % 2
+        kw["force_use_type3"] = True
+        monkeypatch.setenv("FFTVIS_BAND_BLOCK", "256")
+        with caplog.at_level(logging.INFO, logger="fftvis_tpu.tpu.engine"):
+            v_band = TPUSimulationEngine(nufft_mode="type3").simulate(**kw)
+        assert any(
+            "horizon banding engaged" in r.message and "compacted" in r.message
+            for r in caplog.records
+        )
+        monkeypatch.setenv("FFTVIS_BAND", "0")
+        v_ref = TPUSimulationEngine(nufft_mode="type3").simulate(**kw)
+        scale = np.abs(v_ref).max()
+        assert np.abs(v_band - v_ref).max() / scale < 1e-11
+
+    def test_type3_compaction_eigenbeam_basis(self, monkeypatch, caplog):
+        """The eigenbeam coefficient contraction consumes compacted
+        per-pair grids: basis-path type-3 banding equals unbanded."""
+        from fftvis_tpu import compute_beam_basis
+        from fftvis_tpu.beams.interface import BeamInterface
+        from fftvis_tpu.tpu.engine import TPUSimulationEngine
+
+        kw = self._kw(True, nsrc=9000)
+        kw.pop("beam")
+        nant = len(kw["ants"])
+        ant_beams = [
+            GaussianBeam(diameter=12.0 + 0.5 * (i % 3)) for i in range(nant)
+        ]
+        eig, coefs = compute_beam_basis(
+            ant_beams, float(kw["freqs"][0]), polarized=True,
+            threshold=1e-8, n_axis1=121, n_axis2=61,
+        )
+        kw["beam_list"] = [BeamInterface(b) for b in eig]
+        kw["beam_coefs"] = np.repeat(
+            coefs[:, :, None], kw["freqs"].size, axis=2
+        )
+        kw["force_use_type3"] = True
+        monkeypatch.setenv("FFTVIS_BAND_BLOCK", "256")
+        with caplog.at_level(logging.INFO, logger="fftvis_tpu.tpu.engine"):
+            v_band = TPUSimulationEngine(nufft_mode="type3").simulate(**kw)
+        assert any(
+            "horizon banding engaged" in r.message and "compacted" in r.message
+            for r in caplog.records
+        )
+        monkeypatch.setenv("FFTVIS_BAND", "0")
+        v_ref = TPUSimulationEngine(nufft_mode="type3").simulate(**kw)
+        scale = np.abs(v_ref).max()
+        assert np.abs(v_band - v_ref).max() / scale < 1e-11
+
     def test_banded_off_under_source_sharding(self, caplog):
         """The block table is a global-order construct: a sharded source
         axis disables banding (and still gets the right answer)."""
