@@ -1375,6 +1375,38 @@ class TPUSimulationEngine(SimulationEngine):
                     mat, vel, aidx, aval = tinp
                 else:
                     (mat, vel), aidx, aval = tinp, None, None
+                eq_t, valid_t, coh_t, aval_t = eq_a, valid_a, coh_a, None
+                if band_compact:
+                    # Gather the K active blocks BEFORE the coordinate
+                    # chain: the equatorial vectors are time-invariant, so
+                    # slicing them (one contiguous-dynamic-slice scan, the
+                    # measured-fast copy pattern on this TPU; flat gathers
+                    # are ~150 ns/element) lets aberration, normalization,
+                    # rotation, az/za, beam eval, coherency, bin-sort and
+                    # spread ALL pay (K_band * block) instead of nsrc.
+                    # Padded table rows re-copy block 0 with weight 0 --
+                    # exact, like the banded scan.
+                    blkn = plan.block
+
+                    def _cstep(_, bi):
+                        s0 = bi * blkn
+                        return None, (
+                            jax.lax.dynamic_slice_in_dim(eq_a, s0, blkn, axis=1),
+                            jax.lax.dynamic_slice_in_dim(
+                                valid_a, s0, blkn, axis=0
+                            ),
+                            jax.lax.dynamic_slice_in_dim(coh_a, s0, blkn, axis=0),
+                        )
+
+                    _, (e_s, v_s, c_s) = jax.lax.scan(_cstep, None, aidx)
+                    eq_t = jnp.moveaxis(e_s, 0, 1).reshape(
+                        (3, K_band * blkn) + e_s.shape[3:]
+                    )
+                    valid_t = v_s.reshape(K_band * blkn)
+                    coh_t = c_s.reshape((K_band * blkn,) + c_s.shape[2:])
+                    aval_t = jnp.repeat(
+                        aval.astype(real_dtype), blkn, total_repeat_length=K_band * blkn
+                    )
                 if use_ds or ds_coords:
                     # Full coordinate chain in double-single: aberration
                     # add, normalization (f32 rsqrt + one DS Newton step),
@@ -1384,7 +1416,7 @@ class TPUSimulationEngine(SimulationEngine):
 
                     comp = [
                         _dsm.ds_add(
-                            eq_a[d2, :, 0], eq_a[d2, :, 1],
+                            eq_t[d2, :, 0], eq_t[d2, :, 1],
                             vel[d2, 0], vel[d2, 1],
                         )
                         for d2 in range(3)
@@ -1424,46 +1456,14 @@ class TPUSimulationEngine(SimulationEngine):
                         topo = jax.lax.optimization_barrier(topo)
                         topo_hi = topo[..., 0]
                 else:
-                    eqa = eq_a + vel[:, None]
+                    eqa = eq_t + vel[:, None]
                     eqa = eqa / jnp.linalg.norm(eqa, axis=0, keepdims=True)
                     topo = mat @ eqa  # (3, nsrc_local)
                     topo_hi = topo
-                mask_up = (topo_hi[2] > 0).astype(real_dtype) * valid_a
+                mask_up = (topo_hi[2] > 0).astype(real_dtype) * valid_t
+                if aval_t is not None:
+                    mask_up = mask_up * aval_t
                 az, za = enu_to_az_za(topo_hi[0], topo_hi[1], orientation="uvbeam")
-
-                coh_t = coh_a
-                if band_compact:
-                    # Gather the K active blocks into one contiguous
-                    # (K_band * block) axis: a scan of per-block contiguous
-                    # dynamic slices (stacked into the scan ys -- the
-                    # measured-fast copy pattern on this TPU; flat gathers
-                    # are ~150 ns/element). Padded table rows re-copy block
-                    # 0 with weight 0 -- exact, like the banded scan.
-                    blkn = plan.block
-
-                    def _cstep(_, xsk):
-                        bi, av = xsk
-                        s0 = bi * blkn
-                        return None, (
-                            jax.lax.dynamic_slice_in_dim(topo, s0, blkn, axis=1),
-                            jax.lax.dynamic_slice_in_dim(az, s0, blkn, axis=0),
-                            jax.lax.dynamic_slice_in_dim(za, s0, blkn, axis=0),
-                            jax.lax.dynamic_slice_in_dim(
-                                mask_up, s0, blkn, axis=0
-                            ) * av.astype(real_dtype),
-                            jax.lax.dynamic_slice_in_dim(coh_a, s0, blkn, axis=0),
-                        )
-
-                    _, (t_s, a_s, z_s, m_s, c_s) = jax.lax.scan(
-                        _cstep, None, (aidx, aval)
-                    )
-                    topo = jnp.moveaxis(t_s, 0, 1).reshape(
-                        (3, K_band * blkn) + t_s.shape[3:]
-                    )
-                    az = a_s.reshape(K_band * blkn)
-                    za = z_s.reshape(K_band * blkn)
-                    mask_up = m_s.reshape(K_band * blkn)
-                    coh_t = c_s.reshape((K_band * blkn,) + c_s.shape[2:])
 
                 if freq_vmap:
                     # Batch all frequencies into one program (MXU-friendly;
