@@ -116,6 +116,62 @@ def es_kernel_ft(xi, w: int, beta: float, xp=np):
     return (0.5 * w) * xp.sum(xp.cos(phases) * envelope, axis=-1)
 
 
+def fit_log_ft_cheb(
+    w: int,
+    beta: float,
+    xi_max: float,
+    tol: float = 3e-7,
+    degrees: tuple = (12, 16, 20, 24, 32, 40),
+):
+    """Host-side Chebyshev fit of log(psi_hat) over |xi| <= xi_max.
+
+    The type-3 amplitude pre-correction divides per-source weights by
+    psi_hat(x * ds) -- a smooth, even, positive function over the planned
+    coordinate extent. Evaluating it with the 80-node quadrature costs 80
+    cos + 80 FMA per (source, axis) on device (measured 28 ms of a 184 ms
+    banded 24h type-3 program on v5e); a degree-~20 Chebyshev of
+    log(psi_hat) in t = 2 (xi/xi_max)^2 - 1 is ~8x fewer flops and one
+    exp. Fitting the LOG keeps the error RELATIVE across psi_hat's decay.
+
+    Returns float64 Chebyshev coefficients, or None when the fit cannot
+    reach ``tol`` (caller falls back to the quadrature) or psi_hat is not
+    strictly positive on the domain (cannot happen inside the accurate
+    band, but guard anyway).
+    """
+    from numpy.polynomial import chebyshev as _cheb
+
+    xi = np.linspace(0.0, float(xi_max), 4001)
+    ph = es_kernel_ft(xi, w, beta)
+    if ph.min() <= 0:
+        return None
+    lp = np.log(ph)
+    t = 2.0 * (xi / xi_max) ** 2 - 1.0
+    for deg in degrees:
+        coefs = _cheb.chebfit(t, lp, deg)
+        if np.abs(_cheb.chebval(t, coefs) - lp).max() < tol:
+            return coefs
+    return None
+
+
+def es_kernel_ft_cheb(xi, coefs, xi_max: float, xp=np):
+    """Evaluate the :func:`fit_log_ft_cheb` approximation of psi_hat(xi).
+
+    Clenshaw recurrence in the caller's dtype; |xi| beyond xi_max clips to
+    the domain edge (only reachable by zero-weight padding sources -- the
+    plan's extent bounds all live coordinates).
+    """
+    xi = xp.asarray(xi)
+    dt = np.float64 if xp is np else xi.dtype
+    r = xi * xp.asarray(1.0 / xi_max, dtype=dt)
+    t = xp.clip(2.0 * r * r - 1.0, -1.0, 1.0)
+    b1 = xp.zeros_like(t)
+    b2 = xp.zeros_like(t)
+    t2 = 2.0 * t
+    for c in coefs[:0:-1]:
+        b1, b2 = t2 * b1 - b2 + xp.asarray(c, dtype=dt), b1
+    return xp.exp(t * b1 - b2 + xp.asarray(coefs[0], dtype=dt))
+
+
 def next_fast_size(n: int, prefer_pow2: bool = False, multiple_of: int = 8) -> int:
     """Smallest 5-smooth (2^a 3^b 5^c) multiple of ``multiple_of`` >= n.
 

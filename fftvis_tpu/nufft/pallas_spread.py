@@ -285,8 +285,6 @@ def spread_pallas_tiled(u_list, weights, nf, w: int, beta: float,
     vals = jnp.concatenate(
         [jnp.real(weights), jnp.imag(weights)], axis=0
     ).astype(rdtype)
-    iota = jnp.arange(n, dtype=jnp.int32)
-    tid_sorted, perm = jax.lax.sort((tid, iota), num_keys=1)
     cy, fy = _split_cell_frac(
         uy, None if u_lo_list is None else u_lo_list[0].astype(rdtype), jnp
     )
@@ -296,7 +294,20 @@ def spread_pallas_tiled(u_list, weights, nf, w: int, beta: float,
     packed = jnp.concatenate(
         [cy[None], fy[None], cx[None], fx[None], vals], axis=0
     )  # (D, n): sources on the lane axis
-    packed_sorted = jnp.take(packed, perm, axis=1)
+    if os.environ.get("FFTVIS_SORT_CARRY", "0") == "1":
+        # Carry the payload rows through a multi-operand sort instead of
+        # permuting them with a post-sort gather (lane-wise gathers are
+        # the hot op of long-observation type-3 programs).
+        ops = jax.lax.sort(
+            (tid,) + tuple(packed[d] for d in range(packed.shape[0])),
+            num_keys=1,
+        )
+        tid_sorted = ops[0]
+        packed_sorted = jnp.stack(ops[1:])
+    else:
+        iota = jnp.arange(n, dtype=jnp.int32)
+        tid_sorted, perm = jax.lax.sort((tid, iota), num_keys=1)
+        packed_sorted = jnp.take(packed, perm, axis=1)
     # Pad Pc zero columns: the last chunk's pl.ds never overruns, and dead
     # lanes are killed by the live mask anyway.
     packed_sorted = jnp.concatenate(

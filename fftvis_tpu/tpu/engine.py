@@ -109,6 +109,7 @@ def _plan_fingerprint(exec_plan) -> tuple:
             exec_plan.h, exec_plan.ds, exec_plan.s_center,
             tuple(exec_plan.deconv),
             tuple(exec_plan.tap_idx), tuple(exec_plan.tap_val),
+            tuple(exec_plan.ft_xi_max),
         )
     return (repr(exec_plan),)
 
@@ -1548,6 +1549,7 @@ class TPUSimulationEngine(SimulationEngine):
                 os.environ.get("FFTVIS_DEBUG", ""),
                 os.environ.get("FFTVIS_BEAM_UPSAMPLE", ""),
                 os.environ.get("FFTVIS_EXACT_OUTER", "auto"),
+                os.environ.get("FFTVIS_SORT_CARRY", "0"),
                 _matmul_precision(str(real_dtype) == "float32"),
                 freq_vmap,
                 freqs_dev,

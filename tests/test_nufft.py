@@ -427,6 +427,56 @@ def test_kernel_ft_consistency():
     np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-12)
 
 
+def test_kernel_ft_cheb_matches_quadrature():
+    """The host-fitted log-Chebyshev of psi_hat (the f32 type-3 amplitude
+    pre-correction fast path) must match the 80-node quadrature to well
+    under f32 resolution across the kernel-width/beta range real plans
+    produce, and must follow xi's dtype under jnp like es_kernel_ft."""
+    from fftvis_tpu.nufft.kernels import es_kernel_ft_cheb, fit_log_ft_cheb
+
+    for sigma in (1.25, 2.0):
+        for eps in (1e-4, 6e-8, 1e-11):
+            k = ESKernel.from_eps(eps, sigma)
+            xi_max = 1.02 * np.pi / sigma
+            coefs = fit_log_ft_cheb(k.w, k.beta, xi_max)
+            assert coefs is not None, (sigma, eps)
+            xi = np.linspace(0.0, xi_max, 3333)
+            want = es_kernel_ft(xi, k.w, k.beta)
+            got = es_kernel_ft_cheb(xi, coefs, xi_max)
+            rel = np.max(np.abs(got / want - 1.0))
+            assert rel < 1e-9, f"sigma={sigma} eps={eps} rel={rel:.2e}"
+
+    k = ESKernel.from_eps(6e-8, 2.0)
+    xi_max = 1.02 * np.pi / 2.0
+    coefs = fit_log_ft_cheb(k.w, k.beta, xi_max)
+    out32 = es_kernel_ft_cheb(jnp.asarray([0.4], jnp.float32), coefs, xi_max, xp=jnp)
+    assert out32.dtype == jnp.float32
+    # Beyond-domain xi clips to the edge value instead of extrapolating.
+    edge = es_kernel_ft_cheb(np.asarray([xi_max]), coefs, xi_max)
+    far = es_kernel_ft_cheb(np.asarray([3.0 * xi_max]), coefs, xi_max)
+    np.testing.assert_allclose(far, edge, rtol=1e-12)
+
+
+def test_type3_plan_carries_ft_fit():
+    """plan_type3 fits the log-Chebyshev per axis over the planned source
+    extent; every real plan (xi_max <= ~pi/sigma by the nf sizing rule)
+    must succeed so the f32 executor path never silently mixes fast and
+    quadrature pre-corrections across axes."""
+    rng = np.random.default_rng(5)
+    x, _ = _rand_sources(64, 2, rng, [2 * np.pi, 0.5])
+    s = rng.uniform(-40, 40, size=(2, 32))
+    plan = plan_type3(s, [2 * np.pi, 0.5], 6e-8, 2.0)
+    assert len(plan.ft_coefs) == 2 and len(plan.ft_xi_max) == 2
+    for axis in range(2):
+        assert plan.ft_coefs[axis] is not None
+        xi = np.linspace(0, plan.ft_xi_max[axis], 257)
+        from fftvis_tpu.nufft.kernels import es_kernel_ft_cheb
+
+        want = es_kernel_ft(xi, plan.kernel.w, plan.kernel.beta)
+        got = es_kernel_ft_cheb(xi, plan.ft_coefs[axis], plan.ft_xi_max[axis])
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
 def test_next_fast_size():
     assert next_fast_size(7) == 8
     assert next_fast_size(16) == 16

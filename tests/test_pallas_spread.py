@@ -86,6 +86,22 @@ def test_pallas_ds_low_parts():
     np.testing.assert_allclose(got, want, atol=2e-4 * scale, rtol=0)
 
 
+def test_pallas_sort_carry_matches_gather_permute(monkeypatch):
+    """FFTVIS_SORT_CARRY=1 carries the packed payload through a
+    multi-operand lax.sort instead of permuting with a post-sort gather.
+    Both orderings must produce the same grid (identical tile bins; only
+    the in-bin summation order may differ at f32 rounding level)."""
+    kern = ESKernel.from_eps(1e-6, sigma=2.0)
+    nf, ty, sx, n = (96, 96), 16, 16, 700
+    u, wts = _mk(n, nf, 2, seed=17, cluster=True)
+    monkeypatch.delenv("FFTVIS_SORT_CARRY", raising=False)
+    base = np.asarray(spread_pallas_tiled(u, wts, nf, kern.w, kern.beta, ty, sx))
+    monkeypatch.setenv("FFTVIS_SORT_CARRY", "1")
+    carry = np.asarray(spread_pallas_tiled(u, wts, nf, kern.w, kern.beta, ty, sx))
+    scale = np.abs(base).max()
+    np.testing.assert_allclose(carry, base, atol=2e-5 * scale, rtol=0)
+
+
 def test_pallas_gate_rejects_f64_and_tiny_grids():
     kern = ESKernel.from_eps(1e-6, sigma=2.0)
     assert not pallas_spread_ok((64, 64), kern.w, 16, 16, 2, 100, np.float64)
