@@ -125,6 +125,26 @@ def build(which: str):
             baselines=bls, polarized=False, precision=2,
             return_program=True,
         )
+    if which == "longobs3":
+        # The 24h nside-128 workload forced down the type-3 path: the
+        # per-time compaction + banded NUFFT program (CHANGELOG 0.3.5/6).
+        ra128, dec128 = healpix_radec(128)
+        ants = hex_array(8, sep=14.6)
+        keys = list(ants.keys())
+        bls = [
+            (keys[i], keys[j])
+            for i in range(len(keys))
+            for j in range(i, len(keys))
+        ]
+        times24 = 2459863.2 + np.linspace(0, 1.0, 24)
+        flux24 = rng.uniform(0.1, 1.0, (ra128.size, 2))
+        beam = prepare_beam_unpolarized(BeamInterface(GaussianBeam(diameter=14.0)))
+        return TPUSimulationEngine(nufft_mode="type3").simulate(
+            ants=ants, fluxes=flux24, ra=ra128, dec=dec128, freqs=freqs2,
+            times=times24, beam_list=[beam], telescope_loc=loc,
+            baselines=bls, polarized=False, precision=2,
+            force_use_type3=True, return_program=True,
+        )
     if which == "eigen":
         ants = hex_array(4, sep=14.6)
         ant_beams = [

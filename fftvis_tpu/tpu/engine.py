@@ -374,12 +374,25 @@ class TPUSimulationEngine(SimulationEngine):
         antnums = list(ants.keys())
         # Canonical integer form of the baseline list: hashing/caching must
         # not walk 10^4-10^5 Python tuples element by element (that alone
-        # cost ~0.2 s/call on the gridded headline workload).
-        ant_index = {a: i for i, a in enumerate(antnums)}
-        bl_index_arr = np.array(
-            [(ant_index[b0], ant_index[b1]) for b0, b1 in baselines],
-            dtype=np.int64,
-        ).reshape(nbl, 2)
+        # cost ~0.2 s/call on the gridded headline workload). The Python
+        # index loop itself costs ~20 ms/call at 63k baselines, so the
+        # conversion is memoized on the CONTENT of (antnums, baselines):
+        # the dict key is the tuple-ized input (hash + equality both run at
+        # C speed, ~2 ms), so a stale hit is impossible, and the returned
+        # array keeps a stable identity across calls -- which also lets the
+        # digest identity memo skip re-hashing it in pp_key/plan_key below.
+        bl_memo_key = (tuple(antnums), tuple(baselines))
+        bl_index_arr = _cache_get_lru(_PLAN_CACHE, bl_memo_key)
+        if bl_index_arr is None:
+            ant_index = {a: i for i, a in enumerate(antnums)}
+            bl_index_arr = np.array(
+                [(ant_index[b0], ant_index[b1]) for b0, b1 in baselines],
+                dtype=np.int64,
+            ).reshape(nbl, 2)
+            bl_index_arr.setflags(write=False)
+            if len(_PLAN_CACHE) >= _PROGRAM_CACHE_LIMIT:
+                _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
+            _PLAN_CACHE[bl_memo_key] = bl_index_arr
 
         fluxes_arr = np.asarray(fluxes)
         polarized_sky = coh_mod.classify_sky(fluxes_arr, polarized_beam=polarized)
