@@ -47,6 +47,24 @@ def _steady(fn, repeats):
     return best
 
 
+def _pipelined_wall(call_async, repeats, depth=8):
+    """Per-call wall of ``depth`` in-flight async_fetch simulations.
+
+    Issues all ``depth`` calls before collecting any result: each
+    VisibilityFuture's D2H copy streams behind the next call's dispatch
+    and compute, which is how a production pipeline (or any caller that
+    batches sims) consumes the engine. Best-of-``repeats`` rounds.
+    """
+    best = np.inf
+    for _ in range(max(2, repeats // 2)):
+        t0 = time.perf_counter()
+        futs = [call_async() for _ in range(depth)]
+        for f in futs:
+            f.result()
+        best = min(best, (time.perf_counter() - t0) / depth)
+    return best
+
+
 def _relay_link_floor(nbytes, repeats):
     """Measure the host<->device link in-run: (bandwidth B/s, rtt s, floor s).
 
@@ -186,6 +204,15 @@ def main():
     npts_g = len(baselines) * freqs_g.size * times_g.size
     rate_g = npts_g / wall_g
     ratio_g = rate_g / GRIDDED_BASELINE_PTS_PER_S
+    # Pipelined wall: 8 in-flight async_fetch sims (how a sweep/production
+    # caller consumes the engine); the sequential wall above pays a full
+    # link round-trip handshake per call on the dev relay.
+    pipe_g = _pipelined_wall(
+        lambda: simulate_vis(async_fetch=True, **kw_g), wall_reps,
+        depth=8 if repeats >= 5 else 2,  # CPU smoke: 2 sims, one round
+    )
+    rate_gp = npts_g / pipe_g
+    ratio_gp = rate_gp / GRIDDED_BASELINE_PTS_PER_S
 
     # Device-compute rate for the same program: the wall above is bound by
     # shipping the ~3 MB output over the dev relay link (~10 MB/s => ~0.25 s
@@ -211,7 +238,9 @@ def main():
     print(
         f"[bench] gridded: {len(baselines)} bls x 2f x 3t in {wall_g:.3f} s "
         f"wall = {rate_g:.3e} pts/s ({ratio_g:.1f}x ref fftvis-CPU type-1 "
-        f"wall); device compute {dev_g * 1e3:.1f} ms (dispatch RTT "
+        f"wall); pipelined (8 in-flight async_fetch) {pipe_g * 1e3:.1f} ms"
+        f"/sim = {rate_gp:.3e} pts/s ({ratio_gp:.1f}x ref); device compute "
+        f"{dev_g * 1e3:.1f} ms (dispatch RTT "
         f"{rtt * 1e3:.0f} ms excluded) = {rate_gd:.3e} pts/s "
         f"({ratio_gd:.1f}x ref); measured relay link {link_bw / 1e6:.1f} "
         f"MB/s, floor for {out_bytes / 1e6:.1f} MB = {wall_floor:.3f} s -> "
@@ -425,7 +454,10 @@ def main():
                     f"3.32 s = 8313 pts/s); secondary gridded type-1 "
                     f"(hex{hex_size}+outriggers {nant} ants, {len(baselines)} "
                     f"bls, 2f x 3t; ref 0.482 s): wall {rate_g:.3e} pts/s = "
-                    f"{ratio_g:.2f}x baseline -- wall is bound by the dev "
+                    f"{ratio_g:.2f}x baseline, pipelined (8 in-flight "
+                    f"async_fetch sims, the production consumption pattern) "
+                    f"{pipe_g * 1e3:.0f} ms/sim = {rate_gp:.3e} pts/s = "
+                    f"{ratio_gp:.1f}x -- sequential wall is bound by the dev "
                     f"relay link (measured IN-RUN: {link_bw / 1e6:.1f} MB/s "
                     f"x {out_bytes / 1e6:.1f} MB output + {rtt * 1e3:.0f} "
                     f"ms RTT = {wall_floor:.3f} s floor; wall minus floor "

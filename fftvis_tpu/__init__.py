@@ -39,7 +39,7 @@ from .core.simulate import SimulationEngine, default_accuracy_dict
 from .coords import TelescopeLocation
 from .reference.direct_engine import DirectSimulationEngine
 from .tpu.beams import TPUBeamEvaluator
-from .tpu.engine import TPUSimulationEngine
+from .tpu.engine import TPUSimulationEngine, VisibilityFuture
 from .wrapper import create_beam_evaluator, create_simulation_engine, simulate_vis
 
 __version__ = "0.1.0"
@@ -52,6 +52,7 @@ __all__ = [
     "compute_beam_basis",
     "SimulationEngine",
     "TPUSimulationEngine",
+    "VisibilityFuture",
     "DirectSimulationEngine",
     "TPUBeamEvaluator",
     "TelescopeLocation",

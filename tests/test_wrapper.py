@@ -53,6 +53,38 @@ class TestShapes:
         v = simulate_vis(**_kwargs(rng), precision=1)
         assert v.dtype == np.complex64
 
+    def test_async_fetch_matches_sync(self):
+        """async_fetch=True returns a VisibilityFuture resolving to the
+        synchronous result; several in-flight futures resolve independently
+        and np.asarray(future) works."""
+        from fftvis_tpu import VisibilityFuture
+
+        rng = np.random.default_rng(3)
+        kw = _kwargs(rng, ntimes=2)
+        want = simulate_vis(**kw, polarized=True)
+        futs = [simulate_vis(**kw, polarized=True, async_fetch=True)
+                for _ in range(3)]
+        assert all(isinstance(f, VisibilityFuture) for f in futs)
+        for f in futs:
+            got = f.result()
+            np.testing.assert_allclose(got, want, rtol=0, atol=0)
+            assert f.result() is got  # memoized
+            assert f.done()
+        np.testing.assert_allclose(np.asarray(futs[0]), want)
+
+    def test_async_fetch_direct_backend_resolved(self):
+        """Backends without a deferred fetch hand back a pre-resolved
+        future with identical contents."""
+        from fftvis_tpu import VisibilityFuture
+
+        rng = np.random.default_rng(4)
+        kw = _kwargs(rng, nsrc=6, ntimes=1)
+        want = simulate_vis(**kw, backend="direct")
+        fut = simulate_vis(**kw, backend="direct", async_fetch=True)
+        assert isinstance(fut, VisibilityFuture)
+        assert fut.done()
+        np.testing.assert_allclose(fut.result(), want)
+
     def test_baselines_shape(self):
         rng = np.random.default_rng(0)
         v = simulate_vis(**_kwargs(rng), baselines=[(0, 1), (1, 2)])
