@@ -317,10 +317,16 @@ def main():
     npts_e = ve.shape[-1] * 1 * times_e.size
     rate_e = npts_e / wall_e
     ratio_e = rate_e / EIGEN_BASELINE_PTS_PER_S
+    pipe_e = _pipelined_wall(
+        lambda: simulate_vis(async_fetch=True, **kw_e), wall_reps,
+        depth=8 if repeats >= 5 else 2,
+    )
+    ratio_ep = npts_e / pipe_e / EIGEN_BASELINE_PTS_PER_S
     print(
         f"[bench] eigenbeam (K={len(eig)}): {ve.shape[-1]} bls x 1f x 4t in "
         f"{wall_e:.3f} s wall = {rate_e:.3e} pts/s ({ratio_e:.0f}x ref "
-        f"eigenbeam wall)",
+        f"eigenbeam wall); pipelined {pipe_e * 1e3:.1f} ms/sim "
+        f"({ratio_ep:.0f}x)",
         file=sys.stderr,
     )
 
@@ -365,6 +371,11 @@ def main():
     npts_h = nbl_h * 1 * times_h.size
     rate_h = npts_h / wall_h
     ratio_h = rate_h / PERANT_BASELINE_PTS_PER_S
+    pipe_h = _pipelined_wall(
+        lambda: simulate_vis(async_fetch=True, **kw_h), wall_reps,
+        depth=8 if repeats >= 5 else 2,
+    )
+    ratio_hp = npts_h / pipe_h / PERANT_BASELINE_PTS_PER_S
 
     # On-hardware accuracy at the north-star configuration (512-source
     # subproblem, same array/beams/routing, vs the fp64 direct oracle).
@@ -386,7 +397,8 @@ def main():
         f"[bench] NORTH STAR hera-{len(ants_h)} polarized per-antenna "
         f"({nd_beams} tabulated beams): {nbl_h} bls x 1f x 2t in "
         f"{wall_h:.3f} s wall = {rate_h:.3e} pts/s ({ratio_h:.0f}x ref "
-        f"per-antenna wall); accuracy {acc_h:.2e} max rel vs fp64 direct "
+        f"per-antenna wall); pipelined {pipe_h * 1e3:.1f} ms/sim "
+        f"({ratio_hp:.0f}x); accuracy {acc_h:.2e} max rel vs fp64 direct "
         f"oracle (gate 1e-5)",
         file=sys.stderr,
     )
@@ -480,11 +492,13 @@ def main():
                     f"= {ratio_gd:.1f}x baseline; type-3 forced (ref 6.69 s "
                     f"= 5.67e4 pts/s): device {rate_3:.3e} pts/s = "
                     f"{ratio_3:.0f}x; eigenbeam K={len(eig)} (ref 3.47 s = "
-                    f"646 pts/s): wall {rate_e:.3e} pts/s = {ratio_e:.0f}x; "
+                    f"646 pts/s): wall {rate_e:.3e} pts/s = {ratio_e:.0f}x "
+                    f"(pipelined {ratio_ep:.0f}x); "
                     f"NORTH STAR hera-{len(ants_h)} polarized {nd_beams}-distinct-"
                     f"tabulated-per-antenna-beam row: {nbl_h} bls, wall "
                     f"{rate_h:.3e} pts/s = {ratio_h:.0f}x ref per-antenna "
-                    f"wall (51.7 s), on-hardware accuracy {acc_h:.1e} rel "
+                    f"wall (51.7 s; pipelined {ratio_hp:.0f}x), "
+                    f"on-hardware accuracy {acc_h:.1e} rel "
                     f"vs fp64 direct oracle (ASSERTED <= 1e-5, BASELINE.md "
                     f"north-star gate); 24h observation on a 196k-source "
                     f"sky: horizon banding + block sizing {band_gain:.2f}x "
