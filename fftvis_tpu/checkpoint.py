@@ -24,6 +24,7 @@ def simulate_vis_checkpointed(
     time_block: int = 8,
     freq_block: int | None = None,
     overwrite: bool = False,
+    pipeline_depth: int = 2,
     **kwargs,
 ) -> np.ndarray:
     """Run ``simulate_vis`` in (time, freq) blocks with on-disk checkpoints.
@@ -37,6 +38,12 @@ def simulate_vis_checkpointed(
         Block sizes along times / freqs (freq defaults to all freqs).
     overwrite
         Ignore existing checkpoints and recompute everything.
+    pipeline_depth
+        Number of blocks dispatched (``async_fetch=True``) before the
+        oldest result is collected and checkpointed: each block's
+        device-to-host transfer overlaps the next block's compute.
+        Blocks are still saved in dispatch order, so resume semantics are
+        unchanged; 1 restores fully sequential execution.
     kwargs
         Everything ``fftvis_tpu.simulate_vis`` accepts.
 
@@ -129,33 +136,49 @@ def simulate_vis_checkpointed(
     ]
 
     out = None
-    for t0, t1, f0, f1 in blocks:
-        key = (t0, t1, f0, f1)
-        path = os.path.join(checkpoint_dir, f"block_t{t0}-{t1}_f{f0}-{f1}.npy")
-        if key in done and os.path.exists(path) and not overwrite:
-            block = np.load(path)
-            logger.info("resumed block %s from %s", key, path)
-        else:
-            # Slice every frequency-indexed input consistently.
-            block_kwargs = dict(kwargs)
-            block_kwargs["fluxes"] = np.asarray(kwargs["fluxes"])[:, f0:f1]
-            if kwargs.get("beam_coefs") is not None:
-                block_kwargs["beam_coefs"] = np.asarray(kwargs["beam_coefs"])[
-                    :, :, f0:f1
-                ]
-            block = simulate_vis(
-                freqs=freqs[f0:f1], times=times[t0:t1], **block_kwargs
-            )
-            np.save(path, block)
-            manifest["done"] = [list(k) for k in sorted(done | {key})]
-            with open(manifest_path, "w") as fh:
-                json.dump(manifest, fh)
-            done.add(key)
-            logger.info("checkpointed block %s -> %s", key, path)
+    kwargs.pop("async_fetch", None)  # pipelining is managed here
+    pending: list = []  # (key, path, future) in dispatch order
 
+    def _place(key, block):
+        nonlocal out
+        t0, t1, f0, f1 = key
         if out is None:
             shape = (nfreq, ntime) + block.shape[2:]
             out = np.zeros(shape, dtype=block.dtype)
         out[f0:f1, t0:t1] = block
+
+    def _collect_oldest():
+        key, path, fut = pending.pop(0)
+        block = fut.result()
+        np.save(path, block)
+        manifest["done"] = [list(k) for k in sorted(done | {key})]
+        with open(manifest_path, "w") as fh:
+            json.dump(manifest, fh)
+        done.add(key)
+        logger.info("checkpointed block %s -> %s", key, path)
+        _place(key, block)
+
+    for t0, t1, f0, f1 in blocks:
+        key = (t0, t1, f0, f1)
+        path = os.path.join(checkpoint_dir, f"block_t{t0}-{t1}_f{f0}-{f1}.npy")
+        if key in done and os.path.exists(path) and not overwrite:
+            _place(key, np.load(path))
+            logger.info("resumed block %s from %s", key, path)
+            continue
+        # Slice every frequency-indexed input consistently.
+        block_kwargs = dict(kwargs)
+        block_kwargs["fluxes"] = np.asarray(kwargs["fluxes"])[:, f0:f1]
+        if kwargs.get("beam_coefs") is not None:
+            block_kwargs["beam_coefs"] = np.asarray(kwargs["beam_coefs"])[
+                :, :, f0:f1
+            ]
+        pending.append((key, path, simulate_vis(
+            freqs=freqs[f0:f1], times=times[t0:t1], async_fetch=True,
+            **block_kwargs,
+        )))
+        while len(pending) >= max(int(pipeline_depth), 1):
+            _collect_oldest()
+    while pending:
+        _collect_oldest()
 
     return out

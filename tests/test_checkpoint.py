@@ -41,6 +41,30 @@ def test_blocks_match_monolithic(tmp_path):
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-12 * np.abs(want).max())
 
 
+def test_pipeline_depth_matches_sequential(tmp_path):
+    """pipeline_depth > 1 dispatches blocks as async futures; the
+    assembled result, the on-disk blocks, and resumability must be
+    identical to sequential execution."""
+    kw = _kwargs()
+    freqs = np.linspace(1e8, 1.2e8, 3)
+    times = JD0 + np.linspace(0, 0.02, 5)
+    seq = simulate_vis_checkpointed(
+        checkpoint_dir=str(tmp_path / "seq"), time_block=2, freq_block=2,
+        pipeline_depth=1, freqs=freqs, times=times, **kw,
+    )
+    pipe = simulate_vis_checkpointed(
+        checkpoint_dir=str(tmp_path / "pipe"), time_block=2, freq_block=2,
+        pipeline_depth=3, freqs=freqs, times=times, **kw,
+    )
+    np.testing.assert_allclose(pipe, seq, rtol=0, atol=0)
+    # The pipelined run's checkpoints resume cleanly.
+    again = simulate_vis_checkpointed(
+        checkpoint_dir=str(tmp_path / "pipe"), time_block=2, freq_block=2,
+        pipeline_depth=3, freqs=freqs, times=times, **kw,
+    )
+    np.testing.assert_allclose(again, seq, rtol=0, atol=0)
+
+
 def test_resume_uses_checkpoints(tmp_path, monkeypatch):
     kw = _kwargs()
     freqs = np.linspace(1e8, 1.2e8, 2)
