@@ -48,6 +48,18 @@ def test_sharded_matches_single_device(tdev, sdev):
     np.testing.assert_allclose(got, want, atol=1e-11 * scale, rtol=0)
 
 
+def test_sharded_async_fetch_matches_sync():
+    """async_fetch on a mesh-sharded sim: the future resolves to the same
+    visibilities as the synchronous sharded call (the sharded output is a
+    multi-shard jax.Array; copy_to_host_async is best-effort there)."""
+    rng = np.random.default_rng(2)
+    kw = _case(rng, ntimes=2)
+    mesh = make_mesh(time=2, source=4)
+    want = simulate_vis(backend="tpu", mesh=mesh, **kw)
+    fut = simulate_vis(backend="tpu", mesh=mesh, async_fetch=True, **kw)
+    np.testing.assert_allclose(fut.result(), want, rtol=0, atol=0)
+
+
 def test_sharded_gridded_type1():
     rng = np.random.default_rng(1)
     kw = _case(rng, ntimes=2)
