@@ -47,6 +47,9 @@ def build_parser() -> argparse.ArgumentParser:
     rp.add_argument("--cprofile", action="store_true",
                     help="also run under cProfile and print the top functions")
     rp.add_argument("--repeats", type=int, default=2)
+    rp.add_argument("--pipeline", type=int, default=0, metavar="N",
+                    help="also measure N in-flight async_fetch sims "
+                         "(pipelined per-sim wall; 0 = skip)")
     rp.add_argument("--verbose", "-v", action="store_true")
     return p
 
@@ -128,19 +131,34 @@ def run_profile(args) -> int:
         pstats.Stats(pr, stream=buf).sort_stats("cumulative").print_stats(50)
         print(buf.getvalue(), file=sys.stderr)
 
+    pipe = None
+    if args.pipeline > 0:
+        # N sims dispatched before any result is collected: each output
+        # transfer overlaps the next sim's compute (see README "Sweeps").
+        for _ in range(max(args.repeats, 1)):
+            t0 = time.perf_counter()
+            futs = [
+                simulate_vis(async_fetch=True, **kw)
+                for _ in range(args.pipeline)
+            ]
+            for f in futs:
+                f.result()
+            dt = (time.perf_counter() - t0) / args.pipeline
+            pipe = dt if pipe is None else min(pipe, dt)
+
     nbl = vis.shape[-1]
     points = nbl * args.nfreq * args.ntimes
-    print(
-        json.dumps(
-            {
-                "wall_first_s": compile_and_run,
-                "wall_steady_s": best,
-                "vis_points": points,
-                "vis_points_per_s": points / best,
-                "output_shape": list(vis.shape),
-            }
-        )
-    )
+    payload = {
+        "wall_first_s": compile_and_run,
+        "wall_steady_s": best,
+        "vis_points": points,
+        "vis_points_per_s": points / best,
+        "output_shape": list(vis.shape),
+    }
+    if pipe is not None:
+        payload["wall_pipelined_s"] = pipe
+        payload["vis_points_per_s_pipelined"] = points / pipe
+    print(json.dumps(payload))
     return 0
 
 
