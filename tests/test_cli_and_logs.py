@@ -75,6 +75,25 @@ def test_cli_end_to_end(capsys):
     assert payload["output_shape"][0] == 1
 
 
+def test_cli_pipelined_throughput(capsys):
+    rc = main(
+        [
+            "run-profile",
+            "--nants", "4",
+            "--nsource", "20",
+            "--ntimes", "2",
+            "--nfreq", "1",
+            "--backend", "cpu",
+            "--repeats", "1",
+            "--pipeline", "2",
+        ]
+    )
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["wall_pipelined_s"] > 0
+    assert payload["vis_points_per_s_pipelined"] > 0
+
+
 def test_cli_hera_gridded(capsys):
     rc = main(
         [
