@@ -233,7 +233,21 @@ def read_cst(
 
     naz, nza, nf = az.size, za.size, len(per_freq)
     if rotate_pol:
-        daz = 2 * np.pi / naz
+        # The synthesized feed is the measured pattern rolled 90 degrees
+        # in azimuth, which is only meaningful when the phi axis is
+        # uniform AND covers the full circle (np.roll wraps periodically).
+        if naz < 2:
+            raise ValueError("rotate_pol requires an azimuth axis")
+        dazs = np.diff(az)
+        daz = float(dazs[0])
+        if not np.allclose(dazs, daz, rtol=1e-6, atol=1e-9):
+            raise ValueError("rotate_pol requires uniform CST phi spacing")
+        if abs(naz * daz - 2 * np.pi) > 1e-6 * 2 * np.pi:
+            raise ValueError(
+                "rotate_pol requires full-circle phi coverage (naz * dphi "
+                f"= 360 deg); these files span {np.rad2deg(naz * daz):.2f} "
+                "deg"
+            )
         shift_f = (np.pi / 2) / daz
         shift = int(round(shift_f))
         if abs(shift_f - shift) > 1e-6:

@@ -214,6 +214,7 @@ def plan_type3_lowrank_z(
     prefer_pow2: bool = False,
     x_range_z: tuple[float, float] | None = None,
     max_modes: int = 160,
+    fit_precorr: bool = True,
 ) -> Type3LowrankZPlan:
     """Plan a 3D type-3 transform via the low-rank z factorization.
 
@@ -229,7 +230,8 @@ def plan_type3_lowrank_z(
     x_extent = np.broadcast_to(np.asarray(x_extent, dtype=np.float64), (3,))
 
     plan2d = plan_type3(
-        targets[:2], x_extent[:2], eps, upsample_factor, prefer_pow2
+        targets[:2], x_extent[:2], eps, upsample_factor, prefer_pow2,
+        fit_precorr=fit_precorr,
     )
 
     sz = targets[2]
@@ -297,6 +299,7 @@ def plan_type3(
     eps: float,
     upsample_factor: float = 2.0,
     prefer_pow2: bool = False,
+    fit_precorr: bool = True,
 ) -> Type3Plan:
     """Plan a type-3 transform onto fixed nonuniform ``targets``.
 
@@ -310,6 +313,11 @@ def plan_type3(
         is at most 2 pi (and pi for the z axis).
     eps, upsample_factor
         Accuracy / oversampling, as in the reference API.
+    fit_precorr
+        Fit the log-Chebyshev amplitude pre-correction (several chebfit
+        solves of host time; f32 executors consume it). Cost-model probe
+        plans that are never executed pass False; the executor then falls
+        back to the exact quadrature if it ever runs.
     """
     targets = np.atleast_2d(np.asarray(targets, dtype=np.float64))
     d, m = targets.shape
@@ -364,7 +372,9 @@ def plan_type3(
         # xi_max <= pi/sigma by the nf sizing rule, well inside psi_hat's
         # positive band, so the fit succeeds for every real plan).
         xi_m = 1.02 * X * ds_d
-        ft_coefs.append(fit_log_ft_cheb(w, kernel.beta, xi_m))
+        ft_coefs.append(
+            fit_log_ft_cheb(w, kernel.beta, xi_m) if fit_precorr else None
+        )
         ft_xi_max.append(xi_m)
 
     return Type3Plan(
@@ -381,6 +391,33 @@ def plan_type3(
         ft_coefs=tuple(ft_coefs),
         ft_xi_max=tuple(ft_xi_max),
     )
+
+
+def fit_plan_precorr(plan):
+    """Return ``plan`` with the log-Chebyshev pre-correction fitted.
+
+    Fills any ``None`` entries of ``ft_coefs`` (plans built with
+    ``fit_precorr=False`` -- e.g. the engine's cost-model probes, which
+    only pay the chebfit host time once the type-3 path actually wins).
+    Entries the fit cannot reach stay ``None`` (executors fall back to
+    the exact quadrature). No-op for fully fitted plans.
+    """
+    import dataclasses
+
+    if isinstance(plan, Type3LowrankZPlan):
+        plan2d = fit_plan_precorr(plan.plan2d)
+        if plan2d is plan.plan2d:
+            return plan
+        return dataclasses.replace(plan, plan2d=plan2d)
+    if all(c is not None for c in plan.ft_coefs):
+        return plan
+    coefs = tuple(
+        c
+        if c is not None
+        else fit_log_ft_cheb(plan.kernel.w, plan.kernel.beta, plan.ft_xi_max[i])
+        for i, c in enumerate(plan.ft_coefs)
+    )
+    return dataclasses.replace(plan, ft_coefs=coefs)
 
 
 def _precorr_axis(p, axis: int, x_axis, rdtype, xp):

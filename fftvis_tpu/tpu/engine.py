@@ -69,6 +69,7 @@ from ..nufft.transform import (
     Type1Executor,
     Type3Executor,
     Type3LowrankZExecutor,
+    fit_plan_precorr,
     plan_type1,
     plan_type3,
     plan_type3_lowrank_z,
@@ -273,9 +274,16 @@ class VisibilityFuture:
         return self._result
 
     def __array__(self, dtype=None, copy=None):
-        out = self.result()
-        if dtype is not None:
-            out = out.astype(dtype, copy=False)
+        res = self.result()
+        out = res if dtype is None else res.astype(dtype, copy=False)
+        if copy and out is res:
+            # NumPy 2 semantics: copy=True must not alias the memoized
+            # result (callers may mutate the returned array in place).
+            out = res.copy()
+        elif copy is False and out is not res:
+            raise ValueError(
+                "dtype conversion requires a copy (copy=False requested)"
+            )
         return out
 
 
@@ -437,6 +445,13 @@ class TPUSimulationEngine(SimulationEngine):
         # array keeps a stable identity across calls -- which also lets the
         # digest identity memo skip re-hashing it in pp_key/plan_key below.
         bl_memo_key = (tuple(antnums), tuple(baselines))
+        try:  # ndarray / list-of-list baselines: elements are unhashable
+            hash(bl_memo_key)
+        except TypeError:
+            bl_memo_key = (
+                tuple(antnums),
+                tuple((b[0], b[1]) for b in baselines),
+            )
         bl_index_arr = _cache_get_lru(_PLAN_CACHE, bl_memo_key)
         if bl_index_arr is None:
             ant_index = {a: i for i, a in enumerate(antnums)}
@@ -686,7 +701,8 @@ class TPUSimulationEngine(SimulationEngine):
             n_sdev == 1
             and ntimes >= 8
             and nsrc >= 4096
-            and (use_ds or plan.mode in ("type1", "direct", "type3"))
+            # use_ds forces mode_override="direct", already matched here.
+            and plan.mode in ("type1", "direct", "type3")
             and os.environ.get("FFTVIS_BAND", "") != "0"
         ):
             from ..coords.banding import plan_horizon_bands
@@ -1618,7 +1634,7 @@ class TPUSimulationEngine(SimulationEngine):
                 os.environ.get("FFTVIS_BEAM_UPSAMPLE", ""),
                 os.environ.get("FFTVIS_EXACT_OUTER", "auto"),
                 os.environ.get("FFTVIS_SORT_CARRY", "0"),
-                _matmul_precision(str(real_dtype) == "float32"),
+                _matmul_precision(real_dtype == np.float32),
                 freq_vmap,
                 freqs_dev,
                 () if not use_basis else (tuple(kl_pairs), coefs_host, ant1_dev, ant2_dev),
@@ -1671,7 +1687,7 @@ class TPUSimulationEngine(SimulationEngine):
                 )
             # TPU matmuls default to bfloat16 operands; the NUFFT
             # spread/interp contractions and coherency einsums need full f32.
-            run = _with_f32_matmuls(run, str(real_dtype) == "float32")
+            run = _with_f32_matmuls(run, real_dtype == np.float32)
             _cache_store(cache_key, run)
 
         # Multi-process (DCN) meshes: the mesh spans devices this process
@@ -2286,10 +2302,12 @@ class TPUSimulationEngine(SimulationEngine):
         direct_cost = 8.0 * nsrc * nbl
         x_ext = [TWO_PI * fmax / speed_of_light] * d
         if d == 2:
+            # fit_precorr deferred: the chebfit host time is only paid
+            # below if the type-3 path wins the cost comparison.
             probe = plan_type3(
-                targets, x_extent=x_ext, eps=eps, upsample_factor=upsample_factor
+                targets, x_extent=x_ext, eps=eps,
+                upsample_factor=upsample_factor, fit_precorr=False,
             )
-            executor = Type3Executor(probe)
             K = 1
         else:
             # 3D (non-coplanar, finufft nufft3d3 parity; ref cpu/nufft.py:
@@ -2314,6 +2332,7 @@ class TPUSimulationEngine(SimulationEngine):
                     eps=eps,
                     upsample_factor=upsample_factor,
                     x_range_z=((zlo - pad) * scale, (zhi + pad) * scale),
+                    fit_precorr=False,
                 )
             except ValueError as err:
                 # z bandwidth beyond the low-rank expansion's reach (very
@@ -2331,7 +2350,6 @@ class TPUSimulationEngine(SimulationEngine):
                     rotation_matrix=rotation,
                     lattice_matrix=None,
                 )
-            executor = Type3LowrankZExecutor(probe_z)
             probe = probe_z.plan2d
             K = probe_z.K
         w = probe.kernel.w
@@ -2392,11 +2410,13 @@ class TPUSimulationEngine(SimulationEngine):
             )
 
         if d == 3:
+            executor = Type3LowrankZExecutor(fit_plan_precorr(probe_z))
             logger.info(
                 "Using type-3 NUFFT path (3D lowrank-z: nf=%s, w=%d, K=%d)",
                 probe.nf, w, K,
             )
         else:
+            executor = Type3Executor(fit_plan_precorr(probe))
             logger.info("Using type-3 NUFFT path (nf=%s, w=%d)", probe.nf, w)
         return _SimPlan(
             mode="type3",

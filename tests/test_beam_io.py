@@ -279,3 +279,24 @@ class TestBeamfits:
         v_orig = simulate_vis(beam=gb, **kw)
         v_io = simulate_vis(beam=got, **kw)
         np.testing.assert_allclose(v_io, v_orig, atol=1e-13)
+
+
+def test_rotate_pol_requires_full_circle(tmp_path):
+    """A partial-circle phi axis must refuse rotate_pol: np.roll wraps
+    periodically, so rolling a half-circle axis would synthesize a garbage
+    second feed (regression: spacing was derived as 2*pi/naz -- a
+    0..177-deg export at 3-deg steps passed the old divide-90 check with a
+    wrong inferred spacing and rolled the non-periodic axis silently)."""
+    theta = np.arange(0, 91, 15.0)
+    phi = np.arange(0, 180, 3.0)  # 60 samples over a half circle
+    tg, pg = [a.ravel() for a in np.meshgrid(theta, phi, indexing="ij")]
+    abs_t, ph_t, abs_p, ph_p = _cst_fields(tg, pg)
+    rows = np.column_stack([tg, pg, np.hypot(abs_t, abs_p), abs_t, ph_t,
+                            abs_p, ph_p, np.ones_like(tg)])
+    f = tmp_path / "partial_150MHz.txt"
+    with open(f, "w") as fh:
+        fh.write(CST_HEADER)
+        for r in rows:
+            fh.write("  ".join(f"{v: .8e}" for v in r) + "\n")
+    with pytest.raises(ValueError, match="full-circle"):
+        read_cst(str(f))

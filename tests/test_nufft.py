@@ -914,3 +914,23 @@ def test_engine_tile_class_planner_is_rigorous(monkeypatch):
         force_use_type3=True,
     )
     assert np.all(np.isfinite(vis))
+
+
+def test_fit_plan_precorr_fills_probe_plans():
+    """Plans built with fit_precorr=False (engine cost-model probes) carry
+    no chebfit; fit_plan_precorr fills them to match an eagerly-fitted
+    plan, and is a no-op on already-fitted plans."""
+    from fftvis_tpu.nufft.transform import fit_plan_precorr, plan_type3
+
+    rng = np.random.default_rng(11)
+    s = rng.uniform(-40, 40, (2, 64))
+    lazy = plan_type3(s, [2 * np.pi, 2 * np.pi], 1e-6, 2.0, fit_precorr=False)
+    assert all(c is None for c in lazy.ft_coefs)
+    eager = plan_type3(s, [2 * np.pi, 2 * np.pi], 1e-6, 2.0)
+    fitted = fit_plan_precorr(lazy)
+    assert fit_plan_precorr(fitted) is fitted
+    for cf, ce in zip(fitted.ft_coefs, eager.ft_coefs):
+        np.testing.assert_array_equal(cf, ce)
+    # deconv/taps are unaffected by the fit flag
+    for a, b in zip(lazy.deconv, eager.deconv):
+        np.testing.assert_array_equal(a, b)

@@ -337,3 +337,52 @@ def test_matmul_precision_knob_never_touches_fp64(monkeypatch):
     monkeypatch.setenv("FFTVIS_MATMUL_PRECISION", "high")
     v2 = simulate_vis(**kw)
     np.testing.assert_array_equal(v1, v2)
+
+
+def test_matmul_precision_knob_engages_f32_pipelines(monkeypatch):
+    """FFTVIS_MATMUL_PRECISION=high must actually reach
+    jax.default_matmul_precision on f32 pipelines (regression: a
+    str(np.float32) string comparison made the knob a silent no-op)."""
+    import jax
+
+    seen = []
+    orig = jax.default_matmul_precision
+
+    def recorder(prec):
+        seen.append(prec)
+        return orig(prec)
+
+    monkeypatch.setattr(jax, "default_matmul_precision", recorder)
+    monkeypatch.setenv("FFTVIS_MATMUL_PRECISION", "high")
+    rng = np.random.default_rng(5)
+    simulate_vis(**_kwargs(rng), polarized=False, precision=1)
+    assert "high" in seen
+
+
+def test_baselines_accept_ndarray_and_lists():
+    """The baseline list may be an (nbl, 2) ndarray or a list of 2-lists
+    (regression: the baseline-index memo key assumed hashable elements)."""
+    rng = np.random.default_rng(6)
+    kw = _kwargs(rng)
+    bls = [(0, 1), (1, 2), (0, 3)]
+    v_tuples = simulate_vis(**kw, baselines=bls, polarized=False)
+    v_array = simulate_vis(**kw, baselines=np.array(bls), polarized=False)
+    v_lists = simulate_vis(**kw, baselines=[list(b) for b in bls], polarized=False)
+    np.testing.assert_array_equal(v_tuples, v_array)
+    np.testing.assert_array_equal(v_tuples, v_lists)
+
+
+def test_future_array_copy_semantics():
+    """np.array(fut, copy=True) must not alias the memoized result
+    (NumPy 2 passes ``copy`` through __array__), and copy=False with a
+    dtype conversion must refuse."""
+    rng = np.random.default_rng(7)
+    fut = simulate_vis(**_kwargs(rng), polarized=False, async_fetch=True)
+    res = fut.result()
+    a = fut.__array__(copy=True)
+    assert a is not res
+    a *= 2.0
+    np.testing.assert_array_equal(fut.result(), res)
+    assert fut.__array__() is res  # plain asarray may share
+    with pytest.raises(ValueError, match="copy"):
+        fut.__array__(dtype=np.complex64, copy=False)
