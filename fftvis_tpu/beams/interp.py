@@ -248,7 +248,7 @@ def interp_table_cl(data, y, x, order: int = 1, wrap_x: bool = False):
 
     mode = os.environ.get("FFTVIS_BEAM_EVAL", "gather")
     if mode == "pallas":
-        from ..nufft.pallas_spread import interpret_shardmap_blocked
+        from ..nufft.pallas_util import interpret_shardmap_blocked
         from .pallas_eval import (
             pallas_beam_eval_ok,
             pallas_map_coordinates_cl,
@@ -256,7 +256,7 @@ def interp_table_cl(data, y, x, order: int = 1, wrap_x: bool = False):
 
         ny, nx, ch = (int(v) for v in data.shape)
         rdt = np.result_type(data.dtype, np.float32)
-        if pallas_beam_eval_ok(ny, nx, ch, order, rdt) and (
+        if pallas_beam_eval_ok(ny, nx, ch, order, rdt, int(y.shape[0])) and (
             not interpret_shardmap_blocked(data, y, x)
         ):
             return pallas_map_coordinates_cl(

@@ -66,12 +66,25 @@ the portable implementation.
 from __future__ import annotations
 
 import functools
-import os
 
 import numpy as np
 
-_DEFAULT_PC = 128
-_VMEM_BUDGET = 10 * 1024 * 1024
+from ..nufft.pallas_util import (
+    bin_sort_csr,
+    chunk_size as _chunk_size,
+    lane_pad,
+    sequential as _sequential,
+    sublane_pad,
+    vma_of as _vma_of,
+)
+
+# This kernel's VMEM budget is its own: unlike the spread/interp kernels
+# (whose shared 10 MB budget leaves room for deep pipelining), the
+# evaluator's full resident set is modeled explicitly below, so only
+# Mosaic's own overhead needs headroom out of the chip's ~16 MB. The
+# measured-parity engine workload (4k-source blocks x 296-channel
+# north-star tables) sits at ~10 MB resident and must stay admitted.
+_EVAL_VMEM_BUDGET = 14 * 1024 * 1024
 
 # Tile shape over the (padded) table: 8 y-rows x 16 x-cols per tile, with
 # margin tiles inside each window.
@@ -82,14 +95,15 @@ _AX = 2 * _TX   # 32-col window
 _PADL = 8       # x pre-pad columns on each side
 
 
-def _chunk_size() -> int:
-    pc = int(os.environ.get("FFTVIS_PALLAS_PC", _DEFAULT_PC))
-    return max(128, (pc // 128) * 128)
-
-
 def pallas_beam_eval_ok(ny: int, nx: int, ch: int, order: int,
-                        dtype) -> bool:
-    """Whether the Pallas evaluator can run this table (else gathers)."""
+                        dtype, npts: int) -> bool:
+    """Whether the Pallas evaluator can run this problem (else gathers).
+
+    Unlike the spread/interp kernels (whose outputs are band/target
+    blocks), this kernel keeps the FULL (npts + Pc, chp) output block and
+    the (2, npts + Pc) packed coordinates resident in VMEM, so the point
+    count bounds admission too.
+    """
     if np.dtype(dtype) != np.float32:
         return False
     if order not in (1, 3):
@@ -97,11 +111,18 @@ def pallas_beam_eval_ok(ny: int, nx: int, ch: int, order: int,
     if ny < 2 or nx < 2:
         return False
     pc = _chunk_size()
-    chp = -(-ch // 128) * 128
-    # window scratch + (Pc, ch) accumulators, double-ish buffered
-    win_bytes = _AY * _AX * chp * 4
-    acc_bytes = 3 * pc * chp * 4
-    if win_bytes * 2 + acc_bytes > _VMEM_BUDGET:
+    chp = lane_pad(ch)
+    m_pad = int(npts) + pc
+    # Resident buffers: double-buffered (ay*ax, chp) window blocks, the
+    # (m_pad, chp) output accumulator, the (2, m_pad) coords (sublane-
+    # padded), and per-chunk scratch (KY/KX/W one-hot factors at
+    # (Pc, ay*ax) plus the (Pc, chp) contraction result).
+    win_bytes = _AY * _AX * chp * 4 * 2
+    out_bytes = m_pad * chp * 4
+    coords_bytes = sublane_pad(2) * lane_pad(m_pad) * 4
+    scratch_bytes = 3 * pc * (_AY * _AX) * 4 + 2 * pc * chp * 4
+    total = win_bytes + out_bytes + coords_bytes + scratch_bytes
+    if total > _EVAL_VMEM_BUDGET:
         return False
     return True
 
@@ -281,8 +302,6 @@ def pallas_map_coordinates_cl(data, y, x, order: int = 1,
     import jax
     import jax.numpy as jnp
 
-    from ..nufft.pallas_spread import _vma_of
-
     ny, nx, ch = (int(v) for v in data.shape)
     n = int(y.shape[0])
     pc = _chunk_size()
@@ -336,20 +355,10 @@ def pallas_map_coordinates_cl(data, y, x, order: int = 1,
         ((cxf + _PADL) // _TX).astype(jnp.int32), 0, ntx - 1
     )
     tid = tiy * ntx + tix
-    iota = jnp.arange(n, dtype=jnp.int32)
-    tid_sorted, perm = jax.lax.sort((tid, iota), num_keys=1)
     coords = jnp.stack([yv, xv], axis=0)  # (2, n)
-    coords_sorted = jnp.take(coords, perm, axis=1)
-    coords_sorted = jnp.concatenate(
-        [coords_sorted, jnp.zeros((2, pc), jnp.float32)], axis=1
+    coords_sorted, starts, ends, perm = bin_sort_csr(
+        tid, coords, nty * ntx, pc
     )
-    ntiles = nty * ntx
-    starts = jnp.searchsorted(
-        tid_sorted, jnp.arange(ntiles, dtype=jnp.int32)
-    ).astype(jnp.int32)
-    ends = jnp.searchsorted(
-        tid_sorted, jnp.arange(1, ntiles + 1, dtype=jnp.int32)
-    ).astype(jnp.int32)
 
     # Per-tile windows, flattened to (ay*ax, chp) OUTSIDE the kernel
     # (Mosaic cannot reshape across the sublane/lane boundary): the tile
@@ -379,11 +388,6 @@ def pallas_map_coordinates_cl(data, y, x, order: int = 1,
         interpret, vma=_vma_of(coords_sorted, padded),
     )
 
-    def _sequential(c):
-        return jax.custom_batching.sequential_vmap(
-            lambda s, e, y0, x0, co, wi: c(s, e, y0, x0, co, wi)
-        )
-
     out_sorted = _sequential(call)(
         starts, ends, jnp.asarray(y0s_np, jnp.int32),
         jnp.asarray(x0s_np, jnp.int32), coords_sorted, windows
@@ -391,5 +395,7 @@ def pallas_map_coordinates_cl(data, y, x, order: int = 1,
     # Wide contiguous rows amortize this single gather (unlike tap
     # gathers); restore source order. inv: position of target j in the
     # sorted layout (second output of sorting by perm).
-    _, inv = jax.lax.sort((perm, iota), num_keys=1)
+    _, inv = jax.lax.sort(
+        (perm, jnp.arange(n, dtype=jnp.int32)), num_keys=1
+    )
     return jnp.take(out_sorted[:n, :ch], inv, axis=0)

@@ -37,17 +37,17 @@ fallback and the portable path (FFTVIS_INTERP to override).
 from __future__ import annotations
 
 import functools
-import os
 
 import numpy as np
 
-_DEFAULT_PC = 128
-_VMEM_BUDGET = 10 * 1024 * 1024
-
-
-def _chunk_size() -> int:
-    pc = int(os.environ.get("FFTVIS_PALLAS_PC", _DEFAULT_PC))
-    return max(128, (pc // 128) * 128)
+from .pallas_util import (
+    VMEM_BUDGET as _VMEM_BUDGET,
+    chunk_size as _chunk_size,
+    lane_pad,
+    sequential as _sequential,
+    sublane_pad,
+    vma_of as _vma_of,
+)
 
 
 # Tile shape: ay = ity + w rows x ax = isx + w lanes per window.
@@ -72,10 +72,12 @@ def pallas_interp_ok(nf, w: int, c2: int, m: int, rdtype) -> bool:
         return False  # wrap-pad must stay within one period
     gy = nfy + pad_y
     gx = nfx + pad_x
-    grid_bytes = c2 * (-(-gy // 8) * 8) * (-(-gx // 128) * 128) * 4
+    grid_bytes = c2 * sublane_pad(gy) * lane_pad(gx) * 4
     pc = _chunk_size()
-    out_bytes = c2 * (m + pc) * 4
-    packed_bytes = 32 * (m + pc) * 4  # (2 + 2w) sublane-padded
+    out_bytes = sublane_pad(c2) * (m + pc) * 4
+    # packed payload rows: [offy, offx, w y-taps, w x-taps], sublane-padded
+    # (w = 16 -> D = 34 pads to 40, NOT 32).
+    packed_bytes = sublane_pad(2 + 2 * w) * (m + pc) * 4
     if grid_bytes + out_bytes + packed_bytes > _VMEM_BUDGET:
         return False
     if nty * ntx > 65536:
@@ -240,7 +242,6 @@ class PallasInterp:
         C = G.shape[0]
         c2 = 2 * C
         pc = _chunk_size()
-        rdtype = jnp.finfo(G.dtype).dtype
         Gr = jnp.concatenate(
             [jnp.real(G), jnp.imag(G)], axis=0
         ).astype(jnp.float32)
@@ -251,8 +252,6 @@ class PallasInterp:
         gy = nfy + self.pad_y
         gx = nfx + self.pad_x
 
-        from .pallas_spread import _vma_of
-
         interpret = jax.default_backend() != "tpu"
         call = _build_interp_call(
             self.w, c2, gy, gx, self.T, self.m_pad, pc, interpret,
@@ -260,13 +259,7 @@ class PallasInterp:
         )
         # pallas_call has no batching rule; under an outer vmap (the engine
         # batches the frequency axis) lower to a sequential scan instead.
-        def _sequential(c):
-            return jax.custom_batching.sequential_vmap(
-                lambda s, e, y0, x0, p, g: c(s, e, y0, x0, p, g)
-            )
-
-        seq_call = _sequential(call)
-        flat = seq_call(
+        flat = _sequential(call)(
             jnp.asarray(self.starts),
             jnp.asarray(self.ends),
             jnp.asarray(self.tile_y0),

@@ -59,19 +59,16 @@ import os
 import numpy as np
 
 from .kernels import es_kernel_grid
-
-# Occupancy chunk: sources are consumed Pc at a time inside each tile's
-# fori_loop. 128 matches the lane width (one MXU pass per chunk).
-_DEFAULT_PC = 128
-
-# VMEM budget for packed payload + double-buffered band (bytes). The chip
-# has ~16 MB; leave headroom for Mosaic's own buffers.
-_VMEM_BUDGET = 10 * 1024 * 1024
-
-
-def _chunk_size() -> int:
-    pc = int(os.environ.get("FFTVIS_PALLAS_PC", _DEFAULT_PC))
-    return max(128, (pc // 128) * 128)  # lane-aligned chunk bases
+from .pallas_util import (
+    VMEM_BUDGET as _VMEM_BUDGET,
+    bin_sort_csr,
+    chunk_size as _chunk_size,
+    interpret_shardmap_blocked,  # noqa: F401  (re-export: historical home)
+    lane_pad,
+    sequential as _sequential,
+    sublane_pad,
+    vma_of as _vma_of,  # noqa: F401  (re-export: historical home)
+)
 
 
 def _geometry(nf, w: int, ty: int, sx: int):
@@ -118,49 +115,22 @@ def pallas_spread_ok(nf, w: int, ty: int, sx: int, c2: int, n: int,
     pad_x_hi = gx - m - nfx
     if pad_y_hi > nfy or pad_x_hi > nfx or m > nfy or m > nfx:
         return False  # pads would wrap more than one period
+    if m > ty:
+        # The y overlap-add splits each band into (m, ty, m)-row segments
+        # padded up to ty rows; a tile override (FFTVIS_TILE) shorter than
+        # the halo would need a negative pad. Planner tiles never hit this.
+        return False
     pc = _chunk_size()
     # VMEM estimate: packed (D, n+Pc) sublane-pads D -> 8; band block
     # (c2, gx, hw) sublane/lane pads, double-buffered by the pipeline.
     D = 4 + c2
-    packed_bytes = (-(-D // 8) * 8) * (n + pc) * 4
-    band_bytes = c2 * (-(-gx // 8) * 8) * (-(-hw // 128) * 128) * 4 * 2
+    packed_bytes = sublane_pad(D) * (n + pc) * 4
+    band_bytes = c2 * sublane_pad(gx) * lane_pad(hw) * 4 * 2
     if packed_bytes + band_bytes > _VMEM_BUDGET:
         return False
     if nty * ntx > 65536:
         return False  # SMEM prefetch tables
     return True
-
-
-def _vma_of(*arrays):
-    """Union of the operands' varying-axes (shard_map vma) as a frozenset.
-
-    Under jax.shard_map with check_vma (the default), a pallas_call must
-    declare how its outputs vary across mesh axes; the output varies over
-    exactly the axes any input does.
-    """
-    import jax
-
-    vs = set()
-    for a in arrays:
-        v = getattr(jax.typeof(a), "vma", None)
-        if v:
-            vs |= set(v)
-    return frozenset(vs)
-
-
-def interpret_shardmap_blocked(*arrays) -> bool:
-    """True when the INTERPRET-mode kernel cannot run these operands.
-
-    On non-TPU backends the kernels execute in Pallas interpret mode,
-    which lowers to plain jax ops; inside shard_map with check_vma those
-    ops mix kernel-internal unvarying indices with varying data and fail
-    the vma checker. The compiled TPU lowering is a single primitive with
-    a declared output vma and is unaffected. Callers fall back to the XLA
-    spreders/interp in this (test-only) combination.
-    """
-    import jax
-
-    return jax.default_backend() != "tpu" and bool(_vma_of(*arrays))
 
 
 @functools.lru_cache(maxsize=64)
@@ -294,32 +264,12 @@ def spread_pallas_tiled(u_list, weights, nf, w: int, beta: float,
     packed = jnp.concatenate(
         [cy[None], fy[None], cx[None], fx[None], vals], axis=0
     )  # (D, n): sources on the lane axis
-    if os.environ.get("FFTVIS_SORT_CARRY", "0") == "1":
-        # Carry the payload rows through a multi-operand sort instead of
-        # permuting them with a post-sort gather (lane-wise gathers are
-        # the hot op of long-observation type-3 programs).
-        ops = jax.lax.sort(
-            (tid,) + tuple(packed[d] for d in range(packed.shape[0])),
-            num_keys=1,
-        )
-        tid_sorted = ops[0]
-        packed_sorted = jnp.stack(ops[1:])
-    else:
-        iota = jnp.arange(n, dtype=jnp.int32)
-        tid_sorted, perm = jax.lax.sort((tid, iota), num_keys=1)
-        packed_sorted = jnp.take(packed, perm, axis=1)
-    # Pad Pc zero columns: the last chunk's pl.ds never overruns, and dead
-    # lanes are killed by the live mask anyway.
-    packed_sorted = jnp.concatenate(
-        [packed_sorted, jnp.zeros((packed.shape[0], pc), rdtype)], axis=1
+    # The sort-carry variant (multi-operand sort instead of a post-sort
+    # lane gather) measured a wash on v5e; knob kept for other generations.
+    packed_sorted, starts, ends, _ = bin_sort_csr(
+        tid, packed, nty * ntx, pc,
+        sort_carry=os.environ.get("FFTVIS_SORT_CARRY", "0") == "1",
     )
-    ntiles = nty * ntx
-    starts = jnp.searchsorted(
-        tid_sorted, jnp.arange(ntiles, dtype=jnp.int32)
-    ).astype(jnp.int32)
-    ends = jnp.searchsorted(
-        tid_sorted, jnp.arange(1, ntiles + 1, dtype=jnp.int32)
-    ).astype(jnp.int32)
 
     interpret = jax.default_backend() != "tpu"
     call = _build_pallas_call(
@@ -328,13 +278,7 @@ def spread_pallas_tiled(u_list, weights, nf, w: int, beta: float,
     )
     # pallas_call has no batching rule; under an outer vmap (the engine
     # batches the frequency axis) lower to a sequential scan instead.
-    def _sequential(c):
-        return jax.custom_batching.sequential_vmap(
-            lambda s, e, p: c(s, e, p)
-        )
-
-    seq_call = _sequential(call)
-    bands = seq_call(starts, ends, packed_sorted)  # (nty, c2, gx, hw)
+    bands = _sequential(call)(starts, ends, packed_sorted)  # (nty, c2, gx, hw)
     bands = bands.transpose(0, 1, 3, 2)  # (nty, c2, hw, gx)
 
     # --- XLA post-pass: y overlap-add of adjacent bands into the frame ---

@@ -51,7 +51,7 @@ def test_pallas_beam_eval_matches_gather(order, wrap, ny, nx, ch):
         )
     d = jnp.asarray(data)
     y, x = _coords(700, ny, nx, seed=ny + order)
-    assert pallas_beam_eval_ok(ny, nx, ch, order, np.float32)
+    assert pallas_beam_eval_ok(ny, nx, ch, order, np.float32, 700)
     got = np.asarray(
         pallas_map_coordinates_cl(d, y, x, order=order, wrap_x=wrap)
     )
@@ -100,10 +100,12 @@ def test_pallas_beam_eval_period_boundary(order):
 
 
 def test_pallas_beam_eval_gate():
-    assert not pallas_beam_eval_ok(91, 181, 8, 1, np.float64)
-    assert not pallas_beam_eval_ok(91, 181, 8, 2, np.float32)  # bad order
-    assert not pallas_beam_eval_ok(1, 181, 8, 1, np.float32)
-    assert pallas_beam_eval_ok(91, 181, 296, 3, np.float32)
+    assert not pallas_beam_eval_ok(91, 181, 8, 1, np.float64, 700)
+    assert not pallas_beam_eval_ok(91, 181, 8, 2, np.float32, 700)  # bad order
+    assert not pallas_beam_eval_ok(1, 181, 8, 1, np.float32, 700)
+    assert pallas_beam_eval_ok(91, 181, 296, 3, np.float32, 700)
+    # large point sets exceed the VMEM-resident output block
+    assert not pallas_beam_eval_ok(91, 181, 296, 3, np.float32, 200_000)
 
 
 def test_pallas_beam_eval_env_dispatch(monkeypatch):

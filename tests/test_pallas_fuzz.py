@@ -106,7 +106,7 @@ def test_fuzz_beam_eval(it):
     ch = int(rng.integers(1, 12))
     order = int(rng.choice([1, 3]))
     wrap = bool(rng.integers(0, 2))
-    if not pallas_beam_eval_ok(ny, nx, ch, order, np.float32):
+    if not pallas_beam_eval_ok(ny, nx, ch, order, np.float32, 900):
         pytest.skip("gate rejects this geometry")
     data = rng.normal(size=(ny, nx, ch)).astype(np.float32)
     if order == 3:

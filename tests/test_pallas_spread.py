@@ -109,6 +109,12 @@ def test_pallas_gate_rejects_f64_and_tiny_grids():
     assert not pallas_spread_ok((4, 4), kern.w, 4, 4, 2, 100, np.float32)
     # 1D/3D shapes are not handled.
     assert not pallas_spread_ok((64,), kern.w, 16, 16, 2, 100, np.float32)
+    # Tile shorter than the kernel halo (FFTVIS_TILE override): the y
+    # overlap-add would need a negative pad (regression: gate admitted it).
+    m_halo = kern.w // 2 + 2
+    assert not pallas_spread_ok(
+        (1200, 576), kern.w, m_halo - 2, 64, 2, 100, np.float32
+    )
 
 
 def test_pallas_engine_type3_equivalence(monkeypatch):
