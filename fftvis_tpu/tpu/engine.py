@@ -261,16 +261,24 @@ class VisibilityFuture:
     def done(self) -> bool:
         """True when the device computation has finished (transfer may
         still be in flight; ``result()`` can briefly block regardless)."""
+        if self._result is not None or self._dev is None:
+            return True
         try:
             return bool(self._dev.is_ready())
         except Exception:  # pragma: no cover
-            return True
+            # Backend without is_ready(): "cannot tell" must not read as
+            # "ready" -- a poller would collect early and block for the
+            # full compute, defeating the pipelining. result() still works.
+            return False
 
     def result(self) -> np.ndarray:
         if self._result is None:
             stacked = np.asarray(self._dev)
             self._result = self._assemble(stacked)
-            self._dev = None  # release the device buffer
+            # Release the device buffer AND the assembly closure (it pins
+            # MB-scale engine locals -- pair routing tables, index arrays).
+            self._dev = None
+            self._assemble = None
         return self._result
 
     def __array__(self, dtype=None, copy=None):
@@ -334,7 +342,7 @@ class TPUSimulationEngine(SimulationEngine):
         self.freq_axis = freq_axis
 
     # ------------------------------------------------------------------
-    def simulate(self, *args, **kwargs) -> np.ndarray:
+    def simulate(self, *args, **kwargs) -> np.ndarray | VisibilityFuture:
         # One simulate() call is single-threaded and never mutates its
         # input arrays midway: let the digest memo revalidate each hashed
         # array at most once per call (MB-scale flux/position checksums
@@ -375,7 +383,7 @@ class TPUSimulationEngine(SimulationEngine):
         beam_coefs: np.ndarray | None = None,
         return_program: bool = False,
         async_fetch: bool = False,
-    ) -> np.ndarray:
+    ) -> np.ndarray | VisibilityFuture:
         import jax
         import jax.numpy as jnp
 
@@ -445,14 +453,14 @@ class TPUSimulationEngine(SimulationEngine):
         # array keeps a stable identity across calls -- which also lets the
         # digest identity memo skip re-hashing it in pp_key/plan_key below.
         bl_memo_key = (tuple(antnums), tuple(baselines))
-        try:  # ndarray / list-of-list baselines: elements are unhashable
-            hash(bl_memo_key)
-        except TypeError:
+        try:
+            bl_index_arr = _cache_get_lru(_PLAN_CACHE, bl_memo_key)
+        except TypeError:  # ndarray / list-of-list elements are unhashable
             bl_memo_key = (
                 tuple(antnums),
                 tuple((b[0], b[1]) for b in baselines),
             )
-        bl_index_arr = _cache_get_lru(_PLAN_CACHE, bl_memo_key)
+            bl_index_arr = _cache_get_lru(_PLAN_CACHE, bl_memo_key)
         if bl_index_arr is None:
             ant_index = {a: i for i, a in enumerate(antnums)}
             bl_index_arr = np.array(
@@ -1813,10 +1821,22 @@ class TPUSimulationEngine(SimulationEngine):
                 )
             return run, inputs
 
+        # Deferred assembly must not read USER-owned arrays at result()
+        # time: an async caller may mutate beam_coefs in place for the next
+        # dispatch (a pattern the content-keyed caches support for sync
+        # calls), which would contract this sim's output with the next
+        # sim's coefficients. Snapshot at dispatch; engine-derived captures
+        # (pair_plan, index arrays) are immutable cached objects.
+        coefs_snap = (
+            np.array(beam_coefs, copy=True)
+            if async_fetch and beam_coefs is not None
+            else beam_coefs
+        )
+
         def _assemble(stacked):
             return self._assemble_output(
                 stacked, use_ds, use_basis, ntimes, nfreqs, npairs, nfeeds,
-                nbl, flipped_global, pair_plan, beam_coefs,
+                nbl, flipped_global, pair_plan, coefs_snap,
                 ant1_idx if use_basis else None,
                 ant2_idx if use_basis else None, pair_i, pair_j,
                 complex_dtype, polarized, trace_mem,

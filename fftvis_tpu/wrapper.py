@@ -18,13 +18,16 @@ output shapes. Backend selection maps onto this framework's engines:
 from __future__ import annotations
 
 import logging
-from typing import Literal
+from typing import TYPE_CHECKING, Literal
 
 import numpy as np
 
 from .beams.interface import BeamInterface, prepare_beam_unpolarized
 from .core.simulate import SimulationEngine, default_accuracy_dict
 from .core.utils import get_desired_chunks, validate_beam_idx
+
+if TYPE_CHECKING:  # pragma: no cover - typing only
+    from .tpu.engine import VisibilityFuture
 
 logger = logging.getLogger(__name__)
 
@@ -131,7 +134,7 @@ def simulate_vis(
     beam_coefs: np.ndarray = None,
     mesh=None,
     async_fetch: bool = False,
-) -> np.ndarray:
+) -> np.ndarray | VisibilityFuture:
     """Simulate interferometric visibilities.
 
     Parameters mirror the reference exactly (ref wrapper.py:85-233); see

@@ -386,3 +386,49 @@ def test_future_array_copy_semantics():
     assert fut.__array__() is res  # plain asarray may share
     with pytest.raises(ValueError, match="copy"):
         fut.__array__(dtype=np.complex64, copy=False)
+
+
+def test_async_fetch_snapshots_beam_coefs(monkeypatch):
+    """Mutating beam_coefs in place between dispatch and result() must not
+    change an in-flight eigenbeam sim (the DS assembly contracts
+    coefficients on the host at result() time)."""
+    monkeypatch.setenv("FFTVIS_DS", "1")  # the deferred-contraction path
+    from fftvis_tpu import compute_beam_basis
+    from fftvis_tpu.beams import GaussianBeam as _GB
+
+    rng = np.random.default_rng(9)
+    ants = {i: np.array([*rng.uniform(-40, 40, 2), 0.0]) for i in range(4)}
+    beams = [_GB(diameter=12.0 + 0.3 * i) for i in range(4)]
+    eig, coefs = compute_beam_basis(
+        beams, 1.0e8, polarized=True, threshold=1e-10, n_axis1=41, n_axis2=21
+    )
+    kw = dict(
+        ants=ants,
+        fluxes=rng.uniform(0.1, 1, (12, 1)),
+        ra=rng.uniform(0, 2 * np.pi, 12),
+        dec=np.clip(LOC.lat + rng.normal(0, 0.4, 12), -np.pi / 2, np.pi / 2),
+        freqs=np.array([1.0e8]),
+        times=JD0 + np.linspace(0, 0.01, 2),
+        beam=eig,
+        telescope_loc=LOC,
+        polarized=True,
+        precision=1,  # f32 pipeline + FFTVIS_DS=1 => the DS direct path
+    )
+    coefs_live = np.array(coefs[:, :, None])
+    want = simulate_vis(beam_coefs=coefs_live, **kw)
+    assert want.dtype == np.complex128  # proves the DS path engaged
+    fut = simulate_vis(beam_coefs=coefs_live, async_fetch=True, **kw)
+    coefs_live *= 0.0  # caller reuses the buffer for the "next" sim
+    np.testing.assert_array_equal(fut.result(), want)
+
+
+def test_future_releases_assembly_after_result():
+    """result() drops the device buffer and the assembly closure (which
+    pins MB-scale engine locals), and done() is True afterwards."""
+    rng = np.random.default_rng(10)
+    fut = simulate_vis(**_kwargs(rng), polarized=False, async_fetch=True)
+    fut.result()
+    assert fut._dev is None and fut._assemble is None
+    assert fut.done()
+    # memoized result still available
+    assert fut.result() is fut.result()
