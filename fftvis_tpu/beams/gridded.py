@@ -34,17 +34,31 @@ class GriddedBeam:
         Frequencies (Hz), ascending.
     beam_type
         "efield" or "power".
+    feeds
+        Optional feed labels for the feed axis (e.g. ``["x", "y"]``,
+        lowercase, east-first convention). When present, ``use_feed``
+        requests resolve by label and a missing feed raises instead of
+        silently clamping to whatever feed the table holds.
     """
 
     pixel_coordinate_system = "az_za"
 
-    def __init__(self, data_array, axis1_array, axis2_array, freq_array, beam_type="efield"):
+    def __init__(self, data_array, axis1_array, axis2_array, freq_array,
+                 beam_type="efield", feeds=None):
+        arr = np.asarray(data_array)
+        ax1 = np.atleast_1d(np.asarray(axis1_array, dtype=float))
+        # A grid carrying BOTH az=0 and az=2pi holds a duplicated seam
+        # column; periodic indexing would then use period naz*daz =
+        # 2pi + daz, putting every order-3 seam tap off by one column.
+        # Drop the endpoint (read_cst does the same for closed exports).
+        if ax1.size >= 2 and abs((ax1[-1] - ax1[0]) - 2 * np.pi) < 1e-8:
+            ax1 = ax1[:-1]
+            arr = arr[..., :-1]
         # The table is immutable by contract (every transform returns a new
         # GriddedBeam). Own a FROZEN array: downstream content-addressed
         # caches can then skip per-call checksum revalidation of MB-scale
         # tables (core/hashing.py immutable-owner fast path). A writable
         # caller array is copied rather than having its flags mutated.
-        arr = np.asarray(data_array)
         if arr.flags.writeable:
             if arr is data_array or arr.base is not None:
                 arr = arr.copy()
@@ -63,10 +77,16 @@ class GriddedBeam:
         # Axis/freq arrays are hashed inside every beam fingerprint (cache
         # keys are rebuilt each simulate() call); frozen owners make those
         # digests one-time (immutable-owner memo in core/hashing.py).
-        self.axis1_array = _own_frozen(axis1_array)
+        self.axis1_array = _own_frozen(ax1)
         self.axis2_array = _own_frozen(axis2_array)
         self.freq_array = _own_frozen(freq_array)
         self.beam_type = beam_type
+        self.feeds = None if feeds is None else [str(f).lower() for f in feeds]
+        if self.feeds is not None and len(self.feeds) != self.data_array.shape[1]:
+            raise ValueError(
+                f"feeds {self.feeds} does not match the feed axis "
+                f"({self.data_array.shape[1]})"
+            )
         if self.data_array.ndim != 5:
             raise ValueError("data_array must be 5-dimensional (vec, feed, freq, za, az)")
         if self.data_array.shape[2] != self.freq_array.size:
@@ -95,12 +115,15 @@ class GriddedBeam:
         return bool(abs(span + daz - 2 * np.pi) < 1e-8 or abs(span - 2 * np.pi) < 1e-8)
 
     def copy(self) -> "GriddedBeam":
+        data = self.data_array.copy()
+        data.setflags(write=False)  # freshly owned: take the zero-copy path
         return GriddedBeam(
-            self.data_array.copy(),
+            data,
             self.axis1_array.copy(),
             self.axis2_array.copy(),
             self.freq_array.copy(),
             self.beam_type,
+            feeds=self.feeds,
         )
 
     # ------------------------------------------------------------------
@@ -113,7 +136,11 @@ class GriddedBeam:
         freqs = np.atleast_1d(np.asarray(freqs, dtype=float))
         if self.Nfreqs == 1:
             data = np.repeat(self.data_array, len(freqs), axis=2)
-            return GriddedBeam(data, self.axis1_array, self.axis2_array, freqs, self.beam_type)
+            data.setflags(write=False)  # freshly owned: zero-copy construct
+            return GriddedBeam(
+                data, self.axis1_array, self.axis2_array, freqs,
+                self.beam_type, feeds=self.feeds,
+            )
         if freqs.min() < self.freq_array.min() - 1e-3 or freqs.max() > self.freq_array.max() + 1e-3:
             raise ValueError(
                 f"Requested frequencies [{freqs.min()}, {freqs.max()}] outside "
@@ -124,7 +151,11 @@ class GriddedBeam:
         f0, f1 = old[idx - 1], old[idx]
         t = ((freqs - f0) / (f1 - f0))[None, None, :, None, None]
         out = self.data_array[:, :, idx - 1] * (1 - t) + self.data_array[:, :, idx] * t
-        return GriddedBeam(out, self.axis1_array, self.axis2_array, freqs, self.beam_type)
+        out.setflags(write=False)  # freshly owned: zero-copy construct
+        return GriddedBeam(
+            out, self.axis1_array, self.axis2_array, freqs, self.beam_type,
+            feeds=self.feeds,
+        )
 
     def as_power_beam(self, include_cross_pols: bool = False) -> "GriddedBeam":
         """E-field -> power: P_feed = sum_vec |E_vec,feed|^2.
@@ -136,9 +167,13 @@ class GriddedBeam:
             return self
         if include_cross_pols:
             raise NotImplementedError("cross-pol power beams not supported")
-        power = np.sum(np.abs(self.data_array) ** 2, axis=0, keepdims=True)
+        power = np.ascontiguousarray(
+            np.sum(np.abs(self.data_array) ** 2, axis=0, keepdims=True).real
+        )
+        power.setflags(write=False)  # freshly owned: zero-copy construct
         return GriddedBeam(
-            power.real, self.axis1_array, self.axis2_array, self.freq_array, "power"
+            power, self.axis1_array, self.axis2_array, self.freq_array,
+            "power", feeds=self.feeds,
         )
 
     # ------------------------------------------------------------------
@@ -165,7 +200,8 @@ class GriddedBeam:
             for fi, f in enumerate(freqs):
                 e = np.asarray(beam.efield(azg.ravel(), zag.ravel(), f))
                 data[:, :, fi] = e.reshape(2, 2, n_za, n_az)
-        return cls(data, az, za, freqs, "efield")
+        data.setflags(write=False)  # freshly owned: zero-copy construct
+        return cls(data, az, za, freqs, "efield", feeds=["x", "y"])
 
     @classmethod
     def from_uvbeam(cls, uvb) -> "GriddedBeam":
@@ -245,14 +281,25 @@ class GriddedBeam:
                     f"({len(feeds)}); reorder feeds with pyuvdata first"
                 )
             data = data[:, ::-1]
+            feeds = feeds[::-1]
         elif feeds and feeds not in (["e", "n"], ["x", "y"], ["e"], ["x"], ["n"], ["y"]):
             raise ValueError(f"Unrecognized UVBeam feed ordering: {feeds}")
+        # Keep feed identity (east-first 'x'/'y' labels) when the axis
+        # matches Nfeeds: a single-feed ['y'] beam must then REFUSE a
+        # use_feed='x' request instead of silently returning the y feed.
+        label_map = {"e": "x", "n": "y", "x": "x", "y": "y"}
+        feed_labels = (
+            [label_map[f] for f in feeds]
+            if feeds and len(feeds) == data.shape[1]
+            else None
+        )
         return cls(
             data,
             np.asarray(uvb.axis1_array, dtype=float).ravel(),
             np.asarray(uvb.axis2_array, dtype=float).ravel(),
             np.asarray(uvb.freq_array, dtype=float).ravel(),
             getattr(uvb, "beam_type", "efield"),
+            feeds=feed_labels,
         )
 
 

@@ -95,6 +95,12 @@ class PowerBeam:
     def __init__(self, base, use_feed: str = "x"):
         if isinstance(base, BeamInterface):
             base = base.beam
+        if isinstance(base, PowerBeam):
+            # Already a power beam of a specific feed -- it has no other
+            # feed to offer, so keep its selection and unwrap (re-wrapping
+            # a pre-converted beam through simulate_vis must be a no-op).
+            use_feed = base.use_feed
+            base = base.base
         self.use_feed = use_feed
         if isinstance(base, GriddedBeam):
             self.base = base.as_power_beam()
@@ -309,6 +315,7 @@ def _prepare_beam_uncached(
     # TPU runtimes, and interpolation distributes over re/im anyway.
     host = gb.data_array
     is_complex = np.iscomplexobj(host)
+    wrap = gb.az_wraps
     if is_complex:
         host = np.stack([host.real, host.imag])
     if order == 3:
@@ -318,12 +325,13 @@ def _prepare_beam_uncached(
         import jax
 
         with jax.default_device(jax.devices("cpu")[0]):
-            host = np.asarray(spline_prefilter_2d(jnp.asarray(host)))
+            host = np.asarray(
+                spline_prefilter_2d(jnp.asarray(host), periodic_x=wrap)
+            )
     az0 = float(gb.axis1_array[0])
     daz = float(gb.axis1_array[1] - gb.axis1_array[0]) if gb.axis1_array.size > 1 else 1.0
     za0 = float(gb.axis2_array[0])
     dza = float(gb.axis2_array[1] - gb.axis2_array[0]) if gb.axis2_array.size > 1 else 1.0
-    wrap = gb.az_wraps
     # Opt-in accuracy/speed trade (FFTVIS_BEAM_UPSAMPLE=N, N>=2): resample
     # the cubic spline onto an Nx-denser grid ONCE on the host, then run
     # 4-tap order-1 interpolation on device instead of 16-tap order-3. The
@@ -356,8 +364,21 @@ def _prepare_beam_uncached(
     # (immutable-owner fast path in core/hashing.py).
     data.setflags(write=False)
     nbeampix = ny_t * nx_t
-    feed_idx = _FEED_INDEX[use_feed]
     is_power = gb.beam_type == "power"
+    # The requested feed: a PowerBeam wrapper carries its own selection
+    # (the engine calls prepare without use_feed, so reading the argument
+    # here would silently evaluate the x feed for use_feed='y' sims).
+    want_feed = inner.use_feed if isinstance(inner, PowerBeam) else use_feed
+    labels = getattr(gb, "feeds", None)
+    if labels and want_feed in labels:
+        feed_idx = labels.index(want_feed)
+    elif labels and is_power:
+        raise ValueError(
+            f"requested feed {want_feed!r} is not present in this beam "
+            f"(feeds: {labels})"
+        )
+    else:
+        feed_idx = _FEED_INDEX[want_feed]
 
     def eval_grid(az, za, fv, fi):
         dslice = jnp.take(jnp.asarray(data), fi, axis=0)  # (ny, nx, chflat)

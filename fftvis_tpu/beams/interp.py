@@ -66,12 +66,42 @@ def _prefilter_axis(data, axis: int):
     return jnp.moveaxis(c, 0, axis)
 
 
-def spline_prefilter_2d(data, axes=(-2, -1)):
-    """Apply the cubic-B-spline prefilter along two axes."""
-    out = data
-    for ax in axes:
-        out = _prefilter_axis(out, ax)
-    return out
+def _prefilter_axis_periodic(data, axis: int):
+    """Cubic-B-spline prefilter along a PERIODIC ``axis``.
+
+    Solves the circulant system (c[i-1] + 4 c[i] + c[i+1]) / 6 = x[i] in
+    the Fourier domain (eigenvalues (4 + 2 cos(2 pi k / n)) / 6): the
+    coefficients a full-circle azimuth axis needs so that periodic taps
+    (mod-n indexing at evaluation time) reconstruct the table exactly at
+    the seam. Prefiltering a wrapped axis with the mirror boundary leaves
+    an O((c[n-1] - c[1]) / 6) bias at the seam nodes instead.
+    """
+    import jax.numpy as jnp
+
+    x = jnp.moveaxis(data, axis, -1)
+    n = x.shape[-1]
+    if n == 1:
+        return data
+    k = np.arange(n)
+    eig = (4.0 + 2.0 * np.cos(2.0 * np.pi * k / n)) / 6.0
+    c = jnp.fft.ifft(jnp.fft.fft(x, axis=-1) / jnp.asarray(eig), axis=-1)
+    if not jnp.iscomplexobj(data):
+        c = c.real
+    c = c.astype(data.dtype)
+    return jnp.moveaxis(c, -1, axis)
+
+
+def spline_prefilter_2d(data, axes=(-2, -1), periodic_x: bool = False):
+    """Apply the cubic-B-spline prefilter along two axes.
+
+    ``periodic_x`` selects the periodic boundary for the LAST axis of
+    ``axes`` (a full-circle azimuth grid evaluated with ``wrap_x=True``);
+    the other axis always uses scipy's 'mirror' boundary.
+    """
+    out = _prefilter_axis(data, axes[0])
+    if periodic_x:
+        return _prefilter_axis_periodic(out, axes[1])
+    return _prefilter_axis(out, axes[1])
 
 
 def _mirror_index(i, n: int):
@@ -162,7 +192,9 @@ def map_coordinates_2d(
         )
 
     if order == 3:
-        coeff = data if prefiltered else spline_prefilter_2d(data)
+        coeff = (
+            data if prefiltered else spline_prefilter_2d(data, periodic_x=wrap_x)
+        )
         y0 = jnp.floor(y)
         ty = y - y0
         wy = _bspline3_weights(ty)  # (npts, 4)

@@ -31,6 +31,7 @@ Everything here is host-side setup work (plain NumPy, no JAX).
 
 from __future__ import annotations
 
+import os
 import re
 
 import numpy as np
@@ -77,8 +78,13 @@ def _col(names: list[str], wanted: tuple, what: str, path: str) -> int:
 
 
 def _frequency_from_filename(path: str) -> float:
-    """Parse a frequency from a CST filename (e.g. ``..._150MHz.txt``)."""
-    m = re.search(r"(\d+(?:\.\d+)?)\s*([kMG]?Hz)", path, flags=re.IGNORECASE)
+    """Parse a frequency from a CST filename (e.g. ``..._150MHz.txt``).
+
+    Only the basename is searched: a frequency-like token in a parent
+    directory (``/data/sims_2GHz/...``) must not shadow the filename's.
+    """
+    name = os.path.basename(path)
+    m = re.search(r"(\d+(?:\.\d+)?)\s*([kMG]?Hz)", name, flags=re.IGNORECASE)
     if not m:
         raise ValueError(
             f"Cannot parse a frequency from filename {path!r}; pass "

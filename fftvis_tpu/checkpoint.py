@@ -104,6 +104,19 @@ def simulate_vis_checkpointed(
             float(kwargs.get("upsample_factor", 2)),
             bool(kwargs.get("force_use_type3", False)),
             float(kwargs.get("flat_array_tol", 1e-6)),
+            # Result-affecting env knobs (they change interpolation or
+            # contraction SEMANTICS, not just lowering): resumed blocks
+            # must not mix accuracies with freshly computed ones.
+            tuple(
+                (k, os.environ.get(k, ""))
+                for k in (
+                    "FFTVIS_BEAM_UPSAMPLE",
+                    "FFTVIS_ALLOW_BEAM_CLAMP",
+                    "FFTVIS_MATMUL_PRECISION",
+                    "FFTVIS_DS",
+                    "FFTVIS_DS_COORDS",
+                )
+            ),
         )
     )
 
@@ -152,8 +165,13 @@ def simulate_vis_checkpointed(
         block = fut.result()
         np.save(path, block)
         manifest["done"] = [list(k) for k in sorted(done | {key})]
-        with open(manifest_path, "w") as fh:
+        # Atomic manifest update: a crash mid-write (the very event this
+        # module exists to survive) must not leave a truncated JSON that
+        # breaks the next resume.
+        tmp_path = manifest_path + ".tmp"
+        with open(tmp_path, "w") as fh:
             json.dump(manifest, fh)
+        os.replace(tmp_path, manifest_path)
         done.add(key)
         logger.info("checkpointed block %s -> %s", key, path)
         _place(key, block)

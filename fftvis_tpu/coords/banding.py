@@ -85,11 +85,13 @@ def plan_horizon_bands(
     if nsrc == 0 or ntimes < 2 or nblocks < 2:
         return None
 
-    # Exact per-(time, source) zenith cosine, device chain in float64.
-    z = np.empty((ntimes, nsrc))
+    # Per-(time, source) visibility from the exact float64 zenith-cosine
+    # chain. Threshold row by row: materializing the full (ntimes, nsrc)
+    # float64 matrix costs 8x the bool table and can OOM exactly the
+    # long-observation x large-catalog runs banding targets.
+    vis = np.empty((ntimes, nsrc), dtype=bool)
     for t in range(ntimes):
-        z[t] = rot.topo_at(t)[2]
-    vis = z > -margin  # (nt, nsrc)
+        vis[t] = rot.topo_at(t)[2] > -margin
 
     always = vis.all(axis=0)
     some = ~always

@@ -188,6 +188,7 @@ def beam_fingerprint(bi) -> tuple:
         return (
             "grid",
             bi.beam_type,
+            None if bi.feeds is None else tuple(bi.feeds),
             bi.data_array,
             bi.axis1_array,
             bi.axis2_array,

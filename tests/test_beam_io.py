@@ -300,3 +300,14 @@ def test_rotate_pol_requires_full_circle(tmp_path):
             fh.write("  ".join(f"{v: .8e}" for v in r) + "\n")
     with pytest.raises(ValueError, match="full-circle"):
         read_cst(str(f))
+
+
+def test_frequency_parse_ignores_directory_names(tmp_path):
+    """A frequency-like token in a parent directory must not shadow the
+    filename's (regression: re.search ran over the whole path)."""
+    d = tmp_path / "sims_2GHz"
+    d.mkdir()
+    f = d / "synth_150MHz.txt"
+    _write_cst_file(f)
+    gb = read_cst(str(f), rotate_pol=False)
+    assert gb.freq_array[0] == pytest.approx(150e6)

@@ -589,3 +589,93 @@ class TestBeamUpsampleKnob:
         scale = np.abs(v0).max()
         assert np.abs(v1 - v0).max() / scale < 2e-3
         assert not np.array_equal(v1, v0)  # the knob actually engaged
+
+
+class TestFeedSelection:
+    """Regressions: feed identity through the gridded power-beam path."""
+
+    def _two_feed_beam(self):
+        # y-feed power = 4x x-feed power everywhere (amplitude 2x).
+        az = np.linspace(0, 2 * np.pi, 36, endpoint=False)
+        za = np.linspace(0, np.pi / 2, 10)
+        data = np.zeros((2, 2, 1, za.size, az.size), dtype=np.complex128)
+        base = (1.0 - 0.5 * (za / za[-1]) ** 2)[:, None] * np.ones(az.size)
+        data[0, 0, 0] = base
+        data[0, 1, 0] = 2.0 * base
+        return GriddedBeam(data, az, za, np.array([1.5e8]), "efield",
+                           feeds=["x", "y"])
+
+    def test_use_feed_y_selects_y_power(self):
+        gb = self._two_feed_beam()
+        freqs = np.array([1.5e8])
+        az = jnp.asarray(np.linspace(0.1, 6.0, 7))
+        za = jnp.asarray(np.linspace(0.05, 1.2, 7))
+        px = prepare_beam(
+            prepare_beam_unpolarized(gb, use_feed="x").beam, freqs, False
+        ).evaluate(az, za, 1.5e8, 0)
+        py = prepare_beam(
+            prepare_beam_unpolarized(gb, use_feed="y").beam, freqs, False
+        ).evaluate(az, za, 1.5e8, 0)
+        np.testing.assert_allclose(np.asarray(py), 4 * np.asarray(px),
+                                   rtol=1e-6)
+
+    def test_missing_feed_raises(self):
+        az = np.linspace(0, 2 * np.pi, 36, endpoint=False)
+        za = np.linspace(0, np.pi / 2, 10)
+        data = np.ones((1, 1, 1, za.size, az.size))
+        gb = GriddedBeam(data, az, za, np.array([1.5e8]), "power",
+                         feeds=["y"])
+        with pytest.raises(ValueError, match="feed 'x' is not present"):
+            prepare_beam(
+                prepare_beam_unpolarized(gb, use_feed="x").beam,
+                np.array([1.5e8]), False,
+            )
+
+    def test_double_power_wrap_is_noop(self):
+        """Pre-converting with prepare_beam_unpolarized and passing the
+        result through another PowerBeam wrap (what simulate_vis does for
+        unpolarized sims) must keep the original feed selection."""
+        from fftvis_tpu.beams.interface import PowerBeam
+
+        gb = self._two_feed_beam()
+        once = prepare_beam_unpolarized(gb, use_feed="y").beam
+        twice = PowerBeam(once)  # wrapper-style re-wrap, default feed arg
+        assert twice.use_feed == "y"
+        assert not isinstance(twice.base, PowerBeam)
+        freqs = np.array([1.5e8])
+        az = jnp.asarray(np.linspace(0.1, 6.0, 5))
+        za = jnp.asarray(np.linspace(0.05, 1.2, 5))
+        v1 = prepare_beam(once, freqs, False).evaluate(az, za, 1.5e8, 0)
+        v2 = prepare_beam(twice, freqs, False).evaluate(az, za, 1.5e8, 0)
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+
+class TestAzSeam:
+    def test_order3_wrap_reproduces_table_at_seam(self):
+        """Order-3 on a wrapped az axis must reproduce table values AT the
+        seam nodes (regression: mirror prefilter + periodic taps left an
+        O((c[n-1]-c[1])/6) bias at az = az0)."""
+        rng = np.random.default_rng(3)
+        ny, nx = 9, 24
+        table = rng.normal(size=(ny, nx))
+        got = np.asarray(
+            map_coordinates_2d(
+                jnp.asarray(table),
+                jnp.asarray(np.full(nx, 4.0)),
+                jnp.asarray(np.arange(nx, dtype=float)),
+                order=3, wrap_x=True,
+            )
+        )
+        np.testing.assert_allclose(got, table[4], atol=1e-10)
+
+    def test_duplicated_endpoint_column_dropped(self):
+        """A grid holding BOTH az=0 and az=2pi drops the duplicate column
+        so periodic indexing has period 2pi (regression: period was
+        2pi + daz, off-by-one seam taps)."""
+        az = np.linspace(0, 2 * np.pi, 25)  # 0 and 2pi both present
+        za = np.linspace(0, np.pi / 2, 5)
+        data = np.ones((1, 1, 1, za.size, az.size))
+        gb = GriddedBeam(data, az, za, np.array([1.5e8]), "power")
+        assert gb.axis1_array.size == 24
+        assert abs(gb.axis1_array[-1] - (2 * np.pi - np.pi / 12)) < 1e-12
+        assert gb.az_wraps

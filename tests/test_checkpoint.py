@@ -192,3 +192,41 @@ def test_checkpoint_rejects_changed_settings(tmp_path):
     simulate_vis_checkpointed(beam_spline_opts={"order": 1}, **kw)
     with pytest.raises(ValueError, match="different configuration"):
         simulate_vis_checkpointed(beam_spline_opts={"order": 3}, **kw)
+
+
+def test_env_knobs_key_the_content_hash(tmp_path, monkeypatch):
+    """Result-affecting env knobs (FFTVIS_BEAM_UPSAMPLE etc.) must not
+    silently mix blocks computed under different interpolation semantics
+    into one resumed cube."""
+    kw = _kwargs()
+    freqs = np.linspace(1e8, 1.2e8, 2)
+    times = JD0 + np.linspace(0, 0.01, 2)
+    ck = str(tmp_path / "ck")
+    simulate_vis_checkpointed(
+        checkpoint_dir=ck, freqs=freqs, times=times, precision=2, **kw
+    )
+    monkeypatch.setenv("FFTVIS_DS", "1")
+    with pytest.raises(ValueError, match="different"):
+        simulate_vis_checkpointed(
+            checkpoint_dir=ck, freqs=freqs, times=times, precision=2, **kw
+        )
+
+
+def test_manifest_written_atomically(tmp_path):
+    """The manifest is replaced via a temp file; no stale .tmp remains and
+    the manifest parses after a full run."""
+    import json
+    import os
+
+    kw = _kwargs()
+    freqs = np.linspace(1e8, 1.2e8, 2)
+    times = JD0 + np.linspace(0, 0.01, 2)
+    ck = tmp_path / "ck"
+    simulate_vis_checkpointed(
+        checkpoint_dir=str(ck), freqs=freqs, times=times, precision=2,
+        time_block=1, **kw
+    )
+    assert not os.path.exists(ck / "manifest.json.tmp")
+    with open(ck / "manifest.json") as fh:
+        manifest = json.load(fh)
+    assert manifest["done"]
