@@ -52,7 +52,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..beams.interface import prepare_beams, stack_prepared
+from ..beams.interface import BeamInterface, prepare_beams, stack_prepared
 from ..coords.erfa_lite import TelescopeLocation, times_to_jd
 from ..coords.rotation import SourceRotation, enu_to_az_za
 from ..core import coherency as coh_mod
@@ -518,6 +518,10 @@ class TPUSimulationEngine(SimulationEngine):
         nsrc = rot.nsrc
 
         # ---------------- pair routing / basis channels ----------------
+        # User-provided beam_coefs follow the reference's k<=l half-list
+        # plus transpose-reuse contraction (ref cpu_simulate.py:423-468);
+        # the auto-rank path below selects its own channel-list semantics.
+        basis_kl_sym = True
         if use_basis:
             K = nbeam
             kl_pairs = [(k, l) for k in range(K) for l in range(k, K)]
@@ -543,6 +547,57 @@ class TPUSimulationEngine(SimulationEngine):
             else:
                 pair_plan, flipped_global = cached_pp
             npairs = pair_plan.npairs
+
+        # Accuracy-controlled automatic rank compression (core/auto_rank.py):
+        # per-antenna tabulated beam lists are usually a near-low-rank
+        # family, and the transform cost is linear in the channel count
+        # (npairs x nfeeds^2). When an SVD of the stacked tables reaches a
+        # residual of eps/8 at K eigenbeams with a >= 2x channel-count win,
+        # switch to the (exact-contraction) basis path with per-antenna
+        # coefficients. Polarized only (the unpolarized pair weight
+        # sqrt(B_i B_j) is not bilinear in the tables); skipped for the DS
+        # path (its contract is exactness) and for fp64-class eps (the
+        # required rank approaches full). FFTVIS_AUTO_RANK=0 disables.
+        if (
+            not use_basis
+            and polarized
+            and not use_ds
+            and npairs >= 8
+            and eps >= 1e-9
+            and os.environ.get("FFTVIS_AUTO_RANK", "") != "0"
+        ):
+            from ..core.auto_rank import plan_auto_rank
+
+            arp = plan_auto_rank(
+                beam_list,
+                tol=eps / 8.0,
+                npairs=npairs,
+                allow_sym=not polarized_sky,
+            )
+            if arp is not None:
+                logger.info(
+                    "auto-rank: %d-pair per-antenna routing compressed to "
+                    "K=%d eigenbeams (%d -> %d channels, %s channel list, "
+                    "residual %.2e)",
+                    npairs, arp.K, npairs * nfeeds**2,
+                    len(arp.kl_pairs) * nfeeds**2,
+                    "symmetric" if arp.kl_sym else "ordered", arp.residual,
+                )
+                beam_list = [BeamInterface(eb) for eb in arp.eigenbeams]
+                nbeam = arp.K
+                use_basis = True
+                basis_kl_sym = arp.kl_sym
+                kl_pairs = list(arp.kl_pairs)
+                npairs = len(kl_pairs)
+                pair_plan = None
+                flipped_global = np.zeros(nbl, dtype=bool)
+                ant1_idx = bl_index_arr[:, 0]
+                ant2_idx = bl_index_arr[:, 1]
+                coefs_ant = arp.coefs[np.asarray(beam_idx)]  # (nant, K)
+                beam_coefs = np.repeat(
+                    coefs_ant[:, :, None].astype(np.complex128), nfreqs,
+                    axis=2,
+                )
 
         # Padded-vs-loop pair routing decision (details at the sel_pad
         # construction below); needed early for direct-path block sizing.
@@ -1407,10 +1462,18 @@ class TPUSimulationEngine(SimulationEngine):
                 # einsums over the pair axis (one per transpose orientation)
                 # instead of an npairs-long accumulation loop.
                 w_kl = c1[:, pair_i] * c2[:, pair_j]  # (nbl, P)
-                offdiag = (pair_i != pair_j).astype(coefs_host.dtype)
-                w_lk = (c1[:, pair_j] * c2[:, pair_i]) * jnp.asarray(offdiag)
                 vis_f = jnp.einsum("bp,pfgb->bgf", w_kl, per_pair)
-                vis_f = vis_f + jnp.einsum("bp,pfgb->bfg", w_lk, per_pair)
+                if basis_kl_sym:
+                    # k<=l half-list: the (l, k) channel is reused as the
+                    # feed transpose of (k, l) (exact for real tables and a
+                    # symmetric sky coherency; reference semantics, ref
+                    # cpu_simulate.py:461-468). The auto-rank ordered list
+                    # carries every (k, l) explicitly instead.
+                    offdiag = (pair_i != pair_j).astype(coefs_host.dtype)
+                    w_lk = (c1[:, pair_j] * c2[:, pair_i]) * jnp.asarray(
+                        offdiag
+                    )
+                    vis_f = vis_f + jnp.einsum("bp,pfgb->bfg", w_lk, per_pair)
                 return vis_f.astype(complex_dtype)
 
             if npairs == 1 and sel_is_identity:
@@ -1620,6 +1683,7 @@ class TPUSimulationEngine(SimulationEngine):
                 bool(polarized),
                 bool(polarized_sky),
                 bool(use_basis),
+                bool(basis_kl_sym),
                 str(real_dtype),
                 str(complex_dtype),
                 float(eps),
