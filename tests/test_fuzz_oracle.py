@@ -212,6 +212,90 @@ def test_fuzz_gridded_vs_oracle(seed, monkeypatch):
     np.testing.assert_allclose(got, want, atol=2e-5 * scale, rtol=0)
 
 
+@pytest.mark.parametrize("seed", range(40_000, 40_006))
+def test_fuzz_auto_rank_vs_oracle(seed, caplog):
+    """Random LOW-RANK per-antenna tabulated-beam families: the automatic
+    SVD rank compression (core/auto_rank.py) must ENGAGE (asserted via its
+    INFO log) and the compressed engine must still match the exact per-pair
+    direct oracle. The targeted tests in test_auto_rank.py compare against
+    the uncompressed engine path; this axis is the independent one -- the
+    oracle never compresses, so a wrong coefficient contraction or channel
+    list cannot cancel."""
+    import logging
+
+    rng = np.random.default_rng(seed)
+    nant = int(rng.integers(6, 9))
+    span = float(rng.uniform(40, 150))
+    ants = {
+        i: np.array([*rng.uniform(-span, span, 2), 0.0]) for i in range(nant)
+    }
+    nsrc = int(rng.integers(20, 60))
+    ra = rng.uniform(0, 2 * np.pi, nsrc)
+    dec = np.arcsin(rng.uniform(-1, 1, nsrc))
+    nfreq = int(rng.integers(1, 3))
+    freqs = np.sort(rng.uniform(FREQ_LO, FREQ_HI, nfreq))
+    ntime = int(rng.integers(1, 3))
+    times = JD0 + np.sort(rng.uniform(0, 0.02, ntime))
+    iquv = bool(rng.integers(0, 2))
+    if iquv:
+        I = rng.uniform(0.5, 1.0, (nsrc, nfreq))
+        frac = rng.uniform(-0.2, 0.2, (nsrc, nfreq, 3))
+        flux = np.concatenate([I[..., None], I[..., None] * frac], axis=-1)
+    else:
+        flux = rng.uniform(0.1, 1.0, (nsrc, nfreq))
+
+    # A rank-R family: every antenna's table is a random combination of R
+    # parent tables on one common grid (R small so compression wins).
+    R = int(rng.integers(2, 4))
+    parents = [
+        np.asarray(
+            GriddedBeam.from_function(
+                GaussianBeam(diameter=float(rng.uniform(10, 16))),
+                n_az=81, n_za=41, freqs=freqs, za_max=np.pi / 2,
+            ).data_array
+        )
+        for _ in range(R)
+    ]
+    first = GriddedBeam.from_function(
+        GaussianBeam(diameter=12.0), n_az=81, n_za=41, freqs=freqs,
+        za_max=np.pi / 2,
+    )
+    beams = []
+    for _ in range(nant):
+        w = rng.uniform(0.2, 1.0, R)
+        data = sum(wk * p for wk, p in zip(w, parents))
+        if rng.integers(0, 2):  # complex tables force the ordered K^2 list
+            data = data * np.exp(1j * float(rng.uniform(0, 0.3)))
+        beams.append(
+            GriddedBeam(
+                data, first.axis1_array, first.axis2_array,
+                first.freq_array, beam_type="efield", feeds=first.feeds,
+            )
+        )
+
+    keys = list(ants.keys())
+    kw = dict(
+        ants=ants, fluxes=flux, ra=ra, dec=dec, freqs=freqs, times=times,
+        beam=beams, beam_idx=np.arange(nant), telescope_loc=LOC,
+        polarized=True, precision=2, eps=2e-6,
+        baselines=[
+            (keys[i], keys[j])
+            for i in range(nant)
+            for j in range(i, nant)
+        ],
+    )
+    caplog.set_level(logging.INFO)
+    got = simulate_vis(backend="tpu", **kw)
+    assert any(
+        "auto-rank" in r.getMessage() and "compressed" in r.getMessage()
+        for r in caplog.records
+    ), "auto-rank did not engage on a low-rank beam family"
+    want = simulate_vis(backend="direct", **kw)
+    assert got.shape == want.shape
+    scale = max(np.abs(want).max(), 1e-12)
+    np.testing.assert_allclose(got, want, atol=2e-5 * scale, rtol=0)
+
+
 @pytest.mark.parametrize("seed", range(30_000, 30_008))
 def test_fuzz_eigenbeam_vs_oracle(seed):
     """Random eigenbeam-basis configurations (beam_coefs path) against the
