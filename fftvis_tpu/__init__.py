@@ -34,6 +34,7 @@ _enable_compile_cache()
 
 from . import beams, coords, geometry, nufft, parallel
 from .autodiff import build_differentiable_sim
+from .checkpoint import simulate_vis_checkpointed
 from .core.beam_basis import compute_beam_basis
 from .core.simulate import SimulationEngine, default_accuracy_dict
 from .coords import TelescopeLocation
@@ -46,6 +47,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "simulate_vis",
+    "simulate_vis_checkpointed",
     "build_differentiable_sim",
     "create_simulation_engine",
     "create_beam_evaluator",
