@@ -48,6 +48,10 @@ logger = logging.getLogger(__name__)
 
 _AUTORANK_CACHE: dict = {}
 _AUTORANK_CACHE_LIMIT = 8
+# Planning declines (full-rank families, zero tables) are cached too: a
+# None entry must be distinguishable from a miss, or every simulate() call
+# on a non-compressible beam list would redo the stack + SVD.
+_DECLINED = object()
 
 
 @dataclass(frozen=True)
@@ -156,12 +160,12 @@ def plan_auto_rank(
     )
     plan = cache_get_lru(_AUTORANK_CACHE, key)
     if plan is None:
-        plan = _plan_uncached(gbs, tol, allow_sym)
+        plan = _plan_uncached(gbs, tol, allow_sym) or _DECLINED
         if len(_AUTORANK_CACHE) >= _AUTORANK_CACHE_LIMIT:
             _AUTORANK_CACHE.pop(next(iter(_AUTORANK_CACHE)))
         _AUTORANK_CACHE[key] = plan
 
-    if plan is None:
+    if plan is _DECLINED:
         return None
     if len(plan.kl_pairs) * min_gain > npairs:
         logger.info(

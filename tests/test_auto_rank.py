@@ -238,3 +238,30 @@ class TestPlanAutoRank:
         beams, _, _ = self._family(6, 2, seed=2)
         plan = plan_auto_rank(beams, 1e-9, npairs=21, allow_sym=False)
         assert plan is not None and not plan.kl_sym
+
+    def test_decline_is_cached(self, monkeypatch):
+        # A declined plan (full-rank family) must not redo the stack + SVD
+        # on every simulate() call: the cache stores a sentinel for it.
+        import fftvis_tpu.core.auto_rank as ar
+
+        rng = np.random.default_rng(5)
+        az = np.linspace(0, 2 * np.pi, 17)
+        za = np.linspace(0, np.pi / 2, 9)
+        beams = [
+            GriddedBeam(
+                rng.normal(size=(2, 2, 1, za.size, az.size)), az, za,
+                np.array([1.0e8]), "efield",
+            )
+            for _ in range(4)
+        ]
+        calls = {"n": 0}
+        real = ar._plan_uncached
+
+        def counting(*a, **k):
+            calls["n"] += 1
+            return real(*a, **k)
+
+        monkeypatch.setattr(ar, "_plan_uncached", counting)
+        assert plan_auto_rank(beams, 1e-12, npairs=100, allow_sym=True) is None
+        assert plan_auto_rank(beams, 1e-12, npairs=100, allow_sym=True) is None
+        assert calls["n"] == 1
