@@ -239,6 +239,31 @@ class TestPlanAutoRank:
         plan = plan_auto_rank(beams, 1e-9, npairs=21, allow_sym=False)
         assert plan is not None and not plan.kl_sym
 
+    def test_mesh_sharded_matches_single_device(self, caplog):
+        # The compression rewrites the beam list before program planning,
+        # so it must compose with SPMD sharding transparently.
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from fftvis_tpu.parallel.mesh import make_mesh
+
+        caplog.set_level(logging.INFO)
+        kw = _kw(_beams(7), seed=3)
+        want = simulate_vis(**kw)
+        assert _engaged(caplog)
+        got = simulate_vis(mesh=make_mesh(time=2, source=4), **kw)
+        scale = np.abs(want).max()
+        np.testing.assert_allclose(got, want, atol=1e-11 * scale, rtol=0)
+
+    def test_async_fetch_future_matches_sync(self, caplog):
+        caplog.set_level(logging.INFO)
+        kw = _kw(_beams(7), seed=4)
+        want = simulate_vis(**kw)
+        assert _engaged(caplog)
+        fut = simulate_vis(async_fetch=True, **kw)
+        np.testing.assert_allclose(fut.result(), want, rtol=0, atol=0)
+
     def test_decline_is_cached(self, monkeypatch):
         # A declined plan (full-rank family) must not redo the stack + SVD
         # on every simulate() call: the cache stores a sentinel for it.
