@@ -66,10 +66,13 @@ def _content_check(buf) -> tuple:
     crc = zlib.crc32(buf)
     n8 = (buf.nbytes // 8) * 8
     if n8:
+        # buf.data is a memoryview in dtype-sized items; cast to a byte
+        # view before slicing the 8-byte-aligned prefix (an item-sliced
+        # view of e.g. an odd-count float32 array is not a multiple of 8
+        # bytes and frombuffer(uint64) would raise).
+        mv = memoryview(buf.data).cast("B")
         s = int(
-            np.frombuffer(memoryview(buf.data)[:n8], dtype=np.uint64).sum(
-                dtype=np.uint64
-            )
+            np.frombuffer(mv[:n8], dtype=np.uint64).sum(dtype=np.uint64)
         )
     else:  # pragma: no cover - sub-8-byte arrays never reach the memo
         s = 0

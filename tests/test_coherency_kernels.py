@@ -167,6 +167,17 @@ class TestDigestMemo:
         assert hash_parts(a) != hash_parts(a.reshape(300 * 300))
         assert hash_parts(np.float32(1.0)) != hash_parts(np.float64(1.0))
 
+    def test_odd_count_non8byte_dtype(self):
+        """nbytes not a multiple of 8 (odd-count float32): the content
+        check must slice the 8-byte-aligned prefix in BYTES, not dtype
+        items (an item slice of such a view raised in frombuffer)."""
+        a = np.random.default_rng(3).normal(size=32769).astype(np.float32)
+        assert a.nbytes % 8 != 0 and a.nbytes >= (1 << 16)
+        k0 = hash_parts(a)
+        assert hash_parts(a) == k0  # memo revalidation path
+        a[-1] += 1.0  # mutate inside the CRC-only tail's 8-byte word
+        assert hash_parts(a) != k0
+
 
 class TestInputCacheFreshness:
     """End-to-end: the engine's device-input cache must not serve a stale
