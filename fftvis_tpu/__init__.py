@@ -33,7 +33,7 @@ def _enable_compile_cache() -> None:
 _enable_compile_cache()
 
 from . import beams, coords, geometry, nufft, parallel
-from .autodiff import build_differentiable_sim
+from .autodiff import build_differentiable_direct_sim, build_differentiable_sim
 from .checkpoint import simulate_vis_checkpointed
 from .core.beam_basis import compute_beam_basis
 from .core.simulate import SimulationEngine, default_accuracy_dict
@@ -43,12 +43,13 @@ from .tpu.beams import TPUBeamEvaluator
 from .tpu.engine import TPUSimulationEngine, VisibilityFuture
 from .wrapper import create_beam_evaluator, create_simulation_engine, simulate_vis
 
-__version__ = "0.3.8"
+__version__ = "0.3.9"
 
 __all__ = [
     "simulate_vis",
     "simulate_vis_checkpointed",
     "build_differentiable_sim",
+    "build_differentiable_direct_sim",
     "create_simulation_engine",
     "create_beam_evaluator",
     "compute_beam_basis",
