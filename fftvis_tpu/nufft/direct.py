@@ -35,6 +35,18 @@ def direct_type1_np(x: np.ndarray, c: np.ndarray, modes: np.ndarray) -> np.ndarr
     return direct_type3_np(x, c, np.asarray(modes, dtype=np.float64))
 
 
+def direct_type2_np(x: np.ndarray, f: np.ndarray, modes: np.ndarray) -> np.ndarray:
+    """Exact type-2: c[., j] = sum_k f[., k] exp(+i modes_k . x_j).
+
+    x: (d, n) radians, f: (..., m), modes: (d, m) ints -> (..., n).
+    The transpose of :func:`direct_type1_np` (same +i sign convention).
+    """
+    x = np.atleast_2d(np.asarray(x, dtype=np.float64))
+    modes = np.atleast_2d(np.asarray(modes, dtype=np.float64))
+    phase = np.einsum("dk,dj->kj", modes, x)  # (m, n)
+    return np.asarray(f) @ np.exp(1j * phase)
+
+
 def direct_type3_jax(x, c, s, source_block: int = 8192):
     """Exact type-3 on device as blocked dense complex matmuls.
 

@@ -538,6 +538,176 @@ def make_type1_fn(plan: Type1Plan):
 
 
 @dataclass(frozen=True)
+class Type2Plan:
+    """Plan for a d-dimensional type-2 transform (modes -> points).
+
+    c_j = sum_k f_k exp(+i k . x_j) for a static integer mode list and
+    static evaluation points: the exact TRANSPOSE of this library's type-1
+    (same +i sign convention, see the module docstring), so it shares the
+    type-1 fine grid, kernel, and deconvolution table. The reference needs
+    no type-2 (fftvis only consumes types 1 and 3 of finufft), but a
+    standalone NUFFT library without the uniform->nonuniform direction
+    would leave degridding / model-prediction workflows uncovered.
+
+    Pipeline (each stage the transpose of the type-1 stage):
+
+        scatter-add (f * deconv) at the mode positions  [gather^T]
+        -> batched +i-sign FFT (symmetric matrix)        [FFT^T]
+        -> ES-kernel tap interpolation at the points     [spread^T]
+
+    Points are host data here (taps are planned in float64), unlike the
+    type-1 executor whose source coordinates stay on device -- type-2's
+    role (evaluating a gridded model at instrument sampling points) makes
+    the points part of the plan, exactly like type-3's targets.
+    """
+
+    kernel: ESKernel
+    d: int
+    nf: tuple[int, ...]
+    # Per-mode scatter positions in FFT-order flat indexing, (m,) int32,
+    # and deconvolution factors, (m,) float64 (the type-1 gather tables).
+    scatter_idx: np.ndarray
+    scatter_deconv: np.ndarray
+    n_modes: int
+    # Per-point interpolation taps per dim: indices (n, w) int32 (mod nf
+    # applied) and kernel values (n, w) float64.
+    tap_idx: tuple[np.ndarray, ...]
+    tap_val: tuple[np.ndarray, ...]
+    n_points: int
+
+
+def plan_type2(
+    x: np.ndarray,
+    modes: np.ndarray,
+    eps: float,
+    upsample_factor: float = 2.0,
+    prefer_pow2: bool = False,
+) -> Type2Plan:
+    """Plan a type-2 transform: integer ``modes`` evaluated at points ``x``.
+
+    Parameters
+    ----------
+    x
+        Evaluation points in radians (2 pi periodic), shape (d, n). Host
+        data -- interpolation taps are planned from them in float64.
+    modes
+        Integer mode indices, shape (d, m). May be negative (FFT wrap);
+        duplicate modes sum (scatter-add), mirroring the type-1 gather's
+        transpose exactly.
+    eps, upsample_factor
+        Accuracy / oversampling, as for :func:`plan_type1`.
+    """
+    x = np.atleast_2d(np.asarray(x, dtype=np.float64))
+    t1 = plan_type1(modes, eps, upsample_factor, prefer_pow2)
+    if x.shape[0] != t1.d:
+        raise ValueError(
+            f"x has {x.shape[0]} dims but modes have {t1.d}"
+        )
+    w = t1.kernel.w
+    tap_idx, tap_val = [], []
+    for axis in range(t1.d):
+        nf_d = t1.nf[axis]
+        u = np.mod(x[axis] / (2.0 * np.pi) * nf_d, nf_d)  # (n,) grid units
+        i0 = np.ceil(u - w / 2.0).astype(np.int64)
+        cells = i0[:, None] + np.arange(w, dtype=np.int64)[None, :]
+        tap_idx.append(np.mod(cells, nf_d).astype(np.int32))
+        tap_val.append(es_kernel_grid(u[:, None] - cells, w, t1.kernel.beta))
+    return Type2Plan(
+        kernel=t1.kernel,
+        d=t1.d,
+        nf=t1.nf,
+        scatter_idx=t1.gather_idx,
+        scatter_deconv=t1.gather_deconv,
+        n_modes=t1.n_targets,
+        tap_idx=tuple(tap_idx),
+        tap_val=tuple(tap_val),
+        n_points=x.shape[1],
+    )
+
+
+class Type2Executor:
+    """Split-phase type-2 execution for jitted pipelines.
+
+    ``interp`` is linear in the grid, so one ``scatter`` + ``transform``
+    can serve multiple point blocks (the mirror of the type-1 executor's
+    accumulate-then-gather structure).
+    """
+
+    def __init__(self, plan: Type2Plan):
+        self.plan = plan
+
+    def fresh_copy(self):
+        return type(self)(self.plan)
+
+    @_scoped("nufft_scatter")
+    def scatter(self, f):
+        """f: (C, m) mode coefficients. Returns the fine mode grid (C, *nf)."""
+        import jax.numpy as jnp
+
+        p = self.plan
+        rdtype = jnp.finfo(f.dtype).dtype
+        vals = f * jnp.asarray(p.scatter_deconv, dtype=rdtype)[None, :]
+        grid = jnp.zeros((f.shape[0], int(np.prod(p.nf))), dtype=f.dtype)
+        grid = grid.at[:, jnp.asarray(p.scatter_idx)].add(vals)
+        return grid.reshape((f.shape[0],) + p.nf)
+
+    @_scoped("nufft_fft")
+    def transform(self, G):
+        # e^{+2 pi i k m / nf} is symmetric in (k, m): the +i-sign FFT that
+        # implements the type-1 forward IS its own transpose.
+        return _forward_modes(G, self.plan.nf)
+
+    @_scoped("nufft_interp")
+    def interp(self, g, point_block: int | None = None):
+        """Evaluate the spatial fine grid at the planned points.
+
+        g: (C, *nf) from :meth:`transform`. Returns (C, n_points).
+        Gathers all w^d taps per point at once -- (C, block, w^d) resident
+        -- so ``point_block`` (host-static) bounds memory for large point
+        sets; taps are host arrays, making the block loop shape-static.
+        """
+        import jax.numpy as jnp
+
+        p = self.plan
+        n = p.n_points
+        if point_block is None or point_block >= n:
+            point_block = n
+        flat = g.reshape(g.shape[0], -1)
+        rdtype = jnp.finfo(g.dtype).dtype
+        out = []
+        for lo in range(0, n, point_block):
+            hi = min(lo + point_block, n)
+            idx = p.tap_idx[0][lo:hi].astype(np.int64)  # (b, w)
+            val = p.tap_val[0][lo:hi]
+            for axis in range(1, p.d):
+                nf_d = p.nf[axis]
+                idx = (
+                    idx[:, :, None] * nf_d
+                    + p.tap_idx[axis][lo:hi][:, None, :]
+                ).reshape(hi - lo, -1)
+                val = (
+                    val[:, :, None] * p.tap_val[axis][lo:hi][:, None, :]
+                ).reshape(hi - lo, -1)
+            taps = flat[:, jnp.asarray(idx.astype(np.int32))]  # (C, b, W)
+            out.append(
+                jnp.einsum(
+                    "cbw,bw->cb", taps, jnp.asarray(val, dtype=rdtype)
+                )
+            )
+        return out[0] if len(out) == 1 else jnp.concatenate(out, axis=1)
+
+
+def make_type2_fn(plan: Type2Plan, point_block: int | None = None):
+    """(f (C, m) mode coefficients) -> (C, n_points). One-shot wrapper."""
+    ex = Type2Executor(plan)
+
+    def run(f):
+        return ex.interp(ex.transform(ex.scatter(f)), point_block=point_block)
+
+    return run
+
+
+@dataclass(frozen=True)
 class Type1ExactPlan:
     """Plan for the exact separable-DFT type-1 (gridded-array) transform.
 
