@@ -642,14 +642,21 @@ class Type2Executor:
     @_scoped("nufft_scatter")
     def scatter(self, f):
         """f: (C, m) mode coefficients. Returns the fine mode grid (C, *nf)."""
+        import jax
         import jax.numpy as jnp
 
         p = self.plan
         rdtype = jnp.finfo(f.dtype).dtype
         vals = f * jnp.asarray(p.scatter_deconv, dtype=rdtype)[None, :]
-        grid = jnp.zeros((f.shape[0], int(np.prod(p.nf))), dtype=f.dtype)
-        grid = grid.at[:, jnp.asarray(p.scatter_idx)].add(vals)
-        return grid.reshape((f.shape[0],) + p.nf)
+        # Scatter-add the real/imag planes separately: complex scatter is
+        # unimplemented on the TPU backend (surfaces as a runtime
+        # UNIMPLEMENTED at result fetch), and interpolation distributes
+        # over re/im anyway -- same split the beam tables use.
+        idx = jnp.asarray(p.scatter_idx)
+        zeros = jnp.zeros((f.shape[0], int(np.prod(p.nf))), dtype=rdtype)
+        gr = zeros.at[:, idx].add(jnp.real(vals))
+        gi = zeros.at[:, idx].add(jnp.imag(vals))
+        return jax.lax.complex(gr, gi).reshape((f.shape[0],) + p.nf)
 
     @_scoped("nufft_fft")
     def transform(self, G):
