@@ -51,6 +51,24 @@ from .kernels import (
 # --------------------------------------------------------------------------
 
 
+def _check_int32_grid(nf) -> None:
+    """Guard the flat int32 index space of a planned grid.
+
+    Gather/scatter/tap indices are composed per axis as ``idx * nf_d + tap``
+    and shipped to the device as int32 (the TPU-native index dtype); a grid
+    with >= 2^31 cells would silently wrap and address wrong cells. No
+    realistic plan gets near this (the fine-grid planner caps total cells
+    far below), but a hand-built plan could.
+    """
+    cells = int(np.prod([int(n) for n in nf]))
+    if cells > np.iinfo(np.int32).max:
+        raise ValueError(
+            f"planned grid has {cells} cells, exceeding the int32 index "
+            "space used for device gather/scatter indices; reduce the mode "
+            "extent or split the transform"
+        )
+
+
 def _scoped(name):
     """Wrap an executor stage in jax.named_scope for profiler attribution.
 
@@ -152,6 +170,7 @@ def plan_type1(
     # FFT-order flat gather index and per-target deconvolution. The kernel
     # FT is evaluated once per unique |k| per axis (quadrature over every
     # target would dominate planning for ~100k-baseline arrays).
+    _check_int32_grid(nf)
     flat = np.zeros(m, dtype=np.int64)
     deconv = np.ones(m, dtype=np.float64)
     for axis in range(d):
@@ -641,7 +660,14 @@ class Type2Executor:
 
     @_scoped("nufft_scatter")
     def scatter(self, f):
-        """f: (C, m) mode coefficients. Returns the fine mode grid (C, *nf)."""
+        """f: (C, m) mode coefficients. Returns the fine mode grid (C, *nf).
+
+        Uses XLA ``.at[].add`` scatter-add, which serializes per index on
+        TPU; fine for the typical small mode lists this transform serves.
+        If very large mode lists (>~10^5) become a use case, reuse the
+        type-1 spreaders' bincount/segment-sum or dense-matmul formulation
+        instead.
+        """
         import jax
         import jax.numpy as jnp
 
@@ -677,8 +703,12 @@ class Type2Executor:
 
         p = self.plan
         n = p.n_points
+        if n == 0:
+            return jnp.zeros((g.shape[0], 0), dtype=g.dtype)
         if point_block is None or point_block >= n:
             point_block = n
+        elif point_block < 1:
+            raise ValueError(f"point_block must be >= 1, got {point_block}")
         flat = g.reshape(g.shape[0], -1)
         rdtype = jnp.finfo(g.dtype).dtype
         out = []
@@ -753,6 +783,7 @@ def plan_type1_exact(modes: np.ndarray) -> Type1ExactPlan:
         nhi = -(-nm // K)
         split.append((K, nhi))
         nf.append(nhi * K)
+    _check_int32_grid(nf)
     flat = np.zeros(m, dtype=np.int64)
     for axis in range(d):
         flat = flat * nf[axis] + (modes[axis] + kmax[axis])

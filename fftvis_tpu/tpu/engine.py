@@ -258,6 +258,8 @@ class VisibilityFuture:
         fut._result = value
         return fut
 
+    _warned_no_poll = False
+
     def done(self) -> bool:
         """True when the device computation has finished (transfer may
         still be in flight; ``result()`` can briefly block regardless)."""
@@ -268,7 +270,17 @@ class VisibilityFuture:
         except Exception:  # pragma: no cover
             # Backend without is_ready(): "cannot tell" must not read as
             # "ready" -- a poller would collect early and block for the
-            # full compute, defeating the pipelining. result() still works.
+            # full compute, defeating the pipelining. result() still works,
+            # but a done()-polling consumer degrades to serial collection;
+            # say so once instead of silently always returning False.
+            if not VisibilityFuture._warned_no_poll:
+                VisibilityFuture._warned_no_poll = True
+                logger.warning(
+                    "VisibilityFuture.done(): this backend's arrays do not "
+                    "support is_ready(); done() will always report False. "
+                    "Polling consumers degrade to serial result() "
+                    "collection (results themselves are unaffected)."
+                )
             return False
 
     def result(self) -> np.ndarray:
@@ -389,6 +401,26 @@ class TPUSimulationEngine(SimulationEngine):
 
         del nprocesses, nthreads, force_use_ray, source_buffer  # host-pool knobs
         coord_method_params = coord_method_params or {}
+        # Reference parity (ref core/simulate.py:118-126): the known
+        # CoordinateRotation kwargs are accepted; all but
+        # ``include_aberration`` are documented no-ops here (this engine
+        # computes the exact per-time rotation chain up front, so ERFA's
+        # BCRS refresh cadence and the dynamic-compaction buffer have no
+        # analogue). Unknown keys raise -- a typo'd key silently swallowed
+        # would be a debugging trap for drop-in callers.
+        _known_cmp = {
+            "include_aberration",  # honored: toggles annual aberration
+            "update_bcrs_every",  # no-op: rotations are exact per time
+            "source_buffer",  # no-op: static-shape masking, no compaction
+            "chunk_size",  # no-op: source blocking is planned by HBM budget
+        }
+        _unknown_cmp = set(coord_method_params) - _known_cmp
+        if _unknown_cmp:
+            raise ValueError(
+                f"unknown coord_method_params keys {sorted(_unknown_cmp)}; "
+                f"known keys are {sorted(_known_cmp)} (only "
+                "'include_aberration' changes behavior on this engine)"
+            )
 
         freqs = np.atleast_1d(np.asarray(freqs, dtype=float))
         nfreqs = freqs.size

@@ -175,6 +175,19 @@ def simulate_vis(
         throughput on relay-attached dev runtimes; overlaps PCIe copies
         with compute on production hosts).
 
+    Notes
+    -----
+    **Automatic eigenbeam rank compression (auto-rank).** Polarized sims
+    with per-antenna beam lists (>= 8 distinct beam pairs, fp32-class
+    ``eps``) are automatically screened for low-rank structure: when an
+    SVD of the stacked beam tables reaches a residual of ``eps / 8`` at
+    rank K with a >= 2x channel-count reduction, the engine substitutes K
+    eigenbeams plus per-antenna coefficients (an exact contraction of the
+    compressed family). The substitution changes answers only within the
+    ``eps / 8`` residual bound -- inside the accuracy already requested
+    via ``eps`` -- and logs at INFO when it engages. Set the environment
+    variable ``FFTVIS_AUTO_RANK=0`` to disable it. See ``docs/api.md``.
+
     Returns
     -------
     np.ndarray

@@ -136,3 +136,39 @@ def test_type2_jits_and_grads():
         2 * h
     )
     assert abs(float(g[1, 3]) - float(fd)) < 1e-4 * max(1.0, abs(float(fd)))
+
+
+def test_type2_degenerate_points_and_bad_block():
+    """n_points == 0 returns an empty (C, 0) result instead of a confusing
+    range() error; an explicit point_block < 1 raises (advisor findings)."""
+    from fftvis_tpu.nufft.transform import Type2Executor
+
+    rng = np.random.default_rng(5)
+    modes = rng.integers(-6, 7, size=(2, 10))
+    f = rng.standard_normal((3, 10)) + 1j * rng.standard_normal((3, 10))
+
+    empty_plan = plan_type2(np.zeros((2, 0)), modes, 1e-6)
+    ex = Type2Executor(empty_plan)
+    out = np.asarray(ex.interp(ex.transform(ex.scatter(f))))
+    assert out.shape == (3, 0)
+
+    x = rng.uniform(-np.pi, np.pi, size=(2, 7))
+    plan = plan_type2(x, modes, 1e-6)
+    ex = Type2Executor(plan)
+    g = ex.transform(ex.scatter(f))
+    with pytest.raises(ValueError, match="point_block"):
+        ex.interp(g, point_block=0)
+
+
+def test_plan_rejects_int32_overflowing_grids():
+    """Grids whose flat index space exceeds int32 raise at plan time
+    instead of silently wrapping device gather indices (advisor finding)."""
+    from fftvis_tpu.nufft.transform import plan_type1_exact
+
+    # 3D modes with kmax ~ 1500 per axis -> fine grid ~ (2*2*1500)^3 > 2^31.
+    big = np.array([[1500], [1500], [1500]], dtype=np.int64)
+    with pytest.raises(ValueError, match="int32"):
+        plan_type1(big, eps=1e-6)
+    huge = np.array([[70000], [70000], [70000]], dtype=np.int64)
+    with pytest.raises(ValueError, match="int32"):
+        plan_type1_exact(huge)

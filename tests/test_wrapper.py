@@ -143,6 +143,33 @@ class TestValidation:
         ev = create_beam_evaluator(backend="tpu")
         assert ev.beam_list == [] and ev.beam_idx is None
 
+    def test_coord_method_params_unknown_key_raises(self):
+        """A typo'd coord_method_params key must not be silently swallowed
+        (ref core/simulate.py:118-126 forwards them into the rotation)."""
+        rng = np.random.default_rng(0)
+        with pytest.raises(ValueError, match="unknown coord_method_params"):
+            simulate_vis(
+                **_kwargs(rng),
+                coord_method_params={"update_bcrs_evry": 10.0},
+            )
+
+    def test_coord_method_params_known_keys_accepted(self):
+        """The reference's documented CoordinateRotation kwargs are
+        accepted (update_bcrs_every / source_buffer / chunk_size are
+        documented no-ops here; include_aberration is honored)."""
+        rng = np.random.default_rng(0)
+        kw = _kwargs(rng)
+        want = simulate_vis(**kw)
+        got = simulate_vis(
+            **kw,
+            coord_method_params={
+                "update_bcrs_every": 10.0,
+                "source_buffer": 0.75,
+                "chunk_size": 100,
+            },
+        )
+        np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
 
 class TestPrepareSourceCatalog:
     def test_unpolarized_half(self):
@@ -432,3 +459,27 @@ def test_future_releases_assembly_after_result():
     assert fut.done()
     # memoized result still available
     assert fut.result() is fut.result()
+
+
+def test_future_done_warns_once_without_is_ready(caplog):
+    """On a backend whose arrays lack is_ready(), done() conservatively
+    returns False and logs a one-time warning so a polling consumer
+    learns it has degraded to serial collection."""
+    import logging
+
+    from fftvis_tpu.tpu.engine import VisibilityFuture
+
+    class _NoPollBuffer:
+        def copy_to_host_async(self):
+            pass
+
+        def is_ready(self):
+            raise AttributeError("no is_ready on this backend")
+
+    VisibilityFuture._warned_no_poll = False
+    fut = VisibilityFuture(_NoPollBuffer(), lambda s: s)
+    with caplog.at_level(logging.WARNING, logger="fftvis_tpu.tpu.engine"):
+        assert fut.done() is False
+        assert fut.done() is False
+    warnings = [r for r in caplog.records if "is_ready" in r.message]
+    assert len(warnings) == 1  # one-time, not per poll
