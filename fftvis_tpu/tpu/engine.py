@@ -41,6 +41,16 @@ Beam-pair routing (per-antenna beams) is padded and batched into O(1)
 graph size when pair sizes are balanced, with a work-optimal per-pair
 loop fallback for skewed routings; same-grid tabulated beam lists fuse
 into one stacked-table interpolation.
+
+Module layout (round-4 split of the former monolith):
+  - this file: host orchestration -- input preparation, caches,
+    dispatch, assembly, the async-fetch future;
+  - tpu/planning.py: transform-path selection + spreader capacity
+    planning (host);
+  - tpu/program.py: the :class:`ProgramConfig` static-ingredient
+    dataclass, the program builder, and the cache key derived from the
+    dataclass fields by construction;
+  - tpu/ds_lowering.py: the compensated double-single device lowerings.
 """
 
 from __future__ import annotations
@@ -48,16 +58,14 @@ from __future__ import annotations
 import copy as _copy
 import logging
 import os
-from dataclasses import dataclass
 
 import numpy as np
 
 from ..beams.interface import BeamInterface, prepare_beams, stack_prepared
 from ..coords.erfa_lite import TelescopeLocation, times_to_jd
-from ..coords.rotation import SourceRotation, enu_to_az_za
+from ..coords.rotation import SourceRotation
 from ..core import coherency as coh_mod
 from ..core import utils as core_utils
-from ..core.antenna_gridding import check_antpos_griddability
 from ..core.beams import plan_beam_pairs
 from ..core.hashing import beam_fingerprint as _beam_fingerprint
 from ..core.hashing import cache_get_lru as _cache_get_lru
@@ -65,15 +73,16 @@ from ..core.hashing import consistent_inputs as _consistent_inputs
 from ..core.hashing import hash_parts as _hash_parts
 from ..core.simulate import SimulationEngine, default_accuracy_dict, resolve_precision
 from ..core.utils import speed_of_light
-from ..nufft.transform import (
-    Type1Executor,
-    Type3Executor,
-    Type3LowrankZExecutor,
-    fit_plan_precorr,
-    plan_type1,
-    plan_type3,
-    plan_type3_lowrank_z,
+from . import planning as _planning
+from .ds_lowering import split_ds_hosts
+from .planning import _SimPlan
+from .planning import device_memory_limit as _device_memory_limit
+from .program import (
+    ProgramConfig,
+    build_program,
+    choose_freq_vmap,
 )
+from .program import cache_key as _program_cache_key
 
 logger = logging.getLogger(__name__)
 
@@ -84,72 +93,10 @@ TWO_PI = 2.0 * np.pi
 # call would retrace AND recompile each time (the closures are fresh
 # objects); production sweeps call simulate_vis repeatedly with the same
 # configuration, so cache the jitted runner keyed by a fingerprint of every
-# static ingredient of the traced program.
+# static ingredient of the traced program (tpu/program.py:cache_key).
 _PROGRAM_CACHE: "dict[str, object]" = {}
 _PLAN_CACHE: "dict[str, object]" = {}
 _PROGRAM_CACHE_LIMIT = 16
-
-
-def _plan_fingerprint(exec_plan) -> tuple:
-    """Full-array fingerprint of a transform plan (repr truncates arrays)."""
-    if exec_plan is None:
-        return ()
-    from ..nufft.transform import Type1ExactPlan, Type1Plan, Type3Plan
-
-    if isinstance(exec_plan, Type1ExactPlan):
-        return ("t1x", exec_plan.nf, exec_plan.kmax, exec_plan.gather_idx)
-    k = exec_plan.kernel
-    if isinstance(exec_plan, Type1Plan):
-        return (
-            "t1", exec_plan.nf, k.w, k.beta, k.sigma,
-            exec_plan.gather_idx, exec_plan.gather_deconv,
-        )
-    if isinstance(exec_plan, Type3Plan):
-        return (
-            "t3", exec_plan.nf, k.w, k.beta, k.sigma,
-            exec_plan.h, exec_plan.ds, exec_plan.s_center,
-            tuple(exec_plan.deconv),
-            tuple(exec_plan.tap_idx), tuple(exec_plan.tap_val),
-            tuple(exec_plan.ft_xi_max),
-        )
-    return (repr(exec_plan),)
-
-
-_MEMORY_LIMIT_CACHE: list = []
-
-
-def _device_memory_limit() -> int:
-    """Total memory of the default device in bytes (cached).
-
-    Working-set budgets (direct-path scan footprint, freq-vmap threshold)
-    scale with the actual chip (v5e 16 GB vs v5p 96 GB) instead of a
-    hardcoded constant (round-1 advisor finding). Falls back to a 16 GiB
-    HBM assumption when the runtime exposes no stats (e.g. CPU tests,
-    where the budget only shapes blocking, not correctness).
-    """
-    if _MEMORY_LIMIT_CACHE:
-        return _MEMORY_LIMIT_CACHE[0]
-    limit = 16 * 1024**3
-    try:
-        import jax
-
-        stats = jax.devices()[0].memory_stats()
-        if stats and stats.get("bytes_limit"):
-            limit = int(stats["bytes_limit"])
-    except Exception:  # pragma: no cover - exotic runtimes
-        pass
-    _MEMORY_LIMIT_CACHE.append(limit)
-    return limit
-
-
-def _zplan_fingerprint(executor) -> tuple:
-    """Fingerprint of a lowrank-z executor's z configuration (if any)."""
-    zp = getattr(executor, "zplan", None)
-    if zp is None:
-        return ()
-    return (
-        "lrz", zp.K, zp.s_center_z, zp.x_center_z, zp.x_half_z, zp.g,
-    )
 
 
 def _cache_store(key: str, run) -> None:
@@ -218,12 +165,6 @@ def _with_f32_matmuls(fn, f32_pipeline: bool = True):
             return fn(*args, **kwargs)
 
     return wrapped
-
-
-def _unship_complex(x, was_complex: bool):
-    if not was_complex:
-        return x
-    return x[0] + 1j * x[1]
 
 
 class VisibilityFuture:
@@ -305,21 +246,6 @@ class VisibilityFuture:
                 "dtype conversion requires a copy (copy=False requested)"
             )
         return out
-
-
-@dataclass
-class _SimPlan:
-    """Static (host-side) configuration baked into the jitted program."""
-
-    mode: str  # 'type1' | 'type3' | 'direct'
-    executor: object | None
-    targets: np.ndarray | None  # direct mode: (d, nbl) signed targets
-    is_coplanar: bool
-    rotation_matrix: np.ndarray  # (3, 3) applied to topo for NUFFT coords
-    lattice_matrix: np.ndarray | None  # type-1: basis^T (3, 3) scaled
-    nsrc_pad: int = 0
-    nblocks: int = 1
-    block: int = 0
 
 
 class TPUSimulationEngine(SimulationEngine):
@@ -541,6 +467,15 @@ class TPUSimulationEngine(SimulationEngine):
                     "the simulated times; dropped before planning",
                     rot._src_keep.size - rot.nsrc, rot._src_keep.size,
                 )
+            # Freeze the engine-owned rotation arrays: cache keys hash them
+            # every simulate() call, and a frozen (immutable-owner) array
+            # gets a one-time digest instead of a per-call CRC revalidation
+            # (~MB-scale on large catalogs -- measured ~3 ms/call of pure
+            # checksum on the gridded sweep before this).
+            rot.eq_vectors.setflags(write=False)
+            rot.matrices.setflags(write=False)
+            if rot.aberration is not None:
+                rot.aberration.setflags(write=False)
             if len(_PLAN_CACHE) >= _PROGRAM_CACHE_LIMIT:
                 _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
             _PLAN_CACHE[rot_key] = rot
@@ -575,10 +510,12 @@ class TPUSimulationEngine(SimulationEngine):
                 flipped_global = np.zeros(nbl, dtype=bool)
                 for sel, fl in zip(pair_plan.bls_idxs, pair_plan.flipped):
                     flipped_global[sel] = fl
+                flipped_global.setflags(write=False)  # one-time digest
                 _PLAN_CACHE[pp_key] = (pair_plan, flipped_global)
             else:
                 pair_plan, flipped_global = cached_pp
             npairs = pair_plan.npairs
+            kl_pairs = None
 
         # Accuracy-controlled automatic rank compression (core/auto_rank.py):
         # per-antenna tabulated beam lists are usually a near-low-rank
@@ -631,8 +568,9 @@ class TPUSimulationEngine(SimulationEngine):
                     axis=2,
                 )
 
-        # Padded-vs-loop pair routing decision (details at the sel_pad
-        # construction below); needed early for direct-path block sizing.
+        # Padded-vs-loop pair routing decision (details in
+        # tpu/program.py's routing-table construction); needed early for
+        # direct-path block sizing.
         pad_routing = False
         m_max = 0
         if not use_basis and npairs > 1:
@@ -894,6 +832,10 @@ class TPUSimulationEngine(SimulationEngine):
             spline_opts=beam_spline_opts,
             interpolation_function=interpolation_function,
         )
+        # Same-grid tabulated beam lists (eigenbeam bases, per-antenna CST
+        # sweeps) fuse into ONE stacked-table interpolation (see
+        # tpu/program.py); stack_prepared returns None for mixed lists.
+        batched_beams = stack_prepared(prepared)
 
         # ---------------- device inputs ----------------
         def pad_src(arr, fill=0.0):
@@ -938,43 +880,15 @@ class TPUSimulationEngine(SimulationEngine):
             valid[:nsrc] = 1.0
             return valid
 
+        tg_ds_host = lat_ds_host = k2pi_c_ds = freqs_ds_host = None
         if use_ds or ds_coords:
-            # Double-single host constants. For the full DS path the
-            # rotation (or lattice) is folded into the targets in float64
-            # so the device phase is one DS contraction:
-            # phase = (tg_eff . topo) * f, with
-            #   tg_eff = M[:d]^T tg * 2 pi (/ c unless folded into M).
-            # For ds_coords only the lattice rows and frequencies ship as
-            # DS pairs (grid coordinates, not per-baseline phases).
+            # Double-single host constants (tpu/ds_lowering.py) plus the
+            # DS-split per-time matrices and source vectors.
             from . import ds as _ds
 
-            if use_ds:
-                if plan.lattice_matrix is not None:
-                    tg_eff = (
-                        plan.lattice_matrix[:2].T @ plan.targets
-                    ) * TWO_PI  # lattice already carries 1/c
-                else:
-                    d_eff = 2 if plan.is_coplanar else 3
-                    tg_eff = (
-                        plan.rotation_matrix[:d_eff].T @ plan.targets
-                    ) * (TWO_PI / speed_of_light)
-                tg_ds_host = np.stack(_ds.split64(tg_eff), axis=-1)  # (3, nbl, 2)
-            else:
-                # DS split of the coordinate matrix: lattice rows (type-1)
-                # or plane-rotation rows (type-3); + 2 pi / c for type-3.
-                if plan.lattice_matrix is not None:
-                    lat_ds_host = np.stack(
-                        _ds.split64(plan.lattice_matrix[:2]), axis=-1
-                    )  # (2, 3, 2)
-                else:
-                    _de = 2 if plan.is_coplanar else 3
-                    lat_ds_host = np.stack(
-                        _ds.split64(plan.rotation_matrix[:_de]), axis=-1
-                    )  # (d_eff, 3, 2)
-                k2pi_c_ds = _ds.split64(np.float64(TWO_PI / speed_of_light))
-            freqs_ds_host = np.stack(
-                _ds.split64(freqs_padded), axis=-1
-            )  # (nf_pad, 2)
+            tg_ds_host, lat_ds_host, k2pi_c_ds, freqs_ds_host = split_ds_hosts(
+                plan, freqs_padded, use_ds, speed_of_light
+            )
 
             def _build_eq_ds():
                 eq = rot.eq_vectors  # float64
@@ -1021,742 +935,69 @@ class TPUSimulationEngine(SimulationEngine):
         # on the axon runtime).
         freqs_dev = freqs_padded.astype(real_dtype)
 
+        coefs_host = ant1_dev = ant2_dev = None
         if use_basis:
             coefs_host = beam_coefs.astype(complex_dtype)
             ant1_dev = np.asarray(ant1_idx)
             ant2_dev = np.asarray(ant2_idx)
 
         # ---------------- the jitted program ----------------
-        rotation_dev = plan.rotation_matrix.astype(real_dtype)
-        lattice_dev = (
-            plan.lattice_matrix.astype(real_dtype)
-            if plan.lattice_matrix is not None
-            else None
-        )
-        flip_dev = flipped_global
-
-        def eval_pair_rows(evals, bi, bj, flux_f):
-            return coh_mod.apparent_coherency_rows(
-                evals[bi], evals[bj], flux_f, polarized, polarized_sky
-            ).astype(complex_dtype)
-
-        # Same-grid tabulated beam lists (eigenbeam bases, per-antenna CST
-        # sweeps) fuse into ONE interpolation + ONE pair einsum per block;
-        # per-beam/per-pair op counts otherwise dominate device time
-        # (measured ~2.8 ms/channel of pure dispatch at K=8 on v5e).
-        batched_beams = stack_prepared(prepared)
-        pairs_arr = np.asarray(
-            kl_pairs if use_basis else list(pair_plan.pairs), dtype=np.int64
-        ).reshape(-1, 2)
-        pair_i, pair_j = pairs_arr[:, 0], pairs_arr[:, 1]
-
-        # Pair routing partitions the baseline list; assembling per-pair
-        # results via .at[sel].set() lowers to an XLA scatter, which runs
-        # sequentially per index on TPU (~14 ms for 63k baselines -- it was
-        # the single hottest op of the gridded headline program, for an
-        # identity permutation). Concatenate in routing order instead and
-        # apply one static inverse-permutation take (free: static-index
-        # takes compile to copies), or nothing when routing is in order.
-        if not use_basis:
-            sel_concat = (
-                np.concatenate(
-                    [np.asarray(s, dtype=np.int64) for s in pair_plan.bls_idxs]
-                )
-                if npairs
-                else np.arange(nbl, dtype=np.int64)
-            )
-            sel_is_identity = np.array_equal(sel_concat, np.arange(nbl))
-            inv_perm = None
-            if not sel_is_identity:
-                inv_perm = np.empty(nbl, dtype=np.int64)
-                inv_perm[sel_concat] = np.arange(nbl, dtype=np.int64)
-            # Padded pair routing: per-pair Python loops (gathers, phase
-            # einsums, assembly) unroll into an O(npairs)-sized HLO --
-            # ~6 min of compile for a 37-distinct-beam array (703 pairs).
-            # Padding every pair's baseline list to the longest one turns
-            # the whole routing into a handful of batched ops.
-            # Padding wastes (npairs * m_max) / nbl slots when pair sizes
-            # are skewed (one dominant beam + outliers); the per-pair loop
-            # is work-optimal but unrolls an O(npairs) HLO (minutes of
-            # compile at hundreds of pairs). pad_routing (computed above)
-            # batches when the waste is bounded or the pair count is large.
-            if pad_routing:
-                sel_pad = np.zeros((npairs, m_max), dtype=np.int64)
-                sel_valid = np.zeros((npairs, m_max), dtype=bool)
-                src_pos = np.empty(nbl, dtype=np.int64)
-                for p, s in enumerate(pair_plan.bls_idxs):
-                    s = np.asarray(s, dtype=np.int64)
-                    sel_pad[p, : s.size] = s
-                    sel_valid[p, : s.size] = True
-                    src_pos[s] = p * m_max + np.arange(s.size)
-                flip_pad = flipped_global[sel_pad] & sel_valid
-
-        def source_block_weights(az, za, mask, flux_f, fv, gfi, beamtab=None):
-            """Evaluate beams + coherency for one source block: (C, B).
-
-            jax.named_scope tags flow into the HLO op metadata, so the
-            profiler (examples/trace_report.py) can attribute fused ops to
-            pipeline stages.
-            """
-            if batched_beams is not None and len(pair_i) > 0:
-                with jax.named_scope("beam_eval"):
-                    evals_all = batched_beams.evaluate_all(
-                        az, za, fv, gfi, beamtab
-                    )
-                with jax.named_scope("coherency"):
-                    rows = coh_mod.apparent_coherency_rows_batched(
-                        evals_all, pair_i, pair_j, flux_f, polarized,
-                        polarized_sky,
-                    ).astype(complex_dtype)
-                return rows * mask[None, :]
-            with jax.named_scope("beam_eval"):
-                evals = [pb.evaluate(az, za, fv, gfi) for pb in prepared]
-            with jax.named_scope("coherency"):
-                if use_basis:
-                    rows = [
-                        eval_pair_rows(evals, k, l, flux_f)
-                        for (k, l) in kl_pairs
-                    ]
-                else:
-                    rows = [
-                        eval_pair_rows(evals, bi, bj, flux_f)
-                        for (bi, bj) in pair_plan.pairs
-                    ]
-                rows = jnp.concatenate(rows, axis=0)  # (C, B)
-            return rows * mask[None, :]
-
-        def nufft_coords(topo, fv):
-            """Transform-space source coordinates for one block: (d, B)."""
-            if plan.lattice_matrix is not None:
-                lat = jnp.asarray(lattice_dev) @ topo  # (3, B)
-                return lat[:2] * (TWO_PI * fv)
-            xr = jnp.asarray(rotation_dev) @ topo
-            scale = TWO_PI * fv / speed_of_light
-            d = 2 if plan.is_coplanar else 3
-            return xr[:d] * scale
-
-        def per_freq(topo_t, az_t, za_t, mask_t, coh_a, freqs_a, gshift, fi,
-                     beamtab=None, aidx=None, aval=None):
-            fv = freqs_a[fi]
-            # Global frequency index for beam tables (clamped off the pad).
-            gfi = jnp.minimum(gshift + fi, nfreqs - 1)
-
-            flux_f = jnp.take(coh_a, fi, axis=1)
-            if not banded or band_compact:
-                # Reshape the (local) source axis into (nblocks, block).
-                # Compacted banding: the per-time gather already reduced
-                # the axis to (K_band * block); run it as ONE mega-block
-                # (exactly one spread + overlap-add post-pass per freq).
-                if band_compact:
-                    nb_eff, blk_eff = 1, K_band * plan.block
-                else:
-                    nb_eff, blk_eff = plan.nblocks, plan.block
-                if use_ds or ds_coords:
-                    topo_blocks = topo_t.reshape(3, nb_eff, blk_eff, 2)
-                else:
-                    topo_blocks = topo_t.reshape(3, nb_eff, blk_eff)
-                az_blocks = az_t.reshape(nb_eff, blk_eff)
-                za_blocks = za_t.reshape(nb_eff, blk_eff)
-                mask_blocks = mask_t.reshape(nb_eff, blk_eff)
-                if not polarized_sky:  # (nsrc, nfreq) flux
-                    flux_blocks = flux_f.reshape(nb_eff, blk_eff)
-                else:  # (nsrc, nfreq, 2, 2) coherency
-                    flux_blocks = flux_f.reshape(nb_eff, blk_eff, 2, 2)
-
-            C = npairs * nfeeds**2
-
-            # With several distinct beam pairs, each pair's channels are only
-            # needed at that pair's baselines: restrict the direct sums /
-            # gathers per pair instead of computing (C x nbl) everywhere.
-            multi = (not use_basis) and npairs > 1
-            nf2 = nfeeds**2
-
-            if use_ds or ds_coords:
-                gfi_pad = jnp.minimum(gshift + fi, nf_pad - 1)
-                f_h = jnp.asarray(freqs_ds_host[:, 0])[gfi_pad]
-                f_l = jnp.asarray(freqs_ds_host[:, 1])[gfi_pad]
-
-            def scan_body(carry, blk):
-                topo_b, az_b, za_b, mask_b, flux_b = blk
-                rows = source_block_weights(
-                    az_b, za_b, mask_b, flux_b, fv, gfi, beamtab
-                )
-                if use_ds:
-                    # Compensated exact path: DS phase contraction over the
-                    # folded targets, DS range-reduced sincos, error-free
-                    # products, pairwise-compensated source reduction.
-                    # Channels are batched: (C, B, nbl) two-float temps (the
-                    # block-size budget above scales with C to bound them).
-                    from . import ds as _dsm
-
-                    B = topo_b.shape[1]
-                    tgh = jnp.asarray(tg_ds_host[..., 0])  # (3, nbl)
-                    tgl = jnp.asarray(tg_ds_host[..., 1])
-                    ph_h = jnp.zeros((B, nbl), real_dtype)
-                    ph_l = jnp.zeros((B, nbl), real_dtype)
-                    for dd in range(3):
-                        mh, ml = _dsm.ds_mul(
-                            topo_b[dd, :, 0][:, None], topo_b[dd, :, 1][:, None],
-                            tgh[dd][None, :], tgl[dd][None, :],
-                        )
-                        ph_h, ph_l = _dsm.ds_add(ph_h, ph_l, mh, ml)
-                    ph_h, ph_l = _dsm.ds_mul(ph_h, ph_l, f_h, f_l)
-                    sn, cs = _dsm.ds_sincos(ph_h, ph_l)
-                    rr = jnp.real(rows)[:, :, None]  # (C, B, 1)
-                    ri = jnp.imag(rows)[:, :, None]
-                    sn = sn[None]  # (1, B, nbl)
-                    cs = cs[None]
-                    ac_h, ac_l = _dsm.two_prod(rr, cs)
-                    bs_h, bs_l = _dsm.two_prod(ri, sn)
-                    re_h, re_l = _dsm.ds_add(ac_h, ac_l, -bs_h, -bs_l)
-                    as_h, as_l = _dsm.two_prod(rr, sn)
-                    bc_h, bc_l = _dsm.two_prod(ri, cs)
-                    im_h, im_l = _dsm.ds_add(as_h, as_l, bc_h, bc_l)
-                    srh, srl = _dsm.ds_sum_pairwise(re_h, re_l, axis=1)
-                    sih, sil = _dsm.ds_sum_pairwise(im_h, im_l, axis=1)
-                    vr_h, vr_l = _dsm.ds_add(carry[0], carry[1], srh, srl)
-                    vi_h, vi_l = _dsm.ds_add(carry[2], carry[3], sih, sil)
-                    return (vr_h, vr_l, vi_h, vi_l), None
-                if ds_coords:
-                    # DS coordinates for the NUFFT spread, contracted
-                    # entirely in two-float arithmetic (the plain-f32
-                    # chain loses ~|value| * 2^-24 in the coordinate mod /
-                    # pre-phase -> ~6e-5 rad of phase at HERA-331 scale):
-                    #   type-1: u_i = mod((lattice @ topo)_i * f * nf_i, nf_i)
-                    #   type-3: x_i = (rot @ topo)_i * (2 pi f / c), with
-                    #           the executor doing DS pre-phase + mod.
-                    from . import ds as _dsm
-
-                    lat_h = jnp.asarray(lat_ds_host[..., 0])  # (d_eff, 3)
-                    lat_l = jnp.asarray(lat_ds_host[..., 1])
-
-                    def _row_dot(i2):
-                        lh, ll = _dsm.ds_mul(
-                            lat_h[i2, 0], lat_l[i2, 0],
-                            topo_b[0, :, 0], topo_b[0, :, 1],
-                        )
-                        for k2 in (1, 2):
-                            mh, ml = _dsm.ds_mul(
-                                lat_h[i2, k2], lat_l[i2, k2],
-                                topo_b[k2, :, 0], topo_b[k2, :, 1],
-                            )
-                            lh, ll = _dsm.ds_add(lh, ll, mh, ml)
-                        return lh, ll
-
-                    if plan.mode == "type1":
-                        u_ds = []
-                        for i2 in range(2):
-                            lh, ll = _row_dot(i2)
-                            nf_i = int(plan.executor.plan.nf[i2])
-                            sh, sl = _dsm.ds_mul_f32(
-                                f_h, f_l, jnp.float32(nf_i)
-                            )
-                            yh, yl = _dsm.ds_mul(lh, ll, sh, sl)
-                            u_ds.append(_dsm.ds_mod_n(yh, yl, nf_i))
-                        # Barrier: stops XLA:CPU fusion from duplicating
-                        # the DS chain's subexpressions with one-ulp
-                        # differences (breaking the error-free transforms;
-                        # NOTES.md) and from the pathological
-                        # scatter-producer fusion above.
-                        u_ds = jax.lax.optimization_barrier(u_ds)
-                        return carry + plan.executor.spread_ds(u_ds, rows), None
-                    # type-3: scale rows by 2 pi f / c in DS.
-                    sh, sl = _dsm.ds_mul(
-                        f_h, f_l,
-                        jnp.float32(k2pi_c_ds[0]), jnp.float32(k2pi_c_ds[1]),
-                    )
-                    x_ds = []
-                    for i2 in range(lat_ds_host.shape[0]):
-                        lh, ll = _row_dot(i2)
-                        x_ds.append(_dsm.ds_mul(lh, ll, sh, sl))
-                    x_ds = jax.lax.optimization_barrier(x_ds)
-                    return carry + plan.executor.spread_ds(x_ds, rows), None
-                x = nufft_coords(topo_b, fv)
-                if plan.mode == "direct":
-                    tg = plan.targets.astype(real_dtype)  # (d, nbl) signed
-                    if multi and pad_routing:
-                        # Batched over pairs via the padded routing: one
-                        # phase einsum + one batched matmul, not npairs.
-                        tgp = tg[:, sel_pad]  # (d, P, m_max) host constant
-                        phase = jnp.einsum("dpm,dn->npm", jnp.asarray(tgp), x)
-                        e = (jnp.cos(phase) + 1j * jnp.sin(phase)).astype(
-                            complex_dtype
-                        )
-                        rows3 = rows.reshape(npairs, nf2, -1)
-                        return carry + jnp.einsum("pfn,npm->pfm", rows3, e), None
-                    if multi:
-                        # Skewed pair sizes: the work-optimal per-pair loop.
-                        outs = []
-                        for p in range(npairs):
-                            sel = pair_plan.bls_idxs[p]
-                            phase = jnp.einsum(
-                                "db,dn->nb", jnp.asarray(tg[:, sel]), x
-                            )
-                            e = (jnp.cos(phase) + 1j * jnp.sin(phase)).astype(
-                                complex_dtype
-                            )
-                            outs.append(
-                                carry[p] + rows[p * nf2 : (p + 1) * nf2] @ e
-                            )
-                        return tuple(outs), None
-                    phase = jnp.einsum("db,dn->nb", jnp.asarray(tg), x)
-                    e = (jnp.cos(phase) + 1j * jnp.sin(phase)).astype(complex_dtype)
-                    return carry + rows @ e, None
-                return carry + plan.executor.spread(x, rows), None
-
-            if use_ds:
-                init = tuple(
-                    jnp.zeros((C, nbl), real_dtype) for _ in range(4)
-                )
-            elif plan.mode == "direct":
-                if multi and pad_routing:
-                    init = jnp.zeros(
-                        (npairs, nf2, sel_pad.shape[1]), dtype=complex_dtype
-                    )
-                elif multi:
-                    init = tuple(
-                        jnp.zeros(
-                            (nf2, len(pair_plan.bls_idxs[p])),
-                            dtype=complex_dtype,
-                        )
-                        for p in range(npairs)
-                    )
-                else:
-                    init = jnp.zeros((C, nbl), dtype=complex_dtype)
-            else:
-                CK = C * getattr(plan.executor, "channel_multiplier", 1)
-                init = jnp.zeros(
-                    (CK,) + tuple(plan.executor.plan.nf), dtype=complex_dtype
-                )
-            if mesh is not None:
-                # Under shard_map the scan carry varies over the mesh axes
-                # (its updates depend on sharded inputs); mark the zero init
-                # accordingly for the varying-manual-axes checker.
-                if hasattr(jax.lax, "pcast"):
-                    _mark = lambda a: jax.lax.pcast(  # noqa: E731
-                        a, tuple(mesh.axis_names), to="varying"
-                    )
-                elif hasattr(jax.lax, "pvary"):  # pragma: no cover - old jax
-                    _mark = lambda a: jax.lax.pvary(  # noqa: E731
-                        a, tuple(mesh.axis_names)
-                    )
-                else:  # pragma: no cover - very old jax
-                    _mark = lambda a: a  # noqa: E731
-                init = jax.tree.map(_mark, init)
-
-            if banded and not band_compact:
-                # Horizon-band scan: only the per-time ACTIVE blocks run
-                # (contiguous dynamic slices of the RA-ordered source
-                # axis); padded table rows point at block 0 with weight 0.
-                def banded_body(carry, xsk):
-                    bi, av = xsk
-                    s0 = bi * plan.block
-                    topo_b = jax.lax.dynamic_slice_in_dim(
-                        topo_t, s0, plan.block, axis=1
-                    )
-                    az_b = jax.lax.dynamic_slice_in_dim(
-                        az_t, s0, plan.block, axis=0
-                    )
-                    za_b = jax.lax.dynamic_slice_in_dim(
-                        za_t, s0, plan.block, axis=0
-                    )
-                    mask_b = jax.lax.dynamic_slice_in_dim(
-                        mask_t, s0, plan.block, axis=0
-                    ) * av.astype(real_dtype)
-                    flux_b = jax.lax.dynamic_slice_in_dim(
-                        flux_f, s0, plan.block, axis=0
-                    )
-                    return scan_body(carry, (topo_b, az_b, za_b, mask_b, flux_b))
-
-                acc, _ = jax.lax.scan(banded_body, init, (aidx, aval))
-            else:
-                acc, _ = jax.lax.scan(
-                    scan_body,
-                    init,
-                    (
-                        jnp.moveaxis(topo_blocks, 1, 0),
-                        az_blocks,
-                        za_blocks,
-                        mask_blocks,
-                        flux_blocks,
-                    ),
-                )
-
-            # Source-sharded SPMD: the fine grid (or direct partial sums)
-            # is the natural all-reduce point (SURVEY section 5: "the
-            # FFT-grid accumulation is the natural all-reduce"). Applied for
-            # any mesh (a size-1 axis reduce is free) so the output is
-            # provably replicated over the source axis.
-            if mesh is not None:
-                acc = jax.lax.psum(acc, self.source_axis)
-
-            if use_ds:
-                # Return the raw (2 reim, 2 hilo, C, nbl) DS planes; flip
-                # conjugation, the feed transpose, pair routing, and the
-                # eigenbeam coefficient contraction all happen on the HOST
-                # in float64 after the hi+lo combine (doing them on device
-                # would collapse the planes back to f32).
-                vr_h, vr_l, vi_h, vi_l = acc
-                return jnp.stack(
-                    [jnp.stack([vr_h, vr_l]), jnp.stack([vi_h, vi_l])]
-                )
-
-            if multi and not pad_routing:
-                # Work-optimal per-pair routing (skewed pair sizes, small
-                # npairs): per-pair gathers/interpolation, concatenated in
-                # routing order and un-permuted with one static take.
-                if plan.mode == "direct":
-                    pair_outs = list(acc)
-                else:
-                    G = plan.executor.transform(acc)
-                    cm = getattr(plan.executor, "channel_multiplier", 1)
-                    pair_outs = []
-                    for p in range(npairs):
-                        sel = pair_plan.bls_idxs[p]
-                        Gp = G[p * nf2 * cm : (p + 1) * nf2 * cm]
-                        if plan.mode == "type1":
-                            pair_outs.append(plan.executor.gather(Gp, sel))
-                        else:
-                            pair_outs.append(plan.executor.interpolate(Gp, sel))
-                vps = []
-                for p in range(npairs):
-                    sel = pair_plan.bls_idxs[p]
-                    flip_p = flipped_global[sel]
-                    vp = jnp.where(
-                        flip_p[None, :], jnp.conj(pair_outs[p]), pair_outs[p]
-                    )
-                    vps.append(
-                        jnp.transpose(
-                            vp.reshape(nfeeds, nfeeds, len(sel)), (2, 1, 0)
-                        )
-                    )
-                vis_f = jnp.concatenate(vps, axis=0)
-                return vis_f if sel_is_identity else vis_f[inv_perm]
-
-            if multi:
-                m_max = sel_pad.shape[1]
-                if plan.mode == "direct":
-                    out = acc  # (P, nf2, m_max), batched in scan_body
-                elif plan.mode == "type1":
-                    # Batched gather over the padded routing (channels are
-                    # pair-major; the type-1 executor has no channel
-                    # multiplier).
-                    out = plan.executor.gather_padded(
-                        plan.executor.transform(acc), sel_pad
-                    )
-                else:
-                    # type-3: the tiled interpolation is host-planned per
-                    # target subset, so keep the per-pair loop (npairs is
-                    # small off-lattice) and pad-stack for assembly. Grid
-                    # channels are input-channel-major with the lowrank-z
-                    # z-mode multiplier (c*K + k layout).
-                    G = plan.executor.transform(acc)
-                    cm = getattr(plan.executor, "channel_multiplier", 1)
-                    pair_outs = []
-                    for p in range(npairs):
-                        sel = pair_plan.bls_idxs[p]
-                        Gp = G[p * nf2 * cm : (p + 1) * nf2 * cm]
-                        vp = plan.executor.interpolate(Gp, sel)
-                        pair_outs.append(
-                            jnp.pad(vp, ((0, 0), (0, m_max - vp.shape[1])))
-                        )
-                    out = jnp.stack(pair_outs)  # (P, nf2, m_max)
-
-                # Flip conjugation + the reference's feed transpose (ref
-                # cpu_simulate.py:298-300), batched; one static take lands
-                # every baseline at its slot (padding rows are never taken).
-                out = jnp.where(
-                    jnp.asarray(flip_pad)[:, None, :], jnp.conj(out), out
-                )
-                out = out.reshape(npairs, nfeeds, nfeeds, m_max)
-                out = jnp.transpose(out, (0, 3, 2, 1))
-                return out.reshape(npairs * m_max, nfeeds, nfeeds)[src_pos]
-
-            if plan.mode == "direct":
-                out_all = acc  # (C, nbl)
-            elif plan.mode == "type1":
-                G = plan.executor.transform(acc)
-                out_all = plan.executor.gather(G)  # (C, nbl)
-            else:
-                G = plan.executor.transform(acc)
-                out_all = plan.executor.interpolate(G)  # (C, nbl)
-
-            # Assemble (nbl, nfeeds, nfeeds) with flip conjugation and the
-            # reference's feed transpose (ref cpu_simulate.py:298-300).
-            out_all = jnp.where(flip_dev[None, :], jnp.conj(out_all), out_all)
-            per_pair = out_all.reshape(npairs, nfeeds, nfeeds, nbl)
-
-            if use_basis:
-                coefs_dev = jnp.asarray(coefs_host)
-                c1 = jnp.conj(coefs_dev[ant1_dev, :, gfi])  # (nbl, K)
-                c2 = coefs_dev[ant2_dev, :, gfi]
-                # vis[b] = sum_p w_kl[b] V_p^T + (k!=l) w_lk[b] V_p as two
-                # einsums over the pair axis (one per transpose orientation)
-                # instead of an npairs-long accumulation loop.
-                w_kl = c1[:, pair_i] * c2[:, pair_j]  # (nbl, P)
-                vis_f = jnp.einsum("bp,pfgb->bgf", w_kl, per_pair)
-                if basis_kl_sym:
-                    # k<=l half-list: the (l, k) channel is reused as the
-                    # feed transpose of (k, l) (exact for real tables and a
-                    # symmetric sky coherency; reference semantics, ref
-                    # cpu_simulate.py:461-468). The auto-rank ordered list
-                    # carries every (k, l) explicitly instead.
-                    offdiag = (pair_i != pair_j).astype(coefs_host.dtype)
-                    w_lk = (c1[:, pair_j] * c2[:, pair_i]) * jnp.asarray(
-                        offdiag
-                    )
-                    vis_f = vis_f + jnp.einsum("bp,pfgb->bfg", w_lk, per_pair)
-                return vis_f.astype(complex_dtype)
-
-            if npairs == 1 and sel_is_identity:
-                return jnp.transpose(per_pair[0], (2, 1, 0))
-            vps = [
-                jnp.transpose(
-                    per_pair[p][:, :, pair_plan.bls_idxs[p]], (2, 1, 0)
-                )
-                for p in range(npairs)
-            ]
-            vis_f = vps[0] if npairs == 1 else jnp.concatenate(vps, axis=0)
-            return vis_f if sel_is_identity else vis_f[inv_perm]
-
-        # Frequency axis execution: vmap (one batched program) when the
-        # per-frequency live footprint allows, else a sequential scan.
-        _C_total = npairs * nfeeds**2
-        if plan.mode == "direct":
-            # Padded multi-pair routing materializes (block, P, m_max)
-            # phase/fringe tensors -- (P * m_max) / nbl larger than the
-            # per-baseline footprint when pair sizes are skewed.
-            _eff_bl = npairs * m_max if pad_routing else nbl
-            if use_ds:
-                _eff_bl = nbl
-            _per_freq_bytes = (
-                plan.block * _eff_bl * (96 * _C_total if use_ds else 12)
-                + _C_total * nbl * 16
-            )
-        else:
-            _cmult = getattr(plan.executor, "channel_multiplier", 1)
-            _blk_eff = K_band * plan.block if band_compact else plan.block
-            _per_freq_bytes = (
-                2 * _C_total * _cmult * int(np.prod(plan.executor.plan.nf)) * 8
-                + _blk_eff * _C_total * _cmult * 16
-            )
-        freq_vmap = (
-            nfreqs_local > 1
-            and nfreqs_local * _per_freq_bytes < _device_memory_limit() // 12
+        freq_vmap = choose_freq_vmap(
+            plan, npairs, nfeeds, pad_routing, m_max, use_ds, band_compact,
+            K_band, nbl, nfreqs_local,
         )
 
-        def program(mats_a, abvel_a, eq_a, coh_ship_a, valid_a, freqs_a,
-                    beamtab_a, act_idx_a=None, act_val_a=None):
-            # Stacked beam tables travel as an INPUT, not a closure
-            # constant: a multi-MB constant dominates the serialized HLO
-            # and with it the remote-TPU AOT compile time (minutes vs
-            # seconds for the 37-beam program).
-            beamtab = beamtab_a if batched_beams is not None else None
-            coh_a = _unship_complex(coh_ship_a, coh_was_complex)
-            if mesh is not None and n_fdev > 1:
-                gshift = jax.lax.axis_index(self.freq_axis) * nfreqs_local
-            else:
-                gshift = jnp.int32(0)
-
-            def per_time(carry, tinp):
-                if banded:
-                    mat, vel, aidx, aval = tinp
-                else:
-                    (mat, vel), aidx, aval = tinp, None, None
-                eq_t, valid_t, coh_t, aval_t = eq_a, valid_a, coh_a, None
-                if band_compact:
-                    # Gather the K active blocks BEFORE the coordinate
-                    # chain: the equatorial vectors are time-invariant, so
-                    # slicing them (one contiguous-dynamic-slice scan, the
-                    # measured-fast copy pattern on this TPU; flat gathers
-                    # are ~150 ns/element) lets aberration, normalization,
-                    # rotation, az/za, beam eval, coherency, bin-sort and
-                    # spread ALL pay (K_band * block) instead of nsrc.
-                    # Padded table rows re-copy block 0 with weight 0 --
-                    # exact, like the banded scan.
-                    blkn = plan.block
-
-                    def _cstep(_, bi):
-                        s0 = bi * blkn
-                        return None, (
-                            jax.lax.dynamic_slice_in_dim(eq_a, s0, blkn, axis=1),
-                            jax.lax.dynamic_slice_in_dim(
-                                valid_a, s0, blkn, axis=0
-                            ),
-                            jax.lax.dynamic_slice_in_dim(coh_a, s0, blkn, axis=0),
-                        )
-
-                    _, (e_s, v_s, c_s) = jax.lax.scan(_cstep, None, aidx)
-                    eq_t = jnp.moveaxis(e_s, 0, 1).reshape(
-                        (3, K_band * blkn) + e_s.shape[3:]
-                    )
-                    valid_t = v_s.reshape(K_band * blkn)
-                    coh_t = c_s.reshape((K_band * blkn,) + c_s.shape[2:])
-                    aval_t = jnp.repeat(
-                        aval.astype(real_dtype), blkn, total_repeat_length=K_band * blkn
-                    )
-                if use_ds or ds_coords:
-                    # Full coordinate chain in double-single: aberration
-                    # add, normalization (f32 rsqrt + one DS Newton step),
-                    # and the 3x3 rotation -- the fp32 chain alone already
-                    # costs ~1e-4 relative phase at wide-array scales.
-                    from . import ds as _dsm
-
-                    comp = [
-                        _dsm.ds_add(
-                            eq_t[d2, :, 0], eq_t[d2, :, 1],
-                            vel[d2, 0], vel[d2, 1],
-                        )
-                        for d2 in range(3)
-                    ]
-                    n2h, n2l = _dsm.ds_mul(*comp[0], *comp[0])
-                    for d2 in (1, 2):
-                        sq = _dsm.ds_mul(*comp[d2], *comp[d2])
-                        n2h, n2l = _dsm.ds_add(n2h, n2l, *sq)
-                    y0 = jax.lax.rsqrt(n2h)
-                    t_h, t_l = _dsm.ds_mul_f32(n2h, n2l, y0)
-                    t_h, t_l = _dsm.ds_mul_f32(t_h, t_l, y0)
-                    t_h, t_l = _dsm.ds_mul_f32(t_h, t_l, jnp.float32(-0.5))
-                    t_h, t_l = _dsm.ds_add(
-                        t_h, t_l, jnp.float32(1.5), jnp.float32(0.0)
-                    )
-                    yh, yl = _dsm.ds_mul_f32(t_h, t_l, y0)
-                    unit = [
-                        _dsm.ds_mul(*comp[d2], yh, yl) for d2 in range(3)
-                    ]
-                    tp = [
-                        _dsm.ds_dot3(
-                            [(mat[i2, k2, 0], mat[i2, k2, 1]) for k2 in range(3)],
-                            unit,
-                        )
-                        for i2 in range(3)
-                    ]
-                    topo_hi = jnp.stack([p[0] for p in tp])  # (3, n)
-                    topo = jnp.stack(
-                        [topo_hi, jnp.stack([p[1] for p in tp])], axis=-1
-                    )  # (3, n, 2)
-                    if ds_coords:
-                        # XLA:CPU's optimizer goes pathological (hour-long
-                        # compile) when this DS chain feeds scatter indices
-                        # downstream; materializing topo at the barrier is
-                        # free (it is a scan input anyway) and cuts the
-                        # producer chain the pass chokes on.
-                        topo = jax.lax.optimization_barrier(topo)
-                        topo_hi = topo[..., 0]
-                else:
-                    eqa = eq_t + vel[:, None]
-                    eqa = eqa / jnp.linalg.norm(eqa, axis=0, keepdims=True)
-                    topo = mat @ eqa  # (3, nsrc_local)
-                    topo_hi = topo
-                mask_up = (topo_hi[2] > 0).astype(real_dtype) * valid_t
-                if aval_t is not None:
-                    mask_up = mask_up * aval_t
-                az, za = enu_to_az_za(topo_hi[0], topo_hi[1], orientation="uvbeam")
-
-                if freq_vmap:
-                    # Batch all frequencies into one program (MXU-friendly;
-                    # a scan of tiny per-freq bodies is dispatch-bound).
-                    vis_t = jax.vmap(
-                        lambda fi: per_freq(
-                            topo, az, za, mask_up, coh_t, freqs_a, gshift,
-                            fi, beamtab, aidx, aval,
-                        )
-                    )(jnp.arange(nfreqs_local))
-                else:
-                    def freq_body(_, fi):
-                        return None, per_freq(
-                            topo, az, za, mask_up, coh_t, freqs_a, gshift,
-                            fi, beamtab, aidx, aval,
-                        )
-
-                    _, vis_t = jax.lax.scan(
-                        freq_body, None, jnp.arange(nfreqs_local)
-                    )
-                return carry, vis_t  # (nfreq, nbl, nfeeds, nfeeds)
-
-            _, vis = jax.lax.scan(
-                per_time,
-                None,
-                (mats_a, abvel_a, act_idx_a, act_val_a)
-                if banded
-                else (mats_a, abvel_a),
-            )
-            if use_ds:
-                # per_freq returned (2 reim, 2 hilo, nbl, f, g) real planes;
-                # lift them to the front for the host float64 combine.
-                return jnp.moveaxis(vis, (2, 3), (0, 1))
-            # (nt_local, nfreq, nbl, nfeeds, nfeeds); returned as one stacked
-            # (2, ...) real array -- complex buffers cannot cross the
-            # executable boundary on some experimental TPU runtimes, and a
-            # single transfer beats two on relayed links.
-            return jnp.stack([jnp.real(vis), jnp.imag(vis)])
+        cfg = ProgramConfig(
+            plan=plan,
+            use_ds=use_ds,
+            ds_coords=ds_coords,
+            banded=banded,
+            band_compact=band_compact,
+            K_band=K_band,
+            real_dtype=real_dtype,
+            complex_dtype=complex_dtype,
+            eps=float(eps),
+            upsample_factor=float(upsample_factor),
+            matmul_precision=_matmul_precision(real_dtype == np.float32),
+            freq_vmap=freq_vmap,
+            nbl=nbl,
+            nfeeds=nfeeds,
+            npairs=npairs,
+            nfreqs=nfreqs,
+            nf_pad=nf_pad,
+            nfreqs_local=nfreqs_local,
+            nt_pad=nt_pad,
+            n_fdev=n_fdev,
+            polarized=bool(polarized),
+            polarized_sky=bool(polarized_sky),
+            pair_plan=pair_plan,
+            flipped_global=flipped_global,
+            pad_routing=pad_routing,
+            m_max=m_max,
+            use_basis=bool(use_basis),
+            basis_kl_sym=bool(basis_kl_sym),
+            kl_pairs=tuple(kl_pairs) if use_basis else None,
+            coefs_host=coefs_host,
+            ant1_dev=ant1_dev,
+            ant2_dev=ant2_dev,
+            prepared=prepared,
+            batched_beams=batched_beams,
+            beam_fps=tuple(_beam_fingerprint(b) for b in beam_list),
+            spline_opts_repr=repr(beam_spline_opts),
+            interpolation_function=interpolation_function,
+            freqs_dev=freqs_dev,
+            tg_ds_host=tg_ds_host,
+            lat_ds_host=lat_ds_host,
+            k2pi_c_ds=k2pi_c_ds,
+            freqs_ds_host=freqs_ds_host,
+            mesh=mesh,
+            time_axis=self.time_axis,
+            source_axis=self.source_axis,
+            freq_axis=self.freq_axis,
+        )
 
         # ---------------- program cache ----------------
-        exec_plan = getattr(plan.executor, "plan", None)
-        cache_key = _hash_parts(
-            (
-                "v1",
-                plan.mode,
-                use_ds,
-                ds_coords,
-                None if band is None else int(band[1].shape[1]),
-                None if not use_ds else (tg_ds_host, freqs_ds_host),
-                None if not ds_coords else (lat_ds_host, freqs_ds_host),
-                plan.is_coplanar,
-                plan.nsrc_pad,
-                plan.nblocks,
-                plan.block,
-                nt_pad,
-                nfreqs,
-                nf_pad,
-                n_fdev,
-                nbl,
-                nfeeds,
-                bool(polarized),
-                bool(polarized_sky),
-                bool(use_basis),
-                bool(basis_kl_sym),
-                str(real_dtype),
-                str(complex_dtype),
-                float(eps),
-                float(upsample_factor),
-                plan.rotation_matrix,
-                plan.lattice_matrix,
-                flipped_global,
-                plan.targets,
-                _plan_fingerprint(exec_plan),
-                _zplan_fingerprint(plan.executor),
-                getattr(plan.executor, "strip_config", None),
-                getattr(plan.executor, "tile_config", None),
-                # Trace-time env switches bake the spread/interp lowering
-                # into the program; they must key the cache too.
-                os.environ.get("FFTVIS_SPREADER", "auto"),
-                os.environ.get("FFTVIS_INTERP", "auto"),
-                os.environ.get("FFTVIS_BEAM_EVAL", "gather"),
-                os.environ.get("FFTVIS_TILE", ""),
-                os.environ.get("FFTVIS_DEBUG", ""),
-                os.environ.get("FFTVIS_BEAM_UPSAMPLE", ""),
-                os.environ.get("FFTVIS_EXACT_OUTER", "auto"),
-                os.environ.get("FFTVIS_SORT_CARRY", "0"),
-                _matmul_precision(real_dtype == np.float32),
-                freq_vmap,
-                freqs_dev,
-                () if not use_basis else (tuple(kl_pairs), coefs_host, ant1_dev, ant2_dev),
-                ()
-                if pair_plan is None
-                else (tuple(pair_plan.pairs), tuple(s for s in pair_plan.bls_idxs)),
-                tuple(_beam_fingerprint(b) for b in beam_list),
-                repr(beam_spline_opts),
-                interpolation_function,
-                None
-                if mesh is None
-                else (
-                    tuple(mesh.axis_names),
-                    tuple(mesh.devices.shape),
-                    tuple(d.id for d in mesh.devices.flat),
-                ),
-            )
-        )
+        cache_key = _program_cache_key(cfg)
 
         run = _cache_get_lru(_PROGRAM_CACHE, cache_key)
         in_specs_t = None
@@ -1771,6 +1012,7 @@ class TPUSimulationEngine(SimulationEngine):
                 in_specs_t = in_specs_t + (P(T), P(T))
 
         if run is None:
+            program = build_program(cfg)
             if mesh is None:
                 run = jax.jit(program)
             else:
@@ -1840,7 +1082,7 @@ class TPUSimulationEngine(SimulationEngine):
                         ntimes, nfreqs, polarized, nfeeds, use_ds, use_basis,
                         polarized_sky, src_keep, band_perm, nsrc_pad, nf_pad,
                         real_dtype, complex_dtype, batched_beams, fluxes_arr,
-                        bl_index_arr, flipped_global,
+                        bl_index_arr, flipped_global, program_config=cfg,
                     )
                 return run, inputs
             from jax.experimental import multihost_utils
@@ -1851,7 +1093,7 @@ class TPUSimulationEngine(SimulationEngine):
             out = self._assemble_output(
                 stacked, use_ds, use_basis, ntimes, nfreqs, npairs, nfeeds,
                 nbl, flipped_global, pair_plan, beam_coefs, ant1_idx if use_basis else None,
-                ant2_idx if use_basis else None, pair_i, pair_j,
+                ant2_idx if use_basis else None, cfg_pair_i(cfg), cfg_pair_j(cfg),
                 complex_dtype, polarized, trace_mem,
             )
             if async_fetch:
@@ -1913,7 +1155,7 @@ class TPUSimulationEngine(SimulationEngine):
                     ntimes, nfreqs, polarized, nfeeds, use_ds, use_basis,
                     polarized_sky, src_keep, band_perm, nsrc_pad, nf_pad,
                     real_dtype, complex_dtype, batched_beams, fluxes_arr,
-                    bl_index_arr, flipped_global,
+                    bl_index_arr, flipped_global, program_config=cfg,
                 )
             return run, inputs
 
@@ -1934,7 +1176,7 @@ class TPUSimulationEngine(SimulationEngine):
                 stacked, use_ds, use_basis, ntimes, nfreqs, npairs, nfeeds,
                 nbl, flipped_global, pair_plan, coefs_snap,
                 ant1_idx if use_basis else None,
-                ant2_idx if use_basis else None, pair_i, pair_j,
+                ant2_idx if use_basis else None, cfg_pair_i(cfg), cfg_pair_j(cfg),
                 complex_dtype, polarized, trace_mem,
             )
 
@@ -1948,6 +1190,7 @@ class TPUSimulationEngine(SimulationEngine):
         ntimes, nfreqs, polarized, nfeeds, use_ds, use_basis, polarized_sky,
         src_keep, band_perm, nsrc_pad, nf_pad, real_dtype, complex_dtype,
         batched_beams, fluxes_arr, bl_index_arr, flipped_global,
+        program_config=None,
     ) -> dict:
         """Metadata accompanying ``return_program="full"``.
 
@@ -1984,6 +1227,10 @@ class TPUSimulationEngine(SimulationEngine):
             # convention (conj without feed swap, ref cpu_simulate.py:298-300).
             "bl_index": np.asarray(bl_index_arr),
             "flipped": np.asarray(flipped_global, dtype=bool),
+            # The full static program configuration (tpu/program.py);
+            # feeds the analytic FLOP model (fftvis_tpu.flops) and any
+            # caller that needs the traced path's exact shape decisions.
+            "program_config": program_config,
         }
 
     # ------------------------------------------------------------------
@@ -2050,299 +1297,21 @@ class TPUSimulationEngine(SimulationEngine):
         return vis[:, :, 0, 0, :].astype(complex_out)
 
     # ------------------------------------------------------------------
+    # Host planning (tpu/planning.py); thin delegates keep the historical
+    # method names used by tests and downstream callers.
     def _type3_compact_ok(self, plan, c2: int, rdtype, n_max: int) -> bool:
-        """Whether type-3 spread cost is occupancy-proportional at
-        ``n_max``-source calls, making banding-by-compaction a pure win.
-
-        True for the dense 2D spreader (small grids), the 3D z-plane dense
-        scan, the Pallas band-accumulator kernel (when its VMEM/geometry
-        gate passes at ``n_max`` sources), and the non-TPU XLA fallbacks
-        (dense/scatter -- test backends). False for the capacity-planned
-        strip/tiled XLA scans: their per-call cost is the static capacity,
-        and their host-side occupancy bounds assume calls of one source
-        block (a compacted mega-block could exceed the per-tile capacity
-        clamp and silently drop sources).
-        """
-        import jax as _jax
-
-        from ..nufft.transform import DENSE_GRID_LIMIT
-
-        ex = plan.executor
-        eplan = getattr(ex, "plan", None)
-        if ex is None or eplan is None:
-            return False
-        mode_env = os.environ.get("FFTVIS_SPREADER", "auto")
-        if mode_env in ("strip", "tiled"):
-            return False
-        if _jax.default_backend() != "tpu":
-            return True
-        if eplan.d != 2:
-            return True  # 3D z-plane dense scan: cost scales with n
-        if int(np.prod(eplan.nf)) <= DENSE_GRID_LIMIT:
-            return True  # dense matmul spreader
-        from ..nufft.pallas_spread import pallas_spread_ok, pallas_tile_shape
-
-        pty, psx = pallas_tile_shape(eplan.nf, eplan.kernel.w, c2)
-        return pallas_spread_ok(
-            eplan.nf, eplan.kernel.w, pty, psx, c2, n_max, np.dtype(rdtype)
-        )
+        return _planning.type3_compact_ok(plan, c2, rdtype, n_max)
 
     def _configure_strip_spreader(self, plan, rot, freqs, c2: int = 2,
                                   rdtype=np.float32) -> None:
-        """Set binned-spreader capacities on a type-3 executor (large grids).
-
-        Default: the (y, x) tiled spreader; FFTVIS_SPREADER=strip selects
-        the legacy dense-in-y strip form. Capacities are rigorous bounds:
-        the maximum number of sources in ANY window of one tile/strip's
-        physical size (at the widest, lowest-frequency scaling), computed
-        per time from the same rotation chain the device uses --
-        alignment-independent, so fp32 jitter at tile edges cannot exceed
-        them.
-        """
-        import os
-
-        import jax as _jax
-
-        from ..nufft.transform import (
-            DENSE_GRID_LIMIT,
-            pick_strip_width,
-            pick_tile_shape,
-        )
-
-        if plan.mode != "type3" or plan.executor is None:
-            return
-        # Never mutate a shared executor: cached plans and programs returned
-        # via return_program=True close over the executor, so each simulate()
-        # call gets its own instance (the underlying plan is immutable).
-        plan.executor = plan.executor.fresh_copy()
-        # .plan is the (inner) 2D spread plan for both Type3Executor and
-        # Type3LowrankZExecutor, so the strip capacity logic below applies
-        # to the 3D lowrank path unchanged.
-        eplan = plan.executor.plan
-        if eplan.d != 2:
-            plan.executor.strip_config = None
-            return
-        mode_env = os.environ.get("FFTVIS_SPREADER", "auto")
-        wanted = mode_env in ("strip", "tiled") or (
-            _jax.default_backend() == "tpu"
-            and int(np.prod(eplan.nf)) > DENSE_GRID_LIMIT
-        )
-        if not wanted:
-            plan.executor.strip_config = None
-            plan.executor.tile_config = None
-            return
-        if mode_env in ("auto", "pallas"):
-            # When the Pallas band kernel's gate provably passes for every
-            # spread call (same static inputs the trace-time gate sees),
-            # the XLA tile scan is unreachable: skip the per-(time, freq)
-            # capacity histogram and class planning, the dominant host
-            # cost of type-3 planning on long observations. tile_config
-            # keeps the (ty, sx) choice with capacity 0 = "unplanned";
-            # _spread_auto treats that as no-config on its fallback paths.
-            from ..nufft.pallas_spread import (
-                pallas_spread_ok,
-                pallas_tile_shape,
-            )
-
-            # Compacted banding feeds the spread a (K*block) axis, not one
-            # block: gate VMEM at the plan's recorded worst call size.
-            _n_gate = int(getattr(plan, "spread_n", 0) or plan.block)
-            pty, psx = pallas_tile_shape(eplan.nf, eplan.kernel.w, c2)
-            if pallas_spread_ok(
-                eplan.nf, eplan.kernel.w, pty, psx, c2,
-                _n_gate, np.dtype(rdtype),
-            ):
-                plan.executor.strip_config = None
-                plan.executor.tile_config = (pty, psx, 0, None)
-                logger.info(
-                    "type-3 spread: Pallas band kernel gate passes "
-                    "(tile=(%d, %d), c2=%d, block=%d); capacity planning "
-                    "skipped", pty, psx, c2, _n_gate,
-                )
-                return
-
-        scale_min = TWO_PI * float(np.min(freqs)) / speed_of_light
-        # Padding sources land at one fixed location; account for them.
-        # Each spread call sees one source BLOCK, so the block size caps it.
-        pad_sources = max(plan.nsrc_pad - rot.nsrc, 0)
-
-        if mode_env == "strip":
-            # Legacy dense-in-y strip form (kept for comparison): 1D
-            # sliding-window capacity over the axis-1 coordinates.
-            strip = pick_strip_width(eplan.nf[1])
-            width_hat = strip * eplan.h[1] / scale_min * 1.05
-            cap = 0
-            for t in range(rot.ntimes):
-                topo = rot.topo_at(t)  # (3, nsrc) float64, device chain
-                y = (plan.rotation_matrix @ topo)[1]
-                ys = np.sort(y)
-                hi = np.searchsorted(ys, ys + width_hat, side="right")
-                cap = max(cap, int((hi - np.arange(ys.size)).max()))
-            cap = max(16, min(cap + pad_sources + 16, plan.block))
-            plan.executor.strip_config = (strip, cap)
-            logger.info(
-                "type-3 strip spreader: strip=%d capacity=%d (nf=%s)",
-                strip, cap, eplan.nf,
-            )
-            return
-
-        # Tiled spreader (the production large-grid path): 2D sliding-window
-        # capacity via a half-window histogram -- any aligned (wy, wx) tile
-        # is covered by a 3x3 block of half-window bins, so the max 3x3 sum
-        # is a rigorous, alignment- and frequency-scaling-independent bound.
-        ty, sx = pick_tile_shape(eplan.nf, eplan.kernel.w, 2)
-        wy = ty * eplan.h[0] / scale_min * 1.05
-        wx = sx * eplan.h[1] / scale_min * 1.05
-        cap = 0
-        for t in range(rot.ntimes):
-            topo = rot.topo_at(t)  # (3, nsrc) float64, device chain
-            xr = plan.rotation_matrix @ topo
-            by = np.floor(xr[0] / (wy / 2)).astype(np.int64)
-            bx = np.floor(xr[1] / (wx / 2)).astype(np.int64)
-            by -= by.min()
-            bx -= bx.min()
-            H = np.zeros((int(by.max()) + 3, int(bx.max()) + 3), dtype=np.int64)
-            np.add.at(H, (by, bx), 1)
-            S = (
-                H[:-2, :-2] + H[:-2, 1:-1] + H[:-2, 2:]
-                + H[1:-1, :-2] + H[1:-1, 1:-1] + H[1:-1, 2:]
-                + H[2:, :-2] + H[2:, 1:-1] + H[2:, 2:]
-            )
-            cap = max(cap, int(S.max()))
-        cap = max(16, min(cap + pad_sources + 16, plan.block))
-        classes = self._plan_tile_classes(
-            plan, rot, freqs, ty, sx, cap, pad_sources
-        )
-        plan.executor.tile_config = (ty, sx, cap, classes)
-        logger.info(
-            "type-3 tiled spreader: tile=(%d, %d) capacity=%d (nf=%s)%s",
-            ty, sx, cap, eplan.nf,
-            ""
-            if classes is None
-            else " balanced classes "
-            + "+".join(f"{len(i)}x{c}" for i, c in classes),
-        )
+        return _planning.configure_strip_spreader(plan, rot, freqs, c2, rdtype)
 
     def _plan_tile_classes(
         self, plan, rot, freqs, ty: int, sx: int, cap: int, pad_sources: int
     ):
-        """Balanced-occupancy schedule for the tiled spreader.
-
-        Per-tile work in the tile scan is proportional to the CLASS
-        capacity regardless of occupancy, and transform-space skies cluster
-        hard (the sin-projection piles sources at the horizon rim), so a
-        single global capacity wastes 5-20x FLOPs on near-empty tiles.
-        This computes rigorous per-tile occupancy bounds by replaying the
-        device's exact grid mapping (u = mod(x/h, nf), per source block,
-        with a jitter margin) over every (time, freq) instance, then
-        partitions tiles into <=4 capacity classes by dynamic programming.
-        Returns None (single-class) when the planning cost or payoff is
-        not worth it.
-        """
-        eplan = plan.executor.plan
-        nfy, nfx = int(eplan.nf[0]), int(eplan.nf[1])
-        nty, ntx = -(-nfy // ty), -(-nfx // sx)
-        ntiles = nty * ntx
-        n_inst = rot.ntimes * len(freqs)
-        if n_inst > 1024 or ntiles < 8 or ntiles > 4096:
-            return None
-
-        delta = 4.0  # cells; covers device-fp32 vs host-fp64 jitter
-        scales = TWO_PI * np.asarray(freqs, dtype=float) / speed_of_light
-        # Padding sources all land at one point per instance; replay them.
-        eq = rot.eq_vectors
-        if pad_sources:
-            pad_vec = np.zeros((3, pad_sources))
-            pad_vec[2] = 1.0
-            eq = np.concatenate([eq, pad_vec], axis=1)
-        nsrc_pad = plan.nsrc_pad
-        if eq.shape[1] < nsrc_pad:  # safety: match the device's padding
-            extra = np.zeros((3, nsrc_pad - eq.shape[1]))
-            extra[2] = 1.0
-            eq = np.concatenate([eq, extra], axis=1)
-        block = plan.block
-        nchunks = nsrc_pad // block
-        offsets = [(0.0, 0.0)] + [
-            (dy, dx)
-            for dy in (-delta, 0.0, delta)
-            for dx in (-delta, 0.0, delta)
-            if (dy, dx) != (0.0, 0.0)
-        ]
-
-        def _tile_ids(uy, ux, dy, dx):
-            tiy = np.clip(
-                np.floor(np.mod(uy + dy, nfy) / ty).astype(np.int64), 0, nty - 1
-            )
-            tix = np.clip(
-                np.floor(np.mod(ux + dx, nfx) / sx).astype(np.int64), 0, ntx - 1
-            )
-            return tiy * ntx + tix
-
-        # B[tile] = max over (time, freq, source-chunk) of (base membership
-        # + margin crossings): each spread call sees ONE chunk, so the bound
-        # is per chunk, maxed over instances.
-        B = np.zeros(ntiles, dtype=np.int64)
-        for t in range(rot.ntimes):
-            # Replay the device chain (incl. aberration) so the per-tile
-            # bounds are exact up to fp32 jitter; delta then only needs to
-            # cover that jitter, not a resolution-dependent aberration shift.
-            xr = plan.rotation_matrix @ rot.topo_at(t, eq)  # (3, nsrc_pad)
-            for s in scales:
-                uy = np.mod(xr[0] * s / eplan.h[0], nfy)
-                ux = np.mod(xr[1] * s / eplan.h[1], nfx)
-                tid_base = _tile_ids(uy, ux, 0.0, 0.0)
-                tid_alts = [
-                    _tile_ids(uy, ux, dy, dx) for dy, dx in offsets[1:]
-                ]
-                for c0 in range(nchunks):
-                    sl = slice(c0 * block, (c0 + 1) * block)
-                    cnt = np.bincount(tid_base[sl], minlength=ntiles)
-                    for ta in tid_alts:
-                        # Only boundary crossings (interior sources would
-                        # otherwise count 9x into their own tile).
-                        cross = ta[sl][ta[sl] != tid_base[sl]]
-                        if cross.size:
-                            cnt += np.bincount(cross, minlength=ntiles)
-                    np.maximum(B, cnt, out=B)
-
-        occupied = np.flatnonzero(B > 0)
-        if occupied.size == 0:
-            return None
-        B = np.minimum(B + 16, cap)  # same slack as the global capacity
-        order = occupied[np.argsort(B[occupied])[::-1]]
-        vals = B[order].astype(np.int64)
-
-        # Optimal <=4-way partition of the sorted bounds minimizing
-        # sum(class_size * class_cap) (class cap = its largest bound).
-        # The status-quo cost is ntiles * cap with the GLOBAL
-        # alignment-independent capacity -- typically several times looser
-        # than these exact-mapping per-tile bounds, so even the one-class
-        # schedule usually wins by excluding empty tiles and tightening cap.
-        m = vals.size
-        single = ntiles * int(cap)
-        K = 4
-        INF = float("inf")
-        dp = [[INF] * (m + 1) for _ in range(K + 1)]
-        cut = [[0] * (m + 1) for _ in range(K + 1)]
-        for k in range(K + 1):
-            dp[k][m] = 0.0
-        for k in range(1, K + 1):
-            for i in range(m - 1, -1, -1):
-                best, bj = INF, m
-                for j in range(i + 1, m + 1):
-                    c = (j - i) * int(vals[i]) + dp[k - 1][j]
-                    if c < best:
-                        best, bj = c, j
-                dp[k][i] = best
-                cut[k][i] = bj
-        if dp[K][0] * 1.3 > single:
-            return None  # payoff too small to justify extra scans
-        bounds_ids, i, k = [], 0, K
-        while i < m and k > 0:
-            j = cut[k][i]
-            bounds_ids.append((order[i:j].copy(), int(vals[i])))
-            i, k = j, k - 1
-        return tuple(bounds_ids)
+        return _planning.plan_tile_classes(
+            plan, rot, freqs, ty, sx, cap, pad_sources
+        )
 
     def _plan_transform(
         self,
@@ -2360,260 +1329,37 @@ class TPUSimulationEngine(SimulationEngine):
         npairs,
         mode_override: str | None = None,
     ) -> _SimPlan:
-        """Choose the transform path and build its static plan (host)."""
-        nufft_mode = mode_override or self.nufft_mode
-        antvecs = np.array([np.asarray(ants[a], dtype=float) for a in ants])
-        fmax = float(np.max(freqs))
-
-        is_gridded = False
-        if (
-            np.abs(antvecs[:, -1]).max() <= flat_array_tol
-            and not force_use_type3
-            and nufft_mode != "type3"
-        ):
-            is_gridded, gridded_pos, basis = check_antpos_griddability(ants)
-
-        if is_gridded:
-            bls_int = np.array(
-                [gridded_pos[bj] - gridded_pos[bi] for bi, bj in baselines]
-            ).T[:2]
-            bls_int = np.round(bls_int).astype(np.int64)
-            bls_signed = np.where(flipped_global[None, :], -bls_int, bls_int)
-            # Lattice transform: source lattice coords = (basis/c)^T topo.
-            lattice = (basis / speed_of_light).T
-            kmax = max(int(np.max(np.abs(bls_int))), 1)
-            n_modes = 2 * kmax + 1
-
-            mode, exec_, targets = self._select_gridded_path(
-                bls_signed, eps, upsample_factor, nsrc, nbl, n_modes, npairs,
-                nfeeds, nufft_mode,
-            )
-            logger.info(
-                "Gridded array detected: using %s path (n_modes=%d)", mode, n_modes
-            )
-            return _SimPlan(
-                mode=mode,
-                executor=exec_,
-                targets=targets,
-                is_coplanar=True,
-                rotation_matrix=np.eye(3),
-                lattice_matrix=lattice,
-            )
-
-        # Type-3 (or direct) path: rotate a tilted plane into XY.
-        rotation = core_utils.get_plane_to_xy_rotation_matrix(antvecs).T
-        rot_ants = (rotation @ antvecs.T).T
-        pos = {a: rot_ants[i] for i, a in enumerate(ants)}
-        blvec = np.array([pos[bj] - pos[bi] for bi, bj in baselines]).T  # (3, nbl)
-        is_coplanar = bool(np.all(np.abs(blvec[2]) <= flat_array_tol))
-        d = 2 if is_coplanar else 3
-        targets = blvec[:d]
-        targets = np.where(flipped_global[None, :], -targets, targets)
-
-        # FLOP model: exact direct vs spread+FFT+interp. The spread term
-        # depends on the backend: the TPU dense-matmul spreader costs
-        # n * prod(nf) per channel, while the CPU scatter costs n * w^d.
-        import jax as _jax
-
-        direct_cost = 8.0 * nsrc * nbl
-        x_ext = [TWO_PI * fmax / speed_of_light] * d
-        if d == 2:
-            # fit_precorr deferred: the chebfit host time is only paid
-            # below if the type-3 path wins the cost comparison.
-            probe = plan_type3(
-                targets, x_extent=x_ext, eps=eps,
-                upsample_factor=upsample_factor, fit_precorr=False,
-            )
-            K = 1
-        else:
-            # 3D (non-coplanar, finufft nufft3d3 parity; ref cpu/nufft.py:
-            # 62-118) via the low-rank-z 2D factorization: a full 3D fine
-            # grid is HBM-infeasible and XLA scatter serializes, so the z
-            # phase factors as K Chebyshev modes batched through the 2D
-            # spread (transform.plan_type3_lowrank_z). The z range of the
-            # rotated upper-hemisphere source coordinates bounds the
-            # Chebyshev bandwidth: extremize rot[2] . v over |v| = 1,
-            # v_z >= 0 (interior max 1 when the row's z component points
-            # up, else on the horizon circle).
-            r = rotation[2]
-            rxy = float(np.hypot(r[0], r[1]))
-            zhi = 1.0 if r[2] >= 0 else rxy
-            zlo = -1.0 if r[2] <= 0 else -rxy
-            scale = TWO_PI * fmax / speed_of_light
-            pad = 1e-3  # aberration + fp slop before the executor's clamp
-            try:
-                probe_z = plan_type3_lowrank_z(
-                    targets,
-                    x_extent=x_ext,
-                    eps=eps,
-                    upsample_factor=upsample_factor,
-                    x_range_z=((zlo - pad) * scale, (zhi + pad) * scale),
-                    fit_precorr=False,
-                )
-            except ValueError as err:
-                # z bandwidth beyond the low-rank expansion's reach (very
-                # tall arrays): the exact direct path is the only accurate
-                # option.
-                logger.warning(
-                    "3D type-3 low-rank factorization unavailable (%s); "
-                    "using the exact direct path", err,
-                )
-                return _SimPlan(
-                    mode="direct",
-                    executor=None,
-                    targets=targets,
-                    is_coplanar=is_coplanar,
-                    rotation_matrix=rotation,
-                    lattice_matrix=None,
-                )
-            probe = probe_z.plan2d
-            K = probe_z.K
-        w = probe.kernel.w
-        C = max(1, npairs * nfeeds**2)
-        on_tpu = _jax.default_backend() == "tpu"
-        if on_tpu:
-            # MXU spread: dense for small grids, (y, x) tile-binned beyond
-            # DENSE_GRID_LIMIT (each source's work is one tile window, not
-            # a grid row). The factor 2 approximates tile-occupancy slack
-            # (capacity x ntiles / nsrc); the MXU's algebraic-intensity
-            # advantage over elementwise work is folded into the constant.
-            from ..nufft.pallas_spread import (
-                pallas_spread_ok,
-                pallas_tile_shape,
-            )
-            from ..nufft.transform import DENSE_GRID_LIMIT, pick_tile_shape
-
-            nfy, nfx = probe.nf
-            if nfy * nfx > DENSE_GRID_LIMIT:
-                m2 = 2 * (w // 2 + 2)
-                pty, psx = pallas_tile_shape(probe.nf, w, 2 * C)
-                if pallas_spread_ok(
-                    probe.nf, w, pty, psx, 2 * C, int(nsrc), np.float32
-                ):
-                    # Pallas band kernel: occupancy-proportional window
-                    # work, no capacity slack (measured 10x the tile scan).
-                    per_mode = 1.0 * nsrc * (pty + m2) * (psx + m2)
-                else:
-                    ty, sx = pick_tile_shape(probe.nf, w, 2)
-                    tyw = -(-(ty + m2) // 8) * 8
-                    per_mode = 2.0 * nsrc * tyw * (sx + m2)
-            else:
-                per_mode = 1.0 * nsrc * float(nfy * nfx)
-        else:
-            per_mode = 16.0 * nsrc * w**2
-        spread_cost = K * per_mode
-        nf_cells = float(np.prod(probe.nf))
-        nufft_cost = (
-            spread_cost
-            + 5.0 * K * nf_cells * np.log2(max(nf_cells, 2)) / C
-            + 16.0 * nbl * w**2 * K
-        )
-        if nufft_mode == "direct" or (
-            nufft_mode == "auto" and direct_cost < nufft_cost
-        ):
-            logger.info(
-                "Using exact direct path (cost %.2e < nufft %.2e)",
-                direct_cost,
-                nufft_cost,
-            )
-            return _SimPlan(
-                mode="direct",
-                executor=None,
-                targets=targets,  # meters; nufft_coords supplies 2 pi nu / c
-                is_coplanar=is_coplanar,
-                rotation_matrix=rotation,
-                lattice_matrix=None,
-            )
-
-        if d == 3:
-            executor = Type3LowrankZExecutor(fit_plan_precorr(probe_z))
-            logger.info(
-                "Using type-3 NUFFT path (3D lowrank-z: nf=%s, w=%d, K=%d)",
-                probe.nf, w, K,
-            )
-        else:
-            executor = Type3Executor(fit_plan_precorr(probe))
-            logger.info("Using type-3 NUFFT path (nf=%s, w=%d)", probe.nf, w)
-        return _SimPlan(
-            mode="type3",
-            executor=executor,
-            targets=None,
-            is_coplanar=is_coplanar,
-            rotation_matrix=rotation,
-            lattice_matrix=None,
+        return _planning.plan_transform(
+            self.nufft_mode, ants, baselines, freqs, eps, upsample_factor,
+            flat_array_tol, force_use_type3, flipped_global, nbl, nsrc,
+            nfeeds, npairs, mode_override=mode_override,
         )
 
     def _select_gridded_path(
         self, bls_signed, eps, upsample_factor, nsrc, nbl, n_modes, npairs,
         nfeeds, nufft_mode=None,
     ):
-        """Gridded arrays: exact factored DFT vs ES type-1.
-
-        The exact separable-DFT executor dominates the dense ES spreader
-        everywhere the dense regime applies (strictly fewer MACs, no
-        FFT/deconvolution, ~5-7x smaller scan carry, zero truncation
-        error -- see Type1ExactExecutor), so it is the default whenever
-        the MODE grid fits the dense-spread size class AND the factor
-        phases stay f32-error-free (per-axis kmax * nm < 2^23; beyond
-        that the integer product k * cell is no longer exact in f32 --
-        only extremely elongated lattices hit this). FFTVIS_TYPE1=
-        {auto,exact,es} overrides (es keeps the ES + FFT pipeline, e.g.
-        for comparison benchmarks).
-        """
-        import os
-
-        from ..nufft.transform import (
-            DENSE_GRID_LIMIT,
-            Type1ExactExecutor,
-            plan_type1_exact,
+        return _planning.select_gridded_path(
+            nufft_mode or self.nufft_mode, bls_signed, eps, upsample_factor,
+            nsrc, nbl, n_modes, npairs, nfeeds,
         )
 
-        if (nufft_mode or self.nufft_mode) == "direct":
-            return "direct", None, bls_signed.astype(float)
-        t1_env = os.environ.get("FFTVIS_TYPE1", "auto")
-        xplan = plan_type1_exact(bls_signed)
-        f32_safe = all(
-            k * n < 2**23 for k, n in zip(xplan.kmax, xplan.nf)
-        )
-        if t1_env == "exact" and not f32_safe:
-            logger.warning(
-                "FFTVIS_TYPE1=exact forced on a lattice whose factor "
-                "phases exceed the f32-exact bound (kmax*nm >= 2^23 on "
-                "some axis, mode grid %s); expect degraded accuracy in "
-                "float32.", xplan.nf,
-            )
-        # MXU-utilization crossover (measured on v5e): the exact path's
-        # factor einsum tiles its (C*nmy, nmx) output onto the 128x128
-        # systolic array, so at SMALL channel counts (C*nm < ~128) it runs
-        # at ~10% utilization while its trig/complex factor build -- which
-        # is C-independent VPU work -- dominates; the ES dense spread +
-        # FFT is 1.4-2x faster there (24h banded row: 42 -> 20.8 ms,
-        # outputs within the fp32 accuracy class at 2.3e-6). At large C
-        # the exact einsum fills the MXU (~75% peak on the north-star
-        # row's 2812 channels) and its strictly-fewer MACs win. TPU-only:
-        # on fp64 backends the default eps (1e-13) would force a w=16 ES
-        # kernel and the exact path's zero truncation error matters.
-        import jax as _jax
 
-        c_tot = max(1, npairs) * nfeeds**2
-        prefer_es = t1_env == "es" or (
-            t1_env == "auto"
-            and _jax.default_backend() == "tpu"
-            and c_tot * int(min(xplan.nf)) < 128
-            and (eps is None or eps >= 1e-7)
-        )
-        if t1_env == "exact" or (
-            not prefer_es
-            and t1_env != "es"
-            and f32_safe
-            and int(np.prod(xplan.nf)) <= DENSE_GRID_LIMIT
-        ):
-            logger.info(
-                "Gridded path: exact separable DFT (mode grid %s)", xplan.nf
-            )
-            return "type1", Type1ExactExecutor(xplan), None
-        plan = plan_type1(bls_signed, eps, upsample_factor)
-        return "type1", Type1Executor(plan), None
+def cfg_pair_i(cfg: ProgramConfig) -> np.ndarray:
+    """Pair-channel i-indices of a program config (assembly order)."""
+    pairs_arr = np.asarray(
+        cfg.kl_pairs if cfg.use_basis else list(cfg.pair_plan.pairs),
+        dtype=np.int64,
+    ).reshape(-1, 2)
+    return pairs_arr[:, 0]
+
+
+def cfg_pair_j(cfg: ProgramConfig) -> np.ndarray:
+    pairs_arr = np.asarray(
+        cfg.kl_pairs if cfg.use_basis else list(cfg.pair_plan.pairs),
+        dtype=np.int64,
+    ).reshape(-1, 2)
+    return pairs_arr[:, 1]
 
 
 # inspect.signature follows __wrapped__: keep the public simulate signature
