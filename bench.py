@@ -13,6 +13,11 @@
    inside the metric string and on stderr (its small repeat count makes the
    wall number sensitive to the dev runtime's relay-link variance).
 
+Each scored row also reports the analytic-model FLOP count
+(fftvis_tpu/flops.py: closed-form spread/FFT/interp/coherency terms from
+the executed plan), the achieved FLOP/s against the row's device-compute
+time, and MFU as a fraction of the chip's f32-effective matmul peak.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
@@ -50,18 +55,25 @@ def _steady(fn, repeats):
 def _pipelined_wall(call_async, repeats, depth=8):
     """Per-call wall of ``depth`` in-flight async_fetch simulations.
 
-    Issues all ``depth`` calls before collecting any result: each
-    VisibilityFuture's D2H copy streams behind the next call's dispatch
-    and compute, which is how a production pipeline (or any caller that
-    batches sims) consumes the engine. Best-of-``repeats`` rounds.
+    The production consumption pattern: a dispatcher issues simulations
+    while a SINGLE collector thread drains their results in order --
+    host-side dispatch (planning, hashing, input prep) overlaps the
+    device-to-host transfers, whose blocking fetch releases the GIL.
+    Best-of-``repeats`` rounds.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     best = np.inf
-    for _ in range(max(2, repeats // 2)):
-        t0 = time.perf_counter()
-        futs = [call_async() for _ in range(depth)]
-        for f in futs:
-            f.result()
-        best = min(best, (time.perf_counter() - t0) / depth)
+    with ThreadPoolExecutor(1) as collector:
+        for _ in range(max(2, repeats // 2)):
+            t0 = time.perf_counter()
+            handles = []
+            for _ in range(depth):
+                fut = call_async()
+                handles.append(collector.submit(fut.result))
+            for h in handles:
+                h.result()
+            best = min(best, (time.perf_counter() - t0) / depth)
     return best
 
 
@@ -69,7 +81,7 @@ def _relay_link_floor(nbytes, repeats):
     """Measure the host<->device link in-run: (bandwidth B/s, rtt s, floor s).
 
     The gridded row's wall clock is dominated by shipping the output over
-    the dev relay (~MB at ~10 MB/s); measuring the link here (a timed
+    the dev relay (~MB at ~10-50 MB/s); measuring the link here (a timed
     fetch of a known-size device buffer minus the scalar round-trip) makes
     the floor driver-verifiable instead of a hand-waved constant, and the
     honest wall decomposition is wall = compute + floor + jitter.
@@ -78,13 +90,21 @@ def _relay_link_floor(nbytes, repeats):
     import jax.numpy as jnp
 
     probe_bytes = 1 << 21  # 2 MB
-    probe = jax.jit(lambda x: x + 1.0)
-    x = jnp.zeros(probe_bytes // 4, jnp.float32)
+    probe = jax.jit(lambda x, s: x + s)
     trivial = jax.jit(lambda y: (y + 1.0).sum())
     y = jnp.ones((8, 8), jnp.float32)
-    np.asarray(probe(x))
+    x = jnp.zeros(probe_bytes // 4, jnp.float32)
+    np.asarray(probe(x, 0.0))
     float(trivial(y))
-    t_fetch = _steady(lambda: np.asarray(probe(x)), repeats)
+
+    # Fresh values each fetch: repeated np.asarray of the SAME jax array
+    # returns a cached host copy (measured: second fetch ~0 ms), which
+    # would report fantasy bandwidth.
+    def fetch(i=[0]):
+        i[0] += 1
+        return np.asarray(probe(x, float(i[0])))
+
+    t_fetch = _steady(fetch, repeats)
     t_rtt = _steady(lambda: float(trivial(y)), repeats)
     bw = probe_bytes / max(t_fetch - t_rtt, 1e-9)
     return bw, t_rtt, nbytes / bw + t_rtt
@@ -136,6 +156,24 @@ def _device_compute_time(run, inputs, repeats, loops=8):
     return max((t_sum - t_rtt) / loops, 1e-5), t_rtt
 
 
+def _model_flops(info, ntimes):
+    """Analytic-model FLOPs for one simulation, from the program config."""
+    from fftvis_tpu.flops import program_model_flops
+
+    cfg = info.get("program_config")
+    if cfg is None:
+        return None
+    return program_model_flops(cfg, ntimes=ntimes)["total"]
+
+
+def _mfu_str(flops_total, seconds):
+    from fftvis_tpu.flops import mfu_string
+
+    if flops_total is None or seconds is None:
+        return ""
+    return " [" + mfu_string(flops_total, seconds) + "]"
+
+
 def main():
     import jax
 
@@ -153,14 +191,25 @@ def main():
     # looped fori_loop already averages them on-chip. Sub-default repeat
     # counts (the CPU smoke test runs REPEATS=1) opt out of both the extra
     # wall repeats and the device loop: CPU executions take seconds each.
-    wall_reps = max(repeats, 8) if repeats >= 5 else repeats
-    dev_loops = 8 if repeats >= 5 else 1
+    full_scale = repeats >= 5
+    wall_reps = max(repeats, 8) if full_scale else repeats
+    dev_loops = 8 if full_scale else 1
 
     loc = TelescopeLocation(np.deg2rad(-30.72), np.deg2rad(21.43), 1000.0)
     ra, dec = healpix_radec(nside)
     nsrc = ra.size
     rng = np.random.default_rng(0)
     backend_name = jax.default_backend()
+
+    from fftvis_tpu.beams.interface import (
+        BeamInterface,
+        prepare_beam_unpolarized,
+    )
+    from fftvis_tpu.flops import chip_peak_flops
+    from fftvis_tpu.tpu.engine import TPUSimulationEngine
+
+    peak, peak_label = chip_peak_flops()
+    print(f"[bench] chip peak model: {peak_label}", file=sys.stderr)
 
     # ---------------- 1. tutorial workload (primary) ----------------
     ants_t = hex_array(3, sep=14.6)
@@ -180,16 +229,25 @@ def main():
     ratio_t = rate_t / TUTORIAL_BASELINE_PTS_PER_S
     pipe_t = _pipelined_wall(
         lambda: simulate_vis(async_fetch=True, **kw_t), wall_reps,
-        depth=8 if repeats >= 5 else 2,
+        depth=8 if full_scale else 2,
     )
     rate_tp = nbl_t * freqs_t.size * times_t.size / pipe_t
     ratio_tp = rate_tp / TUTORIAL_BASELINE_PTS_PER_S
+    # Device-compute time + MFU for the same program.
+    ekw_t = {k: v for k, v in kw_t.items() if k not in ("beam", "backend")}
+    bt = prepare_beam_unpolarized(BeamInterface(AiryBeam(diameter=14.0)))
+    run_t, in_t, info_t = TPUSimulationEngine().simulate(
+        beam_list=[bt], return_program="full", **ekw_t
+    )
+    dev_t, _ = _device_compute_time(run_t, in_t, repeats, dev_loops)
+    fl_t = _model_flops(info_t, times_t.size)
     print(
         f"[bench] tutorial: {nbl_t} bls x 20f x 30t in {wall_t:.3f} s = "
         f"{rate_t:.3e} pts/s ({ratio_t:.1f}x ref fftvis-CPU, "
         f"{19.5 / wall_t:.0f}x matvis wall); pipelined (8 in-flight "
-        f"async_fetch) {pipe_t * 1e3:.1f} ms/sim = {rate_tp:.3e} pts/s "
-        f"({ratio_tp:.1f}x)",
+        f"async_fetch, threaded collect) {pipe_t * 1e3:.1f} ms/sim = "
+        f"{rate_tp:.3e} pts/s ({ratio_tp:.1f}x); device "
+        f"{dev_t * 1e3:.1f} ms{_mfu_str(fl_t, dev_t)}",
         file=sys.stderr,
     )
 
@@ -212,48 +270,54 @@ def main():
     npts_g = len(baselines) * freqs_g.size * times_g.size
     rate_g = npts_g / wall_g
     ratio_g = rate_g / GRIDDED_BASELINE_PTS_PER_S
-    # Pipelined wall: 8 in-flight async_fetch sims (how a sweep/production
-    # caller consumes the engine); the sequential wall above pays a full
-    # link round-trip handshake per call on the dev relay.
+    # Pipelined wall: 8 in-flight async_fetch sims with a collector thread
+    # (production consumption); the sequential wall above pays a full link
+    # round-trip handshake per call on the dev relay.
     pipe_g = _pipelined_wall(
         lambda: simulate_vis(async_fetch=True, **kw_g), wall_reps,
-        depth=8 if repeats >= 5 else 2,  # CPU smoke: 2 sims, one round
+        depth=8 if full_scale else 2,  # CPU smoke: 2 sims, one round
     )
     rate_gp = npts_g / pipe_g
     ratio_gp = rate_gp / GRIDDED_BASELINE_PTS_PER_S
 
     # Device-compute rate for the same program: the wall above is bound by
-    # shipping the ~3 MB output over the dev relay link (~10 MB/s => ~0.25 s
-    # floor); production TPU hosts fetch over PCIe at GB/s.
-    from fftvis_tpu.beams.interface import BeamInterface
-    from fftvis_tpu.tpu.engine import TPUSimulationEngine
-
+    # shipping the ~3 MB output over the dev relay link; production TPU
+    # hosts fetch over PCIe at GB/s.
     eng_kw = dict(kw_g)
     for k in ("backend",):
         eng_kw.pop(k)
-    beam_obj = BeamInterface(eng_kw.pop("beam"))
-    run_g, in_g = TPUSimulationEngine().simulate(
-        beam_list=[beam_obj], return_program=True, **eng_kw
+    beam_obj = prepare_beam_unpolarized(BeamInterface(eng_kw.pop("beam")))
+    run_g, in_g, info_g = TPUSimulationEngine().simulate(
+        beam_list=[beam_obj], return_program="full", **eng_kw
     )
     dev_g, rtt = _device_compute_time(run_g, in_g, repeats, dev_loops)
     rate_gd = npts_g / dev_g
     ratio_gd = rate_gd / GRIDDED_BASELINE_PTS_PER_S
+    fl_g = _model_flops(info_g, times_g.size)
     # In-run relay-floor measurement: the stacked (re, im) f32 output is
-    # what actually crosses the link.
+    # what actually crosses the link. The PIPELINED floor amortizes the
+    # per-call RTT across the in-flight depth; per-sim transfer itself is
+    # irreducible on a serial link.
     out_bytes = 2 * vg.size * 4
     link_bw, link_rtt, wall_floor = _relay_link_floor(out_bytes, repeats)
+    pipe_floor = out_bytes / link_bw + link_rtt / 8.0 + dev_g
     ratio_gf = npts_g / max(wall_g - wall_floor, dev_g) / GRIDDED_BASELINE_PTS_PER_S
+    ratio_pf = npts_g / pipe_floor / GRIDDED_BASELINE_PTS_PER_S
+    pipe_vs_floor = 100.0 * (pipe_g / pipe_floor - 1.0)
     print(
         f"[bench] gridded: {len(baselines)} bls x 2f x 3t in {wall_g:.3f} s "
         f"wall = {rate_g:.3e} pts/s ({ratio_g:.1f}x ref fftvis-CPU type-1 "
-        f"wall); pipelined (8 in-flight async_fetch) {pipe_g * 1e3:.1f} ms"
-        f"/sim = {rate_gp:.3e} pts/s ({ratio_gp:.1f}x ref); device compute "
-        f"{dev_g * 1e3:.1f} ms (dispatch RTT "
+        f"wall); pipelined (8 in-flight, threaded collect) "
+        f"{pipe_g * 1e3:.1f} ms/sim = {rate_gp:.3e} pts/s ({ratio_gp:.1f}x "
+        f"ref); device compute {dev_g * 1e3:.1f} ms (dispatch RTT "
         f"{rtt * 1e3:.0f} ms excluded) = {rate_gd:.3e} pts/s "
-        f"({ratio_gd:.1f}x ref); measured relay link {link_bw / 1e6:.1f} "
-        f"MB/s, floor for {out_bytes / 1e6:.1f} MB = {wall_floor:.3f} s -> "
-        f"wall minus floor {max(wall_g - wall_floor, dev_g) * 1e3:.1f} ms "
-        f"({ratio_gf:.0f}x ref)",
+        f"({ratio_gd:.1f}x ref){_mfu_str(fl_g, dev_g)}; measured relay "
+        f"link {link_bw / 1e6:.1f} MB/s -> pipelined floor "
+        f"({out_bytes / 1e6:.1f} MB + RTT/8 + compute) = "
+        f"{pipe_floor * 1e3:.0f} ms/sim ({ratio_pf:.1f}x-equivalent); "
+        f"pipelined wall is {pipe_vs_floor:+.0f}% vs that floor; "
+        f"sequential floor {wall_floor:.3f} s -> wall minus floor "
+        f"{max(wall_g - wall_floor, dev_g) * 1e3:.1f} ms ({ratio_gf:.0f}x)",
         file=sys.stderr,
     )
 
@@ -271,20 +335,21 @@ def main():
         baselines=bl3, polarized=False, precision=2, backend="tpu",
         force_use_type3=True,
     )
-    from fftvis_tpu.beams.interface import prepare_beam_unpolarized
-
     eng3 = TPUSimulationEngine(nufft_mode="type3")
     ekw3 = {k: v for k, v in kw_3.items() if k not in ("beam", "backend")}
     b3 = prepare_beam_unpolarized(BeamInterface(GaussianBeam(diameter=14.0)))
-    run3, in3 = eng3.simulate(beam_list=[b3], return_program=True, **ekw3)
+    run3, in3, info3 = eng3.simulate(
+        beam_list=[b3], return_program="full", **ekw3
+    )
     dev_3, _ = _device_compute_time(run3, in3, repeats, dev_loops)
     npts_3 = len(bl3) * freqs_g.size * times_g.size
     rate_3 = npts_3 / dev_3
     ratio_3 = rate_3 / TYPE3_BASELINE_PTS_PER_S
+    fl_3 = _model_flops(info3, times_g.size)
     print(
         f"[bench] type-3 forced: {len(bl3)} bls x 2f x 3t device "
         f"{dev_3 * 1e3:.1f} ms = {rate_3:.3e} pts/s ({ratio_3:.0f}x ref "
-        f"forced-type-3 wall)",
+        f"forced-type-3 wall){_mfu_str(fl_3, dev_3)}",
         file=sys.stderr,
     )
 
@@ -319,14 +384,22 @@ def main():
     ratio_e = rate_e / EIGEN_BASELINE_PTS_PER_S
     pipe_e = _pipelined_wall(
         lambda: simulate_vis(async_fetch=True, **kw_e), wall_reps,
-        depth=8 if repeats >= 5 else 2,
+        depth=8 if full_scale else 2,
     )
     ratio_ep = npts_e / pipe_e / EIGEN_BASELINE_PTS_PER_S
+    ekw_e = {k: v for k, v in kw_e.items() if k not in ("beam", "backend")}
+    run_e, in_e, info_e = TPUSimulationEngine().simulate(
+        beam_list=[BeamInterface(b) for b in eig], return_program="full",
+        **ekw_e,
+    )
+    dev_e, _ = _device_compute_time(run_e, in_e, repeats, dev_loops)
+    fl_e = _model_flops(info_e, times_e.size)
     print(
         f"[bench] eigenbeam (K={len(eig)}): {ve.shape[-1]} bls x 1f x 4t in "
         f"{wall_e:.3f} s wall = {rate_e:.3e} pts/s ({ratio_e:.0f}x ref "
         f"eigenbeam wall); pipelined {pipe_e * 1e3:.1f} ms/sim "
-        f"({ratio_ep:.0f}x)",
+        f"({ratio_ep:.0f}x); device {dev_e * 1e3:.1f} ms"
+        f"{_mfu_str(fl_e, dev_e)}",
         file=sys.stderr,
     )
 
@@ -335,26 +408,28 @@ def main():
     # TPU chip, at <=1e-5 relative error vs the matvis-style direct-DFT
     # reference on HERA-331 polarized simulations". This row scores that
     # configuration directly: 331-antenna HERA-class hex lattice, full
-    # redundant-group baseline set, polarized, TABULATED per-antenna beams
-    # (37 distinct models round-robin over antennas -- the reference's
-    # per-antenna headline scale, ref docs/beam_decomposition.ipynb), the
-    # nside=64 sky. Wall + device-compute throughput, then an ON-HARDWARE
-    # accuracy assert at <= 1e-5 vs the in-repo fp64 direct-DFT oracle on
-    # a 512-source subproblem (the oracle is O(nsrc x nbl) on host).
-    from fftvis_tpu.beams.gridded import GriddedBeam
+    # redundant-group baseline set, polarized, REALISTIC STRUCTURED
+    # tabulated per-antenna beams (the committed CST-class beamfits asset
+    # -- Airy sidelobes, deep nulls, complex cross-pol, az ripple, 1 deg
+    # gridding -- loaded through the in-repo beamfits reader, with
+    # per-antenna perturbed variants; fftvis_tpu/beams/synth.py), the
+    # nside=64 sky. Wall + device-compute throughput + MFU, then an
+    # ON-HARDWARE accuracy assert at <= 1e-5 vs the in-repo fp64
+    # direct-DFT oracle on a 512-source subproblem.
+    from fftvis_tpu.beams.io import read_beamfits
+    from fftvis_tpu.beams.synth import perturbed_variants
     from fftvis_tpu.reference.direct_engine import DirectSimulationEngine
 
     hera_hex = int(os.environ.get("FFTVIS_BENCH_HERA_HEX", "11"))
     ants_h = hex_array(hera_hex, sep=14.6)  # 11 -> 331 antennas (HERA-331)
     nd_beams = min(int(os.environ.get("FFTVIS_BENCH_NBEAMS", "37")), len(ants_h))
-    freq_h = float(freqs_g[0])
-    hera_beams = [
-        GriddedBeam.from_function(
-            GaussianBeam(diameter=14.0 + 0.02 * i), n_az=181, n_za=91,
-            freqs=(freq_h,),
-        )
-        for i in range(nd_beams)
-    ]
+    freq_h = 1.0e8
+    asset_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "data", "structured_dipole_100MHz.beamfits",
+    )
+    base_beam = read_beamfits(asset_path)
+    hera_beams = perturbed_variants(base_beam, nd_beams)
     beam_idx_h = np.arange(len(ants_h)) % nd_beams
     times_h = 2459863.2 + np.linspace(0, 4 / 60 / 24, 2)
     flux_h = rng.uniform(0.1, 1.0, (nsrc, 1))
@@ -373,12 +448,20 @@ def main():
     ratio_h = rate_h / PERANT_BASELINE_PTS_PER_S
     pipe_h = _pipelined_wall(
         lambda: simulate_vis(async_fetch=True, **kw_h), wall_reps,
-        depth=8 if repeats >= 5 else 2,
+        depth=8 if full_scale else 2,
     )
     ratio_hp = npts_h / pipe_h / PERANT_BASELINE_PTS_PER_S
+    ekw_h = {k: v for k, v in kw_h.items() if k not in ("beam", "backend")}
+    run_h, in_h, info_h = TPUSimulationEngine().simulate(
+        beam_list=[BeamInterface(b) for b in hera_beams],
+        return_program="full", **ekw_h,
+    )
+    dev_h, _ = _device_compute_time(run_h, in_h, repeats, dev_loops)
+    fl_h = _model_flops(info_h, times_h.size)
 
     # On-hardware accuracy at the north-star configuration (512-source
-    # subproblem, same array/beams/routing, vs the fp64 direct oracle).
+    # subproblem, same array/structured beams/routing, vs the fp64 direct
+    # oracle).
     np_rng_h = np.random.default_rng(17)
     sel_h = np_rng_h.choice(nsrc, size=min(512, nsrc), replace=False)
     kw_ha = dict(
@@ -387,19 +470,18 @@ def main():
         telescope_loc=loc, polarized=True, precision=2,
     )
     vha = simulate_vis(beam=hera_beams, backend="tpu", **kw_ha)
-    from fftvis_tpu.beams.interface import BeamInterface as _BI
-
     vho = DirectSimulationEngine().simulate(
-        beam_list=[_BI(b) for b in hera_beams], **kw_ha
+        beam_list=[BeamInterface(b) for b in hera_beams], **kw_ha
     )
     acc_h = float(np.abs(vha - vho).max() / max(np.abs(vho).max(), 1e-30))
     print(
         f"[bench] NORTH STAR hera-{len(ants_h)} polarized per-antenna "
-        f"({nd_beams} tabulated beams): {nbl_h} bls x 1f x 2t in "
-        f"{wall_h:.3f} s wall = {rate_h:.3e} pts/s ({ratio_h:.0f}x ref "
-        f"per-antenna wall); pipelined {pipe_h * 1e3:.1f} ms/sim "
-        f"({ratio_hp:.0f}x); accuracy {acc_h:.2e} max rel vs fp64 direct "
-        f"oracle (gate 1e-5)",
+        f"({nd_beams} structured beamfits-loaded beams): {nbl_h} bls x 1f "
+        f"x 2t in {wall_h:.3f} s wall = {rate_h:.3e} pts/s ({ratio_h:.0f}x "
+        f"ref per-antenna wall); pipelined {pipe_h * 1e3:.1f} ms/sim "
+        f"({ratio_hp:.0f}x); device {dev_h * 1e3:.1f} ms"
+        f"{_mfu_str(fl_h, dev_h)}; accuracy {acc_h:.2e} max rel vs fp64 "
+        f"direct oracle (gate 1e-5)",
         file=sys.stderr,
     )
     assert acc_h < 1e-5, f"north-star accuracy gate FAILED: {acc_h:.2e}"
@@ -412,7 +494,8 @@ def main():
     # working set). Equivalence is asserted in tests/test_banding.py;
     # this row measures the realized DEVICE saving (the wall at this
     # size is relay-bound on the dev runtime) on a 196k-source sky.
-    ra24, dec24 = healpix_radec(128)
+    nside24 = 128 if full_scale else max(nside // 2, 4)
+    ra24, dec24 = healpix_radec(nside24)
     n24 = ra24.size
     times_24h = 2459863.2 + np.linspace(0, 1.0, 24)
     flux_24 = rng.uniform(0.1, 1.0, (n24, 2))
@@ -435,18 +518,76 @@ def main():
         del os.environ["FFTVIS_BLOCK"]
     band_gain = dev_24p / dev_24b
     print(
-        f"[bench] 24h observation (nside=128 sky, {n24} srcs): device "
+        f"[bench] 24h observation (nside={nside24} sky, {n24} srcs): device "
         f"{dev_24b * 1e3:.1f} ms banded+blocked vs {dev_24p * 1e3:.1f} ms "
         f"plain = {band_gain:.2f}x from horizon banding + block sizing",
         file=sys.stderr,
     )
 
-    # ------------- 7. accuracy probe (quality guard) -------------
+    # ------- 7. million-source scale rows (SURVEY section 5) -------
+    # "Tens of millions of HEALPix pixels" is the reference's long-context
+    # analog; these rows take the gridded headline array to an nside-256
+    # (786k-source) and an nside-512 (3.1M-source) 24h sky: horizon
+    # culling + banding + static blocking at catalog scale. Each reports
+    # device compute, the planner's input footprint, and an accuracy
+    # spot-check of a 512-source subsample against the fp64 oracle.
+    scale_rows = []
+    for sc_nside, sc_times in (
+        ((256, 24) if full_scale else (max(nside, 4), 3)),
+        ((512, 24) if full_scale else (max(nside, 4), 3)),
+    ):
+        ra_s, dec_s = healpix_radec(sc_nside)
+        n_s = ra_s.size
+        times_s = 2459863.2 + np.linspace(0, 1.0, sc_times)
+        flux_s = rng.uniform(0.1, 1.0, (n_s, 1)).astype(np.float64)
+        ekw_s = dict(
+            ants=ants_g, fluxes=flux_s, ra=ra_s, dec=dec_s,
+            freqs=np.array([freqs_g[0]]), times=times_s,
+            beam_list=[beam_obj], baselines=baselines, telescope_loc=loc,
+            polarized=False, precision=2,
+        )
+        run_s, in_s, info_s = TPUSimulationEngine().simulate(
+            return_program="full", **ekw_s
+        )
+        dev_s, _ = _device_compute_time(
+            run_s, in_s, max(2, repeats // 2), dev_loops
+        )
+        in_bytes = sum(
+            int(np.prod(a.shape)) * a.dtype.itemsize for a in in_s
+        )
+        fl_s = _model_flops(info_s, sc_times)
+        # Accuracy spot check: 512-source subsample through the same
+        # blocked/banded engine path vs the fp64 oracle.
+        sel_s = np.random.default_rng(3).choice(n_s, size=512, replace=False)
+        kw_sa = dict(
+            ants=ants_g, fluxes=flux_s[sel_s], ra=ra_s[sel_s],
+            dec=dec_s[sel_s], freqs=np.array([freqs_g[0]]),
+            times=times_s[:1], baselines=baselines[:500],
+            telescope_loc=loc, polarized=False, precision=2,
+        )
+        v_sa = simulate_vis(beam=GaussianBeam(diameter=14.0), backend="tpu", **kw_sa)
+        v_so = DirectSimulationEngine().simulate(beam_list=[beam_obj], **kw_sa)
+        acc_s = float(
+            np.abs(v_sa - v_so).max() / max(np.abs(v_so).max(), 1e-30)
+        )
+        rate_s = len(baselines) * sc_times / dev_s
+        scale_rows.append(
+            (n_s, sc_times, dev_s, rate_s, in_bytes, acc_s, fl_s)
+        )
+        print(
+            f"[bench] scale row nside={sc_nside}: {n_s} srcs x "
+            f"{len(baselines)} bls x 1f x {sc_times}t, device "
+            f"{dev_s * 1e3:.1f} ms/sim = {rate_s:.3e} pts/s; device inputs "
+            f"{in_bytes / 1e6:.0f} MB{_mfu_str(fl_s, dev_s)}; subsample "
+            f"accuracy {acc_s:.2e} vs fp64 oracle",
+            file=sys.stderr,
+        )
+        assert acc_s < 1e-4, f"scale-row accuracy regression: {acc_s:.2e}"
+
+    # ------------- 8. accuracy probe (quality guard) -------------
     # A small sub-problem against the in-repo exact float64 direct-DFT
     # oracle (host NumPy): catches silent numerical regressions alongside
     # the throughput numbers. Target: < 1e-5 relative (BASELINE.json).
-    from fftvis_tpu.reference.direct_engine import DirectSimulationEngine
-
     np_rng = np.random.default_rng(7)
     sel = np_rng.choice(nsrc, size=min(512, nsrc), replace=False)
     kw_a = dict(
@@ -455,55 +596,75 @@ def main():
         polarized=False, precision=2,
     )
     va = simulate_vis(beam=AiryBeam(diameter=14.0), backend="tpu", **kw_a)
-    vo = DirectSimulationEngine().simulate(
-        beam_list=[prepare_beam_unpolarized(BeamInterface(AiryBeam(diameter=14.0)))], **kw_a
-    )
+    vo = DirectSimulationEngine().simulate(beam_list=[bt], **kw_a)
     acc = float(np.abs(va - vo).max() / max(np.abs(vo).max(), 1e-30))
     print(f"[bench] accuracy probe: {acc:.2e} max rel vs fp64 direct oracle",
           file=sys.stderr)
     assert acc < 1e-4, f"accuracy probe regression: {acc:.2e}"
 
+    def mfu_of(fl, t):
+        if fl is None or not peak:
+            return "n/a"
+        return f"{100.0 * fl / t / peak:.1f}%"
+
+    sc1, sc2 = scale_rows
     print(
         json.dumps(
             {
                 "metric": (
                     f"wall-clock visibility throughput on the reference's "
-                    f"headline workloads ({backend_name}, 1 chip): primary = "
+                    f"headline workloads ({backend_name}, 1 chip; "
+                    f"peak model {peak_label}): primary = "
                     f"tutorial sim (hex {len(ants_t)} ants, 20 freqs x 30 "
                     f"times, nside={nside} sky = {nsrc} srcs, unpol; ref "
                     f"3.32 s = 8313 pts/s; scored value is the SEQUENTIAL "
                     f"per-sim wall -- pipelined 8-in-flight async_fetch "
-                    f"sims, the production consumption pattern, run "
-                    f"{pipe_t * 1e3:.1f} ms/sim = {rate_tp:.3e} pts/s = "
-                    f"{ratio_tp:.1f}x, hiding the dev relay's per-call "
-                    f"round-trip); secondary gridded type-1 "
-                    f"(hex{hex_size}+outriggers {nant} ants, {len(baselines)} "
-                    f"bls, 2f x 3t; ref 0.482 s): wall {rate_g:.3e} pts/s = "
-                    f"{ratio_g:.2f}x baseline, pipelined (8 in-flight "
-                    f"async_fetch sims, the production consumption pattern) "
+                    f"with a collector thread, the production consumption "
+                    f"pattern, runs {pipe_t * 1e3:.1f} ms/sim = "
+                    f"{rate_tp:.3e} pts/s = {ratio_tp:.1f}x, hiding the "
+                    f"dev relay's per-call round-trip; device "
+                    f"{dev_t * 1e3:.1f} ms, mfu={mfu_of(fl_t, dev_t)}); "
+                    f"secondary gridded type-1 (hex{hex_size}+outriggers "
+                    f"{nant} ants, {len(baselines)} bls, 2f x 3t; ref "
+                    f"0.482 s): wall {rate_g:.3e} pts/s = {ratio_g:.2f}x "
+                    f"baseline, pipelined (8 in-flight, threaded collect) "
                     f"{pipe_g * 1e3:.0f} ms/sim = {rate_gp:.3e} pts/s = "
-                    f"{ratio_gp:.1f}x -- sequential wall is bound by the dev "
-                    f"relay link (measured IN-RUN: {link_bw / 1e6:.1f} MB/s "
-                    f"x {out_bytes / 1e6:.1f} MB output + {rtt * 1e3:.0f} "
-                    f"ms RTT = {wall_floor:.3f} s floor; wall minus floor "
-                    f"{max(wall_g - wall_floor, dev_g) * 1e3:.0f} ms = "
-                    f"{ratio_gf:.0f}x), device "
-                    f"compute is {dev_g * 1e3:.1f} ms = {rate_gd:.3e} pts/s "
-                    f"= {ratio_gd:.1f}x baseline; type-3 forced (ref 6.69 s "
+                    f"{ratio_gp:.1f}x -- the wall is bound by the dev "
+                    f"relay link (measured IN-RUN {link_bw / 1e6:.1f} MB/s "
+                    f"x {out_bytes / 1e6:.1f} MB output/sim): pipelined "
+                    f"floor (transfer + RTT/8 + compute) = "
+                    f"{pipe_floor * 1e3:.0f} ms/sim = {ratio_pf:.1f}x-"
+                    f"equivalent, pipelined wall sits {pipe_vs_floor:+.0f}% "
+                    f"from that floor; device compute {dev_g * 1e3:.1f} ms "
+                    f"= {rate_gd:.3e} pts/s = {ratio_gd:.1f}x baseline, "
+                    f"mfu={mfu_of(fl_g, dev_g)}; type-3 forced (ref 6.69 s "
                     f"= 5.67e4 pts/s): device {rate_3:.3e} pts/s = "
-                    f"{ratio_3:.0f}x; eigenbeam K={len(eig)} (ref 3.47 s = "
-                    f"646 pts/s): wall {rate_e:.3e} pts/s = {ratio_e:.0f}x "
-                    f"(pipelined {ratio_ep:.0f}x); "
-                    f"NORTH STAR hera-{len(ants_h)} polarized {nd_beams}-distinct-"
-                    f"tabulated-per-antenna-beam row: {nbl_h} bls, wall "
+                    f"{ratio_3:.0f}x, mfu={mfu_of(fl_3, dev_3)}; eigenbeam "
+                    f"K={len(eig)} (ref 3.47 s = 646 pts/s): wall "
+                    f"{rate_e:.3e} pts/s = {ratio_e:.0f}x (pipelined "
+                    f"{ratio_ep:.0f}x, device {dev_e * 1e3:.1f} ms, "
+                    f"mfu={mfu_of(fl_e, dev_e)}); NORTH STAR "
+                    f"hera-{len(ants_h)} polarized {nd_beams}-distinct-"
+                    f"STRUCTURED-beamfits-per-antenna row (committed "
+                    f"CST-class asset, sidelobes/nulls/cross-pol, loaded "
+                    f"via the in-repo reader): {nbl_h} bls, wall "
                     f"{rate_h:.3e} pts/s = {ratio_h:.0f}x ref per-antenna "
-                    f"wall (51.7 s; pipelined {ratio_hp:.0f}x), "
-                    f"on-hardware accuracy {acc_h:.1e} rel "
-                    f"vs fp64 direct oracle (ASSERTED <= 1e-5, BASELINE.md "
-                    f"north-star gate); 24h observation on a 196k-source "
-                    f"sky: horizon banding + block sizing {band_gain:.2f}x "
+                    f"wall (51.7 s; pipelined {ratio_hp:.0f}x), device "
+                    f"{dev_h * 1e3:.1f} ms, mfu={mfu_of(fl_h, dev_h)}, "
+                    f"on-hardware accuracy {acc_h:.1e} rel vs fp64 direct "
+                    f"oracle (ASSERTED <= 1e-5, BASELINE.md north-star "
+                    f"gate); 24h observation on a {n24}-source sky: "
+                    f"horizon banding + block sizing {band_gain:.2f}x "
                     f"device ({dev_24p * 1e3:.1f} -> {dev_24b * 1e3:.1f} "
-                    f"ms); accuracy probe {acc:.1e} rel vs fp64 oracle"
+                    f"ms); SCALE rows on the {len(baselines)}-baseline "
+                    f"array, 24h: {sc1[0]}-source sky device "
+                    f"{sc1[2] * 1e3:.0f} ms/sim ({sc1[4] / 1e6:.0f} MB "
+                    f"device inputs, mfu={mfu_of(sc1[6], sc1[2])}, "
+                    f"subsample accuracy {sc1[5]:.1e}) and {sc2[0]}-source "
+                    f"sky device {sc2[2] * 1e3:.0f} ms/sim "
+                    f"({sc2[4] / 1e6:.0f} MB, mfu={mfu_of(sc2[6], sc2[2])}, "
+                    f"accuracy {sc2[5]:.1e}); accuracy probe {acc:.1e} rel "
+                    f"vs fp64 oracle"
                 ),
                 "value": rate_t,
                 "unit": "vis_points/s",

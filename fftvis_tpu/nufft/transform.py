@@ -182,11 +182,16 @@ def plan_type1(
             2.0 * np.pi * np.arange(km + 1) / nf[axis], kernel.w, kernel.beta
         )
         deconv /= table[np.abs(k)]
+    gather_idx = flat.astype(np.int32)
+    # Frozen: cache keys fingerprint these every simulate() call; an
+    # immutable-owner array gets a one-time digest (core/hashing.py).
+    gather_idx.setflags(write=False)
+    deconv.setflags(write=False)
     return Type1Plan(
         kernel=kernel,
         d=d,
         nf=nf,
-        gather_idx=flat.astype(np.int32),
+        gather_idx=gather_idx,
         gather_deconv=deconv,
         n_targets=m,
     )
@@ -396,6 +401,8 @@ def plan_type3(
         )
         ft_xi_max.append(xi_m)
 
+    for arr in (*deconv, *tap_idx, *tap_val):
+        arr.setflags(write=False)  # one-time digest (core/hashing.py)
     return Type3Plan(
         kernel=kernel,
         d=d,
@@ -787,9 +794,11 @@ def plan_type1_exact(modes: np.ndarray) -> Type1ExactPlan:
     flat = np.zeros(m, dtype=np.int64)
     for axis in range(d):
         flat = flat * nf[axis] + (modes[axis] + kmax[axis])
+    gather_idx = flat.astype(np.int32)
+    gather_idx.setflags(write=False)  # one-time digest (core/hashing.py)
     return Type1ExactPlan(
         d=d, nf=tuple(nf), kmax=kmax, split=tuple(split),
-        gather_idx=flat.astype(np.int32), n_targets=m,
+        gather_idx=gather_idx, n_targets=m,
     )
 
 

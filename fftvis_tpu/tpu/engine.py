@@ -489,6 +489,11 @@ class TPUSimulationEngine(SimulationEngine):
         # plus transpose-reuse contraction (ref cpu_simulate.py:423-468);
         # the auto-rank path below selects its own channel-list semantics.
         basis_kl_sym = True
+        # User-provided beam_coefs keep the reference's basis semantics
+        # (no flip bookkeeping, ref cpu_simulate.py:442-458); only the
+        # auto-rank substitution below must replicate the per-antenna
+        # flipped-baseline convention.
+        basis_flip_transpose = None
         if use_basis:
             K = nbeam
             kl_pairs = [(k, l) for k in range(K) for l in range(k, K)]
@@ -559,6 +564,19 @@ class TPUSimulationEngine(SimulationEngine):
                 kl_pairs = list(arp.kl_pairs)
                 npairs = len(kl_pairs)
                 pair_plan = None
+                # Auto-rank must be a TRANSPARENT substitute for the
+                # per-antenna path, including the reference's flipped-
+                # baseline convention (conj without feed swap, ref
+                # cpu_simulate.py:298-300): on baselines the pair routing
+                # canonicalized by flipping, that convention returns the
+                # feed TRANSPOSE of the plain A_i^H C A_j result (exactly:
+                # conj(V_(j,i)(-b)) = V_(i,j)(b)^T for Hermitian sky
+                # coherency). The basis contraction computes the plain
+                # result, so it must transpose those baselines to match --
+                # for distinct complex tables the two differ at O(cross-pol
+                # phase), 5e-2 on structured-beam arrays (the round-4
+                # structured beamfits asset caught this).
+                basis_flip_transpose = flipped_global
                 flipped_global = np.zeros(nbl, dtype=bool)
                 ant1_idx = bl_index_arr[:, 0]
                 ant2_idx = bl_index_arr[:, 1]
@@ -977,6 +995,7 @@ class TPUSimulationEngine(SimulationEngine):
             use_basis=bool(use_basis),
             basis_kl_sym=bool(basis_kl_sym),
             kl_pairs=tuple(kl_pairs) if use_basis else None,
+            basis_flip_transpose=basis_flip_transpose,
             coefs_host=coefs_host,
             ant1_dev=ant1_dev,
             ant2_dev=ant2_dev,

@@ -108,6 +108,11 @@ class ProgramConfig:
     use_basis: bool = False
     basis_kl_sym: bool = True
     kl_pairs: tuple | None = None
+    # Auto-rank only: baselines whose per-antenna routing was flipped;
+    # the basis output applies the reference's conj-without-feed-swap
+    # convention there (a feed transpose of the plain result) so the
+    # substitution is transparent. None for user-provided beam_coefs.
+    basis_flip_transpose: np.ndarray | None = None
     coefs_host: np.ndarray | None = None
     ant1_dev: np.ndarray | None = None
     ant2_dev: np.ndarray | None = None
@@ -649,6 +654,18 @@ def build_program(cfg: ProgramConfig):
                     offdiag
                 )
                 vis_f = vis_f + jnp.einsum("bp,pfgb->bfg", w_lk, per_pair)
+            bft = cfg.basis_flip_transpose
+            if bft is not None and bft.any():
+                # Auto-rank transparency: reproduce the per-antenna path's
+                # flipped-baseline convention (conj without feed swap, ref
+                # cpu_simulate.py:298-300) == a feed transpose of the plain
+                # basis result on those baselines (see the engine's
+                # auto-rank branch).
+                vis_f = jnp.where(
+                    jnp.asarray(bft)[:, None, None],
+                    jnp.swapaxes(vis_f, 1, 2),
+                    vis_f,
+                )
             return vis_f.astype(complex_dtype)
 
         if npairs == 1 and sel_is_identity:

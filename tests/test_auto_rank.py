@@ -290,3 +290,71 @@ class TestPlanAutoRank:
         assert plan_auto_rank(beams, 1e-12, npairs=100, allow_sym=True) is None
         assert plan_auto_rank(beams, 1e-12, npairs=100, allow_sym=True) is None
         assert calls["n"] == 1
+
+
+class TestFlippedBaselineConvention:
+    """Auto-rank must reproduce the per-antenna path's flipped-baseline
+    convention (conj without feed swap, ref cpu_simulate.py:298-300).
+
+    On baselines the pair routing canonicalizes by flipping, that
+    convention returns the feed TRANSPOSE of the plain basis result; for
+    genuinely structured complex tables the two differ at the cross-pol
+    phase level (5e-2 relative on the structured north-star row -- the
+    round-4 regression this test pins). Scalar-phase or near-identical
+    beam families cannot catch it: the transpose asymmetry scales with
+    the in-Jones complex structure and the beam-to-beam differences."""
+
+    def test_structured_complex_family_with_flips(self, monkeypatch, caplog):
+        from fftvis_tpu.beams.synth import (
+            perturbed_variants,
+            structured_dipole_beam,
+        )
+
+        caplog.set_level(logging.INFO)
+        rng = np.random.default_rng(3)
+        nant = 12
+        ants = {
+            i: np.array([*rng.uniform(-60, 60, 2), 0.0]) for i in range(nant)
+        }
+        keys = list(ants.keys())
+        base = structured_dipole_beam(n_az=90, n_za=46)
+        # Exact rank-3 complex family: random complex mixes of three
+        # structured variants -> auto-rank engages at K=3 (9 ordered
+        # channels) with strongly complex coefficients AND in-Jones
+        # complex structure.
+        modes = perturbed_variants(base, 3)
+        nbeams = 8
+        beams = []
+        for i in range(nbeams):
+            c = rng.standard_normal(3) + 1j * rng.standard_normal(3)
+            data = sum(
+                c[k] * modes[k].data_array for k in range(3)
+            ).astype(np.complex128)
+            data = np.ascontiguousarray(data)
+            data.setflags(write=False)
+            beams.append(
+                GriddedBeam(
+                    data, base.axis1_array, base.axis2_array,
+                    base.freq_array, beam_type="efield", feeds=base.feeds,
+                )
+            )
+        # beam_idx wraps mod nbeams: many baselines have beam_i > beam_j,
+        # so the pair routing flips them (the regression's trigger).
+        beam_idx = (np.arange(nant) * 5) % nbeams
+        ra, dec, flux = _sky(n=60, seed=9)
+        kw = dict(
+            ants=ants, fluxes=flux[:, :1], ra=ra, dec=dec,
+            freqs=FREQS[:1], times=TIMES, beam=beams, beam_idx=beam_idx,
+            telescope_loc=LOC, polarized=True, precision=2, eps=1e-6,
+            baselines=[
+                (keys[i], keys[j])
+                for i in range(len(keys))
+                for j in range(i, len(keys))
+            ],
+        )
+        v_auto = simulate_vis(**kw)
+        assert _engaged(caplog), "auto-rank did not engage"
+        monkeypatch.setenv("FFTVIS_AUTO_RANK", "0")
+        v_ref = simulate_vis(**kw)
+        rel = np.abs(v_auto - v_ref).max() / np.abs(v_ref).max()
+        assert rel < 2e-6, f"flipped-baseline convention error {rel:.2e}"
