@@ -15,6 +15,8 @@ deliberately (add seeds, never reuse).
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # randomized soak: dedicated CI job
+
 from fftvis_tpu import TelescopeLocation, simulate_vis
 from fftvis_tpu.beams import (
     AiryBeam,

@@ -15,6 +15,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # randomized soak: dedicated CI job
+
 import jax.numpy as jnp
 
 from fftvis_tpu.nufft.kernels import ESKernel
