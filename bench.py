@@ -126,7 +126,10 @@ def _relay_link_floor(nbytes, repeats, width=2):
             list(pool.map(np.asarray, bufs))
             best = min(best, (time.perf_counter() - t0) / n_bufs)
     t_rtt = _steady(lambda: float(trivial(y)), repeats)
-    bw = probe_bytes / max(best, 1e-9)
+    # Each probe fetch embeds one dispatch round-trip; subtract it so bw
+    # is pure transfer (the floors below add the RTT share explicitly --
+    # leaving it inside bw would double-count it).
+    bw = probe_bytes / max(best - t_rtt, 1e-9)
     return bw, t_rtt, nbytes / bw + t_rtt
 
 
@@ -177,21 +180,27 @@ def _device_compute_time(run, inputs, repeats, loops=8):
 
 
 def _model_flops(info, ntimes):
-    """Analytic-model FLOPs for one simulation, from the program config."""
+    """(total analytic FLOPs, traced matmul precision) for one simulation."""
     from fftvis_tpu.flops import program_model_flops
 
     cfg = info.get("program_config")
     if cfg is None:
         return None
-    return program_model_flops(cfg, ntimes=ntimes)["total"]
+    return (
+        program_model_flops(cfg, ntimes=ntimes)["total"],
+        cfg.matmul_precision,
+    )
 
 
-def _mfu_str(flops_total, seconds):
+def _mfu_str(fl, seconds):
+    """fl is the (flops, matmul_precision) pair from _model_flops: MFU is
+    reported against the peak of the precision the program actually
+    traced (FFTVIS_MATMUL_PRECISION=high halves the passes -> 2x peak)."""
     from fftvis_tpu.flops import mfu_string
 
-    if flops_total is None or seconds is None:
+    if fl is None or seconds is None:
         return ""
-    return " [" + mfu_string(flops_total, seconds) + "]"
+    return " [" + mfu_string(fl[0], seconds, fl[1]) + "]"
 
 
 def main():
@@ -622,7 +631,9 @@ def main():
         fl_s = _model_flops(info_s, sc_times)
         # Accuracy spot check: 512-source subsample through the same
         # blocked/banded engine path vs the fp64 oracle.
-        sel_s = np.random.default_rng(3).choice(n_s, size=512, replace=False)
+        sel_s = np.random.default_rng(3).choice(
+            n_s, size=min(512, n_s), replace=False
+        )
         kw_sa = dict(
             ants=ants_g, fluxes=flux_s[sel_s], ra=ra_s[sel_s],
             dec=dec_s[sel_s], freqs=np.array([freqs_g[0]]),
@@ -667,9 +678,14 @@ def main():
     assert acc < 1e-4, f"accuracy probe regression: {acc:.2e}"
 
     def mfu_of(fl, t):
-        if fl is None or not peak:
+        from fftvis_tpu.flops import chip_peak_flops as _cpf
+
+        if fl is None:
             return "n/a"
-        return f"{100.0 * fl / t / peak:.1f}%"
+        p, _ = _cpf(fl[1])
+        if not p:
+            return "n/a"
+        return f"{100.0 * fl[0] / t / p:.1f}%"
 
     sc1, sc2 = scale_rows
     print(

@@ -120,15 +120,25 @@ def program_model_flops(cfg, ntimes: int | None = None) -> dict:
     mode = plan.mode
     if mode == "direct":
         # Phase einsum (d-dim dot, ~2d) + sincos (~10) per (source,
-        # baseline), then the C-channel complex MAC contraction.
-        eff_bl = (
-            int(cfg.npairs) * int(cfg.m_max)
-            if (cfg.pad_routing and cfg.npairs > 1 and not cfg.use_basis)
-            else nbl
-        )
+        # baseline slot), then the complex MAC contraction. Multi-pair
+        # routing restricts each pair channel to ITS baselines: the
+        # padded einsum runs nfeeds^2 channels over (npairs x m_max)
+        # slots, the per-pair loop partitions nbl across pairs -- in
+        # both cases the contraction is 8 nfeeds^2 n slots, NOT
+        # 8 C n slots (C already contains npairs). Only the basis /
+        # single-pair paths contract every channel at every baseline.
         d = 2 if plan.is_coplanar else 3
-        terms["direct_phase"] = nt * nf * n * eff_bl * (2.0 * d + 10.0)
-        terms["direct_contract"] = nt * nf * 8.0 * C * n * eff_bl
+        if cfg.use_basis or cfg.npairs <= 1:
+            phase_slots = nbl
+            contract = 8.0 * C * n * nbl
+        elif cfg.pad_routing:
+            phase_slots = int(cfg.npairs) * int(cfg.m_max)
+            contract = 8.0 * nfeeds**2 * n * phase_slots
+        else:  # work-optimal per-pair loop: pair sels partition nbl
+            phase_slots = nbl
+            contract = 8.0 * nfeeds**2 * n * nbl
+        terms["direct_phase"] = nt * nf * n * phase_slots * (2.0 * d + 10.0)
+        terms["direct_contract"] = nt * nf * contract
         if cfg.use_ds:
             # Compensated arithmetic: ~10x the plain op count (two_prod /
             # ds_add chains); approximate.

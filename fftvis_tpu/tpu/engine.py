@@ -1112,7 +1112,7 @@ class TPUSimulationEngine(SimulationEngine):
             out = self._assemble_output(
                 stacked, use_ds, use_basis, ntimes, nfreqs, npairs, nfeeds,
                 nbl, flipped_global, pair_plan, beam_coefs, ant1_idx if use_basis else None,
-                ant2_idx if use_basis else None, cfg_pair_i(cfg), cfg_pair_j(cfg),
+                ant2_idx if use_basis else None, *cfg_pairs(cfg),
                 complex_dtype, polarized, trace_mem,
             )
             if async_fetch:
@@ -1195,7 +1195,7 @@ class TPUSimulationEngine(SimulationEngine):
                 stacked, use_ds, use_basis, ntimes, nfreqs, npairs, nfeeds,
                 nbl, flipped_global, pair_plan, coefs_snap,
                 ant1_idx if use_basis else None,
-                ant2_idx if use_basis else None, cfg_pair_i(cfg), cfg_pair_j(cfg),
+                ant2_idx if use_basis else None, *cfg_pairs(cfg),
                 complex_dtype, polarized, trace_mem,
             )
 
@@ -1364,21 +1364,14 @@ class TPUSimulationEngine(SimulationEngine):
         )
 
 
-def cfg_pair_i(cfg: ProgramConfig) -> np.ndarray:
-    """Pair-channel i-indices of a program config (assembly order)."""
+def cfg_pairs(cfg: ProgramConfig) -> tuple[np.ndarray, np.ndarray]:
+    """Pair-channel (i, j) index arrays of a program config (assembly
+    order)."""
     pairs_arr = np.asarray(
         cfg.kl_pairs if cfg.use_basis else list(cfg.pair_plan.pairs),
         dtype=np.int64,
     ).reshape(-1, 2)
-    return pairs_arr[:, 0]
-
-
-def cfg_pair_j(cfg: ProgramConfig) -> np.ndarray:
-    pairs_arr = np.asarray(
-        cfg.kl_pairs if cfg.use_basis else list(cfg.pair_plan.pairs),
-        dtype=np.int64,
-    ).reshape(-1, 2)
-    return pairs_arr[:, 1]
+    return pairs_arr[:, 0], pairs_arr[:, 1]
 
 
 # inspect.signature follows __wrapped__: keep the public simulate signature
