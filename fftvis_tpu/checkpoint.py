@@ -101,7 +101,7 @@ def simulate_vis_checkpointed(
             kwargs.get("use_feed", "x"),
             kwargs.get("coord_method", "CoordinateRotationERFA"),
             repr(kwargs.get("coord_method_params")),
-            float(kwargs.get("upsample_factor", 2)),
+            repr(kwargs.get("upsample_factor")),
             bool(kwargs.get("force_use_type3", False)),
             float(kwargs.get("flat_array_tol", 1e-6)),
             # Result-affecting env knobs (they change interpolation or

@@ -47,7 +47,7 @@ class SimulationEngine(ABC):
         precision: int = 2,
         polarized: bool = False,
         eps: float | None = None,
-        upsample_factor: Literal[1.25, 2] = 2,
+        upsample_factor: Literal[1.25, 2] | None = None,
         beam_spline_opts: dict | None = None,
         flat_array_tol: float = 1e-6,
         interpolation_function: str = "az_za_map_coordinates",

@@ -304,7 +304,7 @@ class TPUSimulationEngine(SimulationEngine):
         precision: int = 2,
         polarized: bool = False,
         eps: float | None = None,
-        upsample_factor=2,
+        upsample_factor=None,
         beam_spline_opts: dict | None = None,
         flat_array_tol: float = 1e-6,
         interpolation_function: str = "az_za_map_coordinates",
@@ -379,6 +379,13 @@ class TPUSimulationEngine(SimulationEngine):
                 eps_floor,
             )
         eps = max(eps, eps_floor)
+
+        # None means the default sigma=2. (Round 4 measured an auto-1.25
+        # variant for f32 type-3: 1.5x device but config-dependent 5e-4
+        # accuracy loss -- see planning.plan_transform's docstring. Not
+        # safe as a default.)
+        if upsample_factor is None:
+            upsample_factor = 2
 
         nbeam = len(beam_list)
         nant = len(ants)

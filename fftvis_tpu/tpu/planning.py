@@ -443,7 +443,19 @@ def plan_transform(
     npairs,
     mode_override: str | None = None,
 ) -> _SimPlan:
-    """Choose the transform path and build its static plan (host)."""
+    """Choose the transform path and build its static plan (host).
+
+    sigma (``upsample_factor``) stays at the requested value -- DO NOT
+    auto-lower it to 1.25 on f32 pipelines. Measured (round 4): the
+    device win is real (type-3 forced row 6.4 -> 4.3 ms; gridded ES
+    3.9 -> 2.0 ms -- the fine grid shrinks (2/1.25)^2 = 2.6x), but f32
+    accuracy is config-dependently destroyed: the gridded row degrades
+    5.8e-6 -> 2.2e-5 (per-mode deconvolution at the |k| = nf/(2 sigma)
+    band edge) and a hex-3 24h type-3 config degrades 2.3e-6 -> 5.2e-4
+    (NOT rescued by DS coordinates, so it is kernel/deconv dynamic
+    range, not coordinate rounding). sigma=1.25 remains available
+    explicitly for fp64 pipelines and accuracy-tolerant f32 use.
+    """
     nufft_mode = mode_override or nufft_mode
     antvecs = np.array([np.asarray(ants[a], dtype=float) for a in ants])
     fmax = float(np.max(freqs))

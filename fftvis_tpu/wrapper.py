@@ -115,7 +115,7 @@ def simulate_vis(
     precision: int = 2,
     polarized: bool = False,
     eps: float = None,
-    upsample_factor: Literal[1.25, 2] = 2,
+    upsample_factor: Literal[1.25, 2] | None = None,
     beam_spline_opts: dict = None,
     use_feed: str = "x",
     flat_array_tol: float = 1e-6,
@@ -166,6 +166,14 @@ def simulate_vis(
         If True the output carries the 2x2 feed matrix.
     eps
         NUFFT accuracy; default 6e-8 (precision 1) / 1e-13 (precision 2).
+    upsample_factor
+        NUFFT fine-grid oversampling sigma, 1.25 or 2 (reference parity,
+        ref wrapper.py:99); None (the default) means 2. sigma=1.25
+        shrinks the fine grid 2.6x and measures ~1.5-2x faster device
+        programs, but on f32 pipelines its accuracy is config-dependent
+        (up to ~5e-4 relative, from kernel/deconvolution dynamic range
+        at the narrower band) -- use it only when that error class is
+        acceptable or on fp64 backends.
     async_fetch
         If True, return a ``VisibilityFuture`` immediately after the
         device program is dispatched and its device-to-host copy started;

@@ -483,3 +483,54 @@ def test_future_done_warns_once_without_is_ready(caplog):
         assert fut.done() is False
     warnings = [r for r in caplog.records if "is_ready" in r.message]
     assert len(warnings) == 1  # one-time, not per poll
+
+
+class TestUpsampleDefault:
+    """upsample_factor default (None) must resolve to sigma=2 on EVERY
+    pipeline. Round-4 negative result, pinned here: auto-lowering f32
+    type-3 to sigma=1.25 measured 1.5x faster devices but degraded
+    accuracy config-dependently to ~5e-4 relative (kernel/deconv dynamic
+    range at the narrower band; NOT rescued by DS coordinates) -- see
+    planning.plan_transform's docstring. Explicit sigma=1.25 remains
+    honored for callers that accept that error class."""
+
+    def _type3_sigma(self, upsample, precision):
+        from fftvis_tpu.beams.interface import (
+            BeamInterface,
+            prepare_beam_unpolarized,
+        )
+        from fftvis_tpu.tpu.engine import TPUSimulationEngine
+
+        rng = np.random.default_rng(0)
+        kw = _kwargs(rng, nant=5, nsrc=400)
+        kw.pop("beam")
+        beam = prepare_beam_unpolarized(
+            BeamInterface(GaussianBeam(diameter=10.0))
+        )
+        eng = TPUSimulationEngine(nufft_mode="type3")
+        run, inputs, info = eng.simulate(
+            beam_list=[beam], return_program="full", polarized=False,
+            precision=precision, force_use_type3=True,
+            upsample_factor=upsample, **kw,
+        )
+        plan = info["program_config"].plan
+        assert plan.mode == "type3"
+        return plan.executor.plan.kernel.sigma
+
+    def test_default_f32_is_sigma_2(self):
+        assert self._type3_sigma(None, precision=1) == 2.0
+
+    def test_default_fp64_is_sigma_2(self):
+        assert self._type3_sigma(None, precision=2) == 2.0
+
+    def test_explicit_sigma_125_honored(self):
+        assert self._type3_sigma(1.25, precision=1) == 1.25
+
+    def test_default_equals_explicit_sigma_2(self):
+        rng = np.random.default_rng(1)
+        kw = _kwargs(rng, nant=5, nsrc=300)
+        v_none = simulate_vis(**kw, precision=1, force_use_type3=True)
+        v_two = simulate_vis(
+            **kw, precision=1, force_use_type3=True, upsample_factor=2
+        )
+        np.testing.assert_array_equal(v_none, v_two)
