@@ -181,10 +181,9 @@ def cache_key(cfg: ProgramConfig) -> str:
     return _hash_parts(tuple(parts))
 
 
-def choose_freq_vmap(plan, npairs, nfeeds, pad_routing, m_max,
-                     use_ds, band_compact, K_band, nbl, nfreqs_local) -> bool:
-    """Frequency-axis execution choice: vmap (one batched program) when
-    the per-frequency live footprint allows, else a sequential scan."""
+def per_freq_bytes(plan, npairs, nfeeds, pad_routing, m_max,
+                   use_ds, band_compact, K_band, nbl) -> int:
+    """Live-footprint estimate of one (time, freq) unit of the program."""
     _C_total = npairs * nfeeds**2
     if plan.mode == "direct":
         # Padded multi-pair routing materializes (block, P, m_max)
@@ -193,20 +192,29 @@ def choose_freq_vmap(plan, npairs, nfeeds, pad_routing, m_max,
         _eff_bl = npairs * m_max if pad_routing else nbl
         if use_ds:
             _eff_bl = nbl
-        _per_freq_bytes = (
+        return (
             plan.block * _eff_bl * (96 * _C_total if use_ds else 12)
             + _C_total * nbl * 16
         )
-    else:
-        _cmult = getattr(plan.executor, "channel_multiplier", 1)
-        _blk_eff = K_band * plan.block if band_compact else plan.block
-        _per_freq_bytes = (
-            2 * _C_total * _cmult * int(np.prod(plan.executor.plan.nf)) * 8
-            + _blk_eff * _C_total * _cmult * 16
-        )
+    _cmult = getattr(plan.executor, "channel_multiplier", 1)
+    _blk_eff = K_band * plan.block if band_compact else plan.block
+    return (
+        2 * _C_total * _cmult * int(np.prod(plan.executor.plan.nf)) * 8
+        + _blk_eff * _C_total * _cmult * 16
+    )
+
+
+def choose_freq_vmap(plan, npairs, nfeeds, pad_routing, m_max,
+                     use_ds, band_compact, K_band, nbl, nfreqs_local) -> bool:
+    """Frequency-axis execution choice: vmap (one batched program) when
+    the per-frequency live footprint allows, else a sequential scan."""
+    _per_freq = per_freq_bytes(
+        plan, npairs, nfeeds, pad_routing, m_max, use_ds, band_compact,
+        K_band, nbl,
+    )
     return (
         nfreqs_local > 1
-        and nfreqs_local * _per_freq_bytes < device_memory_limit() // 12
+        and nfreqs_local * _per_freq < device_memory_limit() // 12
     )
 
 
@@ -763,6 +771,11 @@ def build_program(cfg: ProgramConfig):
                 )
             return carry, vis_t  # (nfreq, nbl, nfeeds, nfeeds)
 
+        # NOTE (round-4 negative result): vmapping the time axis for
+        # small extents (times are independent; the scan carry is None)
+        # was measured WORSE on v5e -- tutorial device 13.3 -> 22.6 ms,
+        # gridded unchanged. The batched program's working set loses the
+        # scan's VMEM-resident pipelining; the scan is not dispatch-bound.
         _, vis = jax.lax.scan(
             per_time,
             None,
