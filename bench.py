@@ -340,7 +340,7 @@ def main():
     print(
         f"[bench] gridded: {len(baselines)} bls x 2f x 3t in {wall_g:.3f} s "
         f"wall = {rate_g:.3e} pts/s ({ratio_g:.1f}x ref fftvis-CPU type-1 "
-        f"wall); pipelined (8 in-flight, threaded collect) "
+        f"wall); pipelined ({depth_g} in-flight, threaded collect) "
         f"{pipe_g * 1e3:.1f} ms/sim = {rate_gp:.3e} pts/s ({ratio_gp:.1f}x "
         f"ref); device compute {dev_g * 1e3:.1f} ms (dispatch RTT "
         f"{rtt * 1e3:.0f} ms excluded) = {rate_gd:.3e} pts/s "
@@ -707,7 +707,7 @@ def main():
                     f"secondary gridded type-1 (hex{hex_size}+outriggers "
                     f"{nant} ants, {len(baselines)} bls, 2f x 3t; ref "
                     f"0.482 s): wall {rate_g:.3e} pts/s = {ratio_g:.2f}x "
-                    f"baseline, pipelined (8 in-flight, threaded collect) "
+                    f"baseline, pipelined ({depth_g} in-flight, threaded collect) "
                     f"{pipe_g * 1e3:.0f} ms/sim = {rate_gp:.3e} pts/s = "
                     f"{ratio_gp:.1f}x -- the wall is bound by the dev "
                     f"relay link (measured IN-RUN {link_bw / 1e6:.1f} MB/s "
