@@ -221,7 +221,11 @@ def main():
     # counts (the CPU smoke test runs REPEATS=1) opt out of both the extra
     # wall repeats and the device loop: CPU executions take seconds each.
     full_scale = repeats >= 5
-    wall_reps = max(repeats, 8) if full_scale else repeats
+    # Best-of-16: the relay link's slow windows span minutes; a best-of-8
+    # burst can land entirely inside one (observed: the same HEAD scoring
+    # 37.7x and 47.2x on the primary row in different runs). Each extra
+    # repeat costs ~50-150 ms.
+    wall_reps = max(repeats, 16) if full_scale else repeats
     dev_loops = 8 if full_scale else 1
 
     loc = TelescopeLocation(np.deg2rad(-30.72), np.deg2rad(21.43), 1000.0)
