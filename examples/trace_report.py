@@ -85,18 +85,18 @@ def build(which: str):
             return_program=True,
         )
     if which == "northstar":
-        # bench.py row 5: HERA-331 polarized, 37 distinct tabulated
-        # per-antenna beams, full redundant set (the scored north star).
-        from fftvis_tpu.beams.gridded import GriddedBeam
+        # bench.py row 5: HERA-331 polarized, 37 distinct STRUCTURED
+        # per-antenna beams (the committed beamfits asset + perturbed
+        # variants -- the scored north star; auto-rank engages at K=7).
+        from fftvis_tpu.beams.io import read_beamfits
+        from fftvis_tpu.beams.synth import perturbed_variants
 
         ants = hex_array(11, sep=14.6)
-        beams = [
-            GriddedBeam.from_function(
-                GaussianBeam(diameter=14.0 + 0.02 * i), n_az=181, n_za=91,
-                freqs=(1.0e8,),
-            )
-            for i in range(37)
-        ]
+        asset = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tests", "data", "structured_dipole_100MHz.beamfits",
+        )
+        beams = perturbed_variants(read_beamfits(asset), 37)
         beam_idx = np.arange(len(ants)) % 37
         times = 2459863.2 + np.linspace(0, 4 / 60 / 24, 2)
         return TPUSimulationEngine().simulate(
