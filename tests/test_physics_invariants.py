@@ -1,0 +1,261 @@
+"""Oracle-independent physics invariants of the full simulation engine.
+
+The reference cross-checks a fully polarized sky against an external
+simulator (pyuvsim; ref tests/test_cpu_simulate.py:384-448).  No external
+oracle exists in this environment, and every in-repo check (direct-DFT
+oracle, coordinate anchors) shares the repo's own conventions -- so this
+module asserts invariants that follow from the PHYSICS of the measurement
+equation, not from any implementation:
+
+1. Conjugate-baseline symmetry.  For a Hermitian sky coherency,
+   V(b_ji) = conj(V(b_ij)) in the engine's output convention.  The
+   polarized cross-feed entries follow the reference's flipped-baseline
+   convention (conj WITHOUT feed swap, i.e. the feed transpose of the
+   physical V_ij^H; ref cpu_simulate.py:298-300) -- asserted exactly --
+   while the feed-DIAGONAL entries (XX, YY) are transpose-invariant, so
+   for them the assertion IS the physical Hermitian relation.
+2. Linearity / superposition.  V is linear in the source fluxes, and a
+   catalog's visibility is the sum of its sub-catalogs' visibilities.
+3. Time-shift <-> RA-shift equivalence.  Advancing time rotates the
+   Earth; shifting every source's RA by the accumulated GAST is
+   equivalent up to the slow (precession/nutation/aberration) terms,
+   which are quantified in the tolerance argument below.
+4. Equivariance under array translation (V depends on baselines only)
+   plus autocorrelation reality/positivity for an unpolarized sky.
+
+Every invariant runs through the full public engine (simulate_vis) on
+BOTH transform paths: type-3 (forced, non-gridded array) and type-1
+(integer-lattice array -> uniform FFT + gather).
+"""
+
+import numpy as np
+import pytest
+
+from fftvis_tpu import TelescopeLocation, simulate_vis
+from fftvis_tpu.beams import GaussianBeam
+from fftvis_tpu.beams.synth import structured_dipole_beam
+from fftvis_tpu.coords import erfa_lite as el
+
+LOC = TelescopeLocation(np.deg2rad(-30.72), np.deg2rad(21.43), 1073.0)
+FREQS = np.array([1.0e8, 1.15e8])
+# Near-J2000 epoch: the NPB matrix is ~identity there, which matters only
+# for the time-shift test (see its tolerance derivation).
+TIMES = el.JD_J2000 + 123.4 + np.array([0.0, 0.007])
+NSRC = 42
+
+
+def _sky(rng, nsrc=NSRC, polarized_sky=False):
+    ra = rng.uniform(0.0, 2 * np.pi, nsrc)
+    dec = np.clip(LOC.lat + rng.normal(0.0, 0.35, nsrc), -np.pi / 2, np.pi / 2)
+    if polarized_sky:
+        # Stokes (nsrc, nfreq, 4) with physical |QUV| < I (positive-definite
+        # Hermitian coherency).
+        stokes = rng.uniform(0.2, 1.0, (nsrc, FREQS.size, 4))
+        stokes[..., 1:] *= 0.3 * rng.uniform(-1, 1, (nsrc, FREQS.size, 3))
+        return ra, dec, stokes
+    return ra, dec, rng.uniform(0.1, 1.0, (nsrc, FREQS.size))
+
+
+def _ants(path, rng):
+    if path == "type1":
+        # Integer lattice -> griddable -> type-1 uniform-FFT path.
+        return {
+            i: np.array([14.6 * (i % 3), 14.6 * (i // 3), 0.0])
+            for i in range(6)
+        }
+    return {
+        i: np.array([*rng.uniform(-60.0, 60.0, 2), 0.0]) for i in range(6)
+    }
+
+
+def _kw(path, rng, polarized=False, polarized_sky=False, **over):
+    ra, dec, flux = _sky(rng, polarized_sky=polarized_sky)
+    kw = dict(
+        ants=_ants(path, rng),
+        fluxes=flux,
+        ra=ra,
+        dec=dec,
+        freqs=FREQS,
+        times=TIMES,
+        beam=GaussianBeam(diameter=12.0),
+        telescope_loc=LOC,
+        polarized=polarized,
+        precision=2,
+        force_use_type3=(path == "type3"),
+    )
+    kw.update(over)
+    return kw
+
+
+PATHS = ("type3", "type1")
+
+
+# ---------------------------------------------------------------------------
+# 1. conjugate-baseline symmetry
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("path", PATHS)
+@pytest.mark.parametrize("polarized", [False, True])
+def test_conjugate_baseline_symmetry(path, polarized):
+    rng = np.random.default_rng(11)
+    pairs = [(0, 1), (1, 0), (1, 3), (3, 1), (2, 4), (4, 2)]
+    kw = _kw(path, rng, polarized=polarized, baselines=pairs)
+    v = simulate_vis(**kw)
+    scale = np.abs(v).max()
+    for k in range(0, len(pairs), 2):
+        vij = v[..., k]
+        vji = v[..., k + 1]
+        # Engine/reference convention: reversed baseline = conj, no feed
+        # swap (= feed transpose of the physical V_ij^H).
+        np.testing.assert_allclose(
+            vji, np.conj(vij), atol=1e-9 * scale, rtol=0
+        )
+    if polarized:
+        # Feed diagonals are transpose-invariant: for XX/YY the convention
+        # relation IS the physical Hermitian symmetry V_ji = V_ij^H.
+        for a in range(2):
+            np.testing.assert_allclose(
+                v[:, :, a, a, 1::2], np.conj(v[:, :, a, a, 0::2]),
+                atol=1e-9 * scale, rtol=0,
+            )
+
+
+def test_conjugate_symmetry_polarized_sky_distinct_beams():
+    """Hermitian symmetry with a Stokes-IQUV sky and per-antenna complex
+    structured beams (the hardest case: complex cross-pol Jones)."""
+    rng = np.random.default_rng(12)
+    pairs = [(0, 1), (1, 0), (2, 3), (3, 2)]
+    beams = [structured_dipole_beam(n_az=72, n_za=19, variant=i)
+             for i in range(6)]
+    kw = _kw(
+        "type3", rng, polarized=True, polarized_sky=True, baselines=pairs,
+        beam=beams, beam_idx=np.arange(6),
+        freqs=np.array([1.0e8, 1.0e8]),  # stay on the beam asset's band
+    )
+    v = simulate_vis(**kw)
+    scale = np.abs(v).max()
+    np.testing.assert_allclose(
+        v[..., 1::2], np.conj(v[..., 0::2]), atol=1e-7 * scale, rtol=0
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. linearity / superposition
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("path", PATHS)
+def test_flux_linearity(path):
+    rng = np.random.default_rng(21)
+    kw = _kw(path, rng)
+    f1 = kw.pop("fluxes")
+    f2 = rng.uniform(0.1, 1.0, f1.shape)
+    a, b = 0.7, -1.3
+    v1 = simulate_vis(fluxes=f1, **kw)
+    v2 = simulate_vis(fluxes=f2, **kw)
+    v = simulate_vis(fluxes=a * f1 + b * f2, **kw)
+    scale = max(np.abs(v1).max(), np.abs(v2).max())
+    np.testing.assert_allclose(
+        v, a * v1 + b * v2, atol=1e-8 * scale, rtol=0
+    )
+
+
+@pytest.mark.parametrize("path", PATHS)
+@pytest.mark.parametrize("polarized", [False, True])
+def test_source_superposition(path, polarized):
+    """V(catalog) == V(first half) + V(second half)."""
+    rng = np.random.default_rng(22)
+    kw = _kw(path, rng, polarized=polarized)
+    ra, dec, flux = kw.pop("ra"), kw.pop("dec"), kw.pop("fluxes")
+    half = NSRC // 2
+    v_full = simulate_vis(ra=ra, dec=dec, fluxes=flux, **kw)
+    v_a = simulate_vis(
+        ra=ra[:half], dec=dec[:half], fluxes=flux[:half], **kw
+    )
+    v_b = simulate_vis(
+        ra=ra[half:], dec=dec[half:], fluxes=flux[half:], **kw
+    )
+    scale = np.abs(v_full).max()
+    np.testing.assert_allclose(
+        v_full, v_a + v_b, atol=1e-7 * scale, rtol=0
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. time shift <-> RA shift
+# ---------------------------------------------------------------------------
+def _gast(times):
+    jd = el.times_to_jd(times)
+    t = (jd + el.TT_MINUS_UTC_SEC / 86400.0 - el.JD_J2000) / el.DAYS_PER_CENTURY
+    dpsi, _ = el.nutation_2000b_truncated(t)
+    return el.gmst_2006(jd, t) + dpsi * np.cos(el.mean_obliquity(t))
+
+
+@pytest.mark.parametrize("path", PATHS)
+def test_time_shift_equals_ra_shift(path):
+    """V(ra, t + dt) ~= V(ra - dGAST, t) on a sidereal sky.
+
+    (Sign: topo = site @ R3(gast) @ npb @ r(ra), and R3(g) r(ra) =
+    r(ra - g), so advancing gast by dGAST is undone by shifting RA down
+    by dGAST.)
+
+    The equivalence is exact only for a rigid rotation about the celestial
+    pole; the residual is the conjugation of the Earth-spin rotation by the
+    (time-varying) precession-nutation tilt plus the aberration drift.
+    Near J2000 the NPB tilt is ~1e-4 rad (nutation-dominated), so for a
+    dt of 2 sidereal minutes (dGAST ~ 8.7e-3 rad) the source-direction
+    mismatch is ~1e-6 rad; at |b| <= ~130 m and 115 MHz (b/lambda ~ 50)
+    the worst-case phase error is 2*pi*50*1e-6 ~ 3e-4 rad.  Assert the
+    shifted sims agree to 2e-3 relative AND that the agreement is >= 30x
+    better than the unshifted drift over the same dt (the sharp part of
+    the invariant: it fails if the engine's sidereal rate is wrong).
+    """
+    rng = np.random.default_rng(31)
+    dt = 120.0 / 86164.0905  # 2 minutes of sidereal time, in solar days
+    t0 = el.JD_J2000 + 123.4
+    kw = _kw(path, rng)
+    ra = kw.pop("ra")
+    kw.pop("times")
+    g1, g2 = _gast([t0, t0 + dt])
+    v_shift_t = simulate_vis(ra=ra, times=np.array([t0 + dt]), **kw)
+    v_shift_ra = simulate_vis(
+        ra=(ra - (g2 - g1)) % (2 * np.pi), times=np.array([t0]), **kw
+    )
+    v_null = simulate_vis(ra=ra, times=np.array([t0]), **kw)
+    scale = np.abs(v_shift_t).max()
+    err = np.abs(v_shift_t - v_shift_ra).max() / scale
+    drift = np.abs(v_shift_t - v_null).max() / scale
+    assert err < 2e-3, f"time-shift vs RA-shift mismatch {err:.2e}"
+    assert err < drift / 30.0, (
+        f"RA shift barely better than no shift: {err:.2e} vs drift "
+        f"{drift:.2e} (sidereal rate wrong?)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. translation equivariance + autocorrelation reality
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("path", PATHS)
+def test_array_translation_invariance(path):
+    """Visibilities depend on baselines only: translating every antenna by
+    a common offset leaves the output unchanged (for type-1 the lattice
+    offset also exercises the gridding planner's origin independence)."""
+    rng = np.random.default_rng(41)
+    kw = _kw(path, rng)
+    ants = kw.pop("ants")
+    off = np.array([14.6 * 3, -14.6 * 2, 0.0])
+    v0 = simulate_vis(ants=ants, **kw)
+    v1 = simulate_vis(
+        ants={k: v + off for k, v in ants.items()}, **kw
+    )
+    scale = np.abs(v0).max()
+    np.testing.assert_allclose(v0, v1, atol=1e-7 * scale, rtol=0)
+
+
+@pytest.mark.parametrize("path", PATHS)
+def test_autocorrelation_real_positive(path):
+    """Autos of an unpolarized (positive-flux) sky are real and positive:
+    V_ii = sum_s flux_s * |B(s)|^2 >= 0."""
+    rng = np.random.default_rng(42)
+    kw = _kw(path, rng, baselines=[(0, 0), (3, 3)])
+    v = simulate_vis(**kw)
+    scale = np.abs(v).max()
+    assert np.abs(v.imag).max() < 1e-9 * scale
+    assert (v.real > 0).all()
