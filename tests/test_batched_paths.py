@@ -249,3 +249,58 @@ def test_skewed_routing_uses_per_pair_loop_and_matches():
     nbl = sum(len(s) for s in plan.bls_idxs)
     m_max = max(len(s) for s in plan.bls_idxs)
     assert plan.npairs * m_max > 4 * nbl and plan.npairs <= 32
+
+
+class TestFetchAndSweepBatching:
+    """Multi-stream fetch + freq-stacked sweep batching (wall-clock
+    levers for link-bound production sweeps; results must be exact)."""
+
+    def _kw(self, rng, nfreq=2):
+        ants = {i: np.array([*rng.uniform(-50, 50, 2), 0.0])
+                for i in range(5)}
+        nsrc = 36
+        return dict(
+            ants=ants,
+            fluxes=rng.uniform(0.1, 1.0, (nsrc, nfreq)),
+            ra=rng.uniform(0, 2 * np.pi, nsrc),
+            dec=np.clip(LOC.lat + rng.normal(0, 0.3, nsrc),
+                        -np.pi / 2, np.pi / 2),
+            freqs=np.linspace(1.0e8, 1.1e8, nfreq),
+            times=JD0 + np.linspace(0, 0.01, 2),
+            beam=GaussianBeam(diameter=12.0),
+            telescope_loc=LOC,
+            polarized=False,
+            precision=2,
+        )
+
+    def test_split_fetch_matches_single_stream(self, monkeypatch):
+        """FFTVIS_FETCH_SPLIT_MIN=0 forces the multi-slab D2H path; the
+        assembled result must be identical to the plain fetch."""
+        rng = np.random.default_rng(5)
+        kw = self._kw(rng)
+        want = simulate_vis(**kw)
+        monkeypatch.setenv("FFTVIS_FETCH_SPLIT_MIN", "0")
+        monkeypatch.setenv("FFTVIS_FETCH_STREAMS", "3")
+        got = simulate_vis(async_fetch=True, **kw).result()
+        np.testing.assert_array_equal(got, want)
+
+    def test_freq_stacked_sweep_equals_separate_sims(self):
+        """A sweep batched by stacking per-sim flux columns on a tiled
+        freq axis equals the separate per-sim calls (the engine treats
+        each freq column independently; this is the one-dispatch
+        one-D2H production sweep pattern the bench scores)."""
+        rng = np.random.default_rng(6)
+        kw = self._kw(rng)
+        freqs = kw.pop("freqs")
+        flux_a = kw.pop("fluxes")
+        flux_b = rng.uniform(0.1, 1.0, flux_a.shape)
+        va = simulate_vis(freqs=freqs, fluxes=flux_a, **kw)
+        vb = simulate_vis(freqs=freqs, fluxes=flux_b, **kw)
+        v = simulate_vis(
+            freqs=np.concatenate([freqs, freqs]),
+            fluxes=np.concatenate([flux_a, flux_b], axis=1),
+            **kw,
+        )
+        scale = np.abs(va).max()
+        np.testing.assert_allclose(v[: freqs.size], va, atol=1e-12 * scale)
+        np.testing.assert_allclose(v[freqs.size:], vb, atol=1e-12 * scale)
