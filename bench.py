@@ -42,6 +42,45 @@ EIGEN_BASELINE_PTS_PER_S = 73.8
 PERANT_BASELINE_PTS_PER_S = 4.95
 
 
+ROWS: dict = {}
+
+
+def _row(name, **fields):
+    """Record one scored row and emit it as a greppable JSON line.
+
+    Every row lands (a) on stderr as ``[bench-row] {...}`` and (b) in the
+    final stdout JSON under ``rows`` -- machine-readable round-over-round,
+    while the prose lines remain the human-readable record. Floats are
+    rounded to 4 significant digits to keep the final line compact (the
+    driver truncates long output tails).
+    """
+    clean = {}
+    for k, v in fields.items():
+        if v is None:
+            continue
+        if isinstance(v, (float, np.floating)):
+            clean[k] = float(f"{float(v):.4g}")
+        elif isinstance(v, (int, np.integer)):
+            clean[k] = int(v)
+        else:
+            clean[k] = v
+    ROWS[name] = clean
+    print("[bench-row] " + json.dumps({"row": name, **clean}),
+          file=sys.stderr)
+
+
+def _mfu_val(fl, seconds):
+    """MFU as a percentage float (or None) -- numeric twin of _mfu_str."""
+    from fftvis_tpu.flops import chip_peak_flops
+
+    if fl is None or seconds is None:
+        return None
+    peak, _ = chip_peak_flops(fl[1])
+    if not peak:
+        return None
+    return 100.0 * fl[0] / seconds / peak
+
+
 def _steady(fn, repeats):
     fn()  # warm-up: trace + compile (cached afterwards)
     best = np.inf
@@ -239,6 +278,7 @@ def main():
         prepare_beam_unpolarized,
     )
     from fftvis_tpu.flops import chip_peak_flops
+    from fftvis_tpu.reference.direct_engine import DirectSimulationEngine
     from fftvis_tpu.tpu.engine import TPUSimulationEngine
 
     peak, peak_label = chip_peak_flops()
@@ -282,6 +322,11 @@ def main():
         f"{rate_tp:.3e} pts/s ({ratio_tp:.1f}x); device "
         f"{dev_t * 1e3:.1f} ms{_mfu_str(fl_t, dev_t)}",
         file=sys.stderr,
+    )
+    _row(
+        "tutorial", ratio=ratio_t, wall_ms=wall_t * 1e3,
+        pipe_ms=pipe_t * 1e3, pipe_ratio=ratio_tp, dev_ms=dev_t * 1e3,
+        mfu_pct=_mfu_val(fl_t, dev_t),
     )
 
     # ---------------- 2. gridded workload (secondary) ----------------
@@ -357,6 +402,53 @@ def main():
         f"{max(wall_g - wall_floor, dev_g) * 1e3:.1f} ms ({ratio_gf:.0f}x)",
         file=sys.stderr,
     )
+    _row(
+        "gridded", ratio=ratio_g, wall_ms=wall_g * 1e3,
+        pipe_ms=pipe_g * 1e3, pipe_ratio=ratio_gp, dev_ms=dev_g * 1e3,
+        mfu_pct=_mfu_val(fl_g, dev_g), floor_ms=pipe_floor * 1e3,
+        floor_ratio=ratio_pf, vs_floor_pct=pipe_vs_floor,
+        link_mbps=link_bw / 1e6,
+    )
+
+    # -------- 2b. gridded BATCHED sweep (one device program) --------
+    # The production sweep pattern with the per-call fixed costs removed
+    # at the ROOT: NB sweep steps' flux columns stacked on a tiled freq
+    # axis run as ONE device program with ONE stacked output, so a single
+    # D2H of NB x 3.03 MB amortizes NB dispatch round-trips and NB
+    # per-call host phases (equivalence with separate sims is asserted in
+    # tests/test_batched_paths.py). The engine's multi-stream fetch
+    # splits the large output across two link streams. Two batches stay
+    # in flight so batch k+1's dispatch/compute overlaps batch k's
+    # transfer.
+    NB = 8 if full_scale else 2
+    freqs_gb = np.tile(freqs_g, NB)
+    flux_gb = rng.uniform(0.1, 1.0, (nsrc, freqs_gb.size))
+    kw_gb = dict(kw_g)
+    kw_gb["freqs"] = freqs_gb
+    kw_gb["fluxes"] = flux_gb
+    v_gb = simulate_vis(**kw_gb)
+    assert np.all(np.isfinite(v_gb)), "batched gridded non-finite"
+    pipe_b = _pipelined_wall(
+        lambda: simulate_vis(async_fetch=True, **kw_gb), wall_reps,
+        depth=2, width=1,
+    ) / NB
+    rate_gb = npts_g / pipe_b
+    ratio_gb = rate_gb / GRIDDED_BASELINE_PTS_PER_S
+    # Same-run floor for the batched pattern: NB sims' bytes per fetch,
+    # one RTT per batch.
+    floor_b = (NB * out_bytes / link_bw + link_rtt) / NB
+    vs_floor_b = 100.0 * (pipe_b / floor_b - 1.0)
+    print(
+        f"[bench] gridded BATCHED sweep ({NB} sims/call, stacked freq "
+        f"axis, 2-stream fetch): {pipe_b * 1e3:.1f} ms/sim = "
+        f"{rate_gb:.3e} pts/s ({ratio_gb:.1f}x ref); same-run floor "
+        f"{floor_b * 1e3:.0f} ms/sim, wall sits {vs_floor_b:+.0f}% vs it",
+        file=sys.stderr,
+    )
+    _row(
+        "gridded_batched", ratio=ratio_gb, pipe_ms=pipe_b * 1e3,
+        batch=NB, floor_ms=floor_b * 1e3, vs_floor_pct=vs_floor_b,
+    )
 
     # ------------- 3. forced type-3 workload (secondary) -------------
     # The reference forces type-3 on the same gridded sim: 6.69 s
@@ -388,6 +480,61 @@ def main():
         f"{dev_3 * 1e3:.1f} ms = {rate_3:.3e} pts/s ({ratio_3:.0f}x ref "
         f"forced-type-3 wall){_mfu_str(fl_3, dev_3)}",
         file=sys.stderr,
+    )
+    _row(
+        "type3_forced", ratio=ratio_3, dev_ms=dev_3 * 1e3,
+        mfu_pct=_mfu_val(fl_3, dev_3),
+    )
+
+    # ------- 3b. 3D non-coplanar type-3 (w-term / low-rank-z path) -------
+    # The reference's tilted-array workloads exercise nufft3d3 (ref
+    # cpu/nufft.py:62-118, cpu_simulate.py:640-659). A plane-fit residual
+    # above flat_array_tol cannot be rotated away, so antennas with
+    # meter-scale z scatter drive the genuine 3D path (low-rank z-tap
+    # executor, nufft/transform.py plan_type3_lowrank_z). Device time,
+    # MFU, and an on-hardware accuracy assert vs the fp64 oracle.
+    rng_z = np.random.default_rng(23)
+    ants_z = {
+        k: np.array([p[0], p[1], rng_z.uniform(-2.0, 2.0)])
+        for k, p in ants_3.items()
+    }
+    kw_z = dict(
+        ants=ants_z, fluxes=flux_g, ra=ra, dec=dec, freqs=freqs_g,
+        times=times_g, beam=GaussianBeam(diameter=14.0),
+        telescope_loc=loc, baselines=bl3, polarized=False, precision=2,
+        backend="tpu",
+    )
+    v_z = simulate_vis(**kw_z)
+    assert np.all(np.isfinite(v_z)), "non-coplanar 3D benchmark non-finite"
+    ekw_z = {k: v for k, v in kw_z.items() if k not in ("beam", "backend")}
+    run_z, in_z, info_z = TPUSimulationEngine().simulate(
+        beam_list=[b3], return_program="full", **ekw_z
+    )
+    dev_z, _ = _device_compute_time(run_z, in_z, repeats, dev_loops)
+    rate_z = npts_3 / dev_z
+    ratio_z = rate_z / TYPE3_BASELINE_PTS_PER_S
+    fl_z = _model_flops(info_z, times_g.size)
+    # Accuracy: 512-source subproblem on the same 3D array vs fp64 oracle.
+    sel_z = np.random.default_rng(29).choice(nsrc, size=512, replace=False)
+    kw_za = dict(
+        ants=ants_z, fluxes=flux_g[sel_z], ra=ra[sel_z], dec=dec[sel_z],
+        freqs=freqs_g, times=times_g[:1], baselines=bl3[:400],
+        telescope_loc=loc, polarized=False, precision=2,
+    )
+    v_za = simulate_vis(beam=GaussianBeam(diameter=14.0), backend="tpu", **kw_za)
+    v_zo = DirectSimulationEngine().simulate(beam_list=[b3], **kw_za)
+    acc_z = float(np.abs(v_za - v_zo).max() / max(np.abs(v_zo).max(), 1e-30))
+    print(
+        f"[bench] 3D non-coplanar type-3 ({len(ants_z)} ants, +-2 m z "
+        f"scatter): device {dev_z * 1e3:.1f} ms = {rate_z:.3e} pts/s "
+        f"({ratio_z:.0f}x ref forced-type-3 wall){_mfu_str(fl_z, dev_z)}; "
+        f"accuracy {acc_z:.2e} vs fp64 oracle (gate 1e-4)",
+        file=sys.stderr,
+    )
+    assert acc_z < 1e-4, f"3D non-coplanar accuracy gate FAILED: {acc_z:.2e}"
+    _row(
+        "noncoplanar_3d", ratio=ratio_z, dev_ms=dev_z * 1e3,
+        mfu_pct=_mfu_val(fl_z, dev_z), acc=acc_z,
     )
 
     # ------------- 4. eigenbeam workload (secondary) -------------
@@ -439,6 +586,11 @@ def main():
         f"{_mfu_str(fl_e, dev_e)}",
         file=sys.stderr,
     )
+    _row(
+        "eigenbeam", ratio=ratio_e, wall_ms=wall_e * 1e3,
+        pipe_ms=pipe_e * 1e3, pipe_ratio=ratio_ep, dev_ms=dev_e * 1e3,
+        mfu_pct=_mfu_val(fl_e, dev_e),
+    )
 
     # ------- 5. NORTH STAR: HERA-331 polarized per-antenna beams -------
     # BASELINE.md:34-36: ">=10x the finufft-CPU visibility throughput per
@@ -455,7 +607,6 @@ def main():
     # direct-DFT oracle on a 512-source subproblem.
     from fftvis_tpu.beams.io import read_beamfits
     from fftvis_tpu.beams.synth import perturbed_variants
-    from fftvis_tpu.reference.direct_engine import DirectSimulationEngine
 
     hera_hex = int(os.environ.get("FFTVIS_BENCH_HERA_HEX", "11"))
     ants_h = hex_array(hera_hex, sep=14.6)  # 11 -> 331 antennas (HERA-331)
@@ -522,6 +673,11 @@ def main():
         file=sys.stderr,
     )
     assert acc_h < 1e-5, f"north-star accuracy gate FAILED: {acc_h:.2e}"
+    _row(
+        "north_star", ratio=ratio_h, wall_ms=wall_h * 1e3,
+        pipe_ms=pipe_h * 1e3, pipe_ratio=ratio_hp, dev_ms=dev_h * 1e3,
+        mfu_pct=_mfu_val(fl_h, dev_h), acc=acc_h,
+    )
 
     # ------- 5b. NORTH STAR sustained (production-shaped extents) -------
     # The headline rows inherit the reference's tiny (freq x time) extents
@@ -562,6 +718,10 @@ def main():
         f"{_mfu_str(fl_sus, dev_sus)}",
         file=sys.stderr,
     )
+    _row(
+        "north_star_sustained", ratio=ratio_sus, wall_ms=wall_sus * 1e3,
+        dev_ms=dev_sus * 1e3, mfu_pct=_mfu_val(fl_sus, dev_sus),
+    )
 
     # ------- 6. 24h observation, large sky: block sizing + banding -------
     # Long observations see only ~60-80% of the (already-culled) sky at
@@ -600,6 +760,10 @@ def main():
         f"plain = {band_gain:.2f}x from horizon banding + block sizing",
         file=sys.stderr,
     )
+    _row(
+        "obs24h_banding", dev_ms=dev_24b * 1e3, plain_dev_ms=dev_24p * 1e3,
+        gain=band_gain,
+    )
 
     # ------- 7. million-source scale rows (SURVEY section 5) -------
     # "Tens of millions of HEALPix pixels" is the reference's long-context
@@ -609,10 +773,12 @@ def main():
     # device compute, the planner's input footprint, and an accuracy
     # spot-check of a 512-source subsample against the fp64 oracle.
     scale_rows = []
-    for sc_nside, sc_times in (
-        ((256, 24) if full_scale else (max(nside, 4), 3)),
-        ((512, 24) if full_scale else (max(nside, 4), 3)),
-    ):
+    scale_cfgs = (
+        [(256, 24), (512, 24), (1024, 24)]
+        if full_scale
+        else [(max(nside, 4), 3), (max(nside, 4), 3)]
+    )
+    for sc_nside, sc_times in scale_cfgs:
         ra_s, dec_s = healpix_radec(sc_nside)
         n_s = ra_s.size
         times_s = 2459863.2 + np.linspace(0, 1.0, sc_times)
@@ -626,23 +792,38 @@ def main():
         run_s, in_s, info_s = TPUSimulationEngine().simulate(
             return_program="full", **ekw_s
         )
+        # The 12.6M-source program runs seconds per sim; one on-chip loop
+        # and 2 repeats keep the row's wall sane (RTT jitter is <<1% of a
+        # multi-second program).
+        huge = n_s > 4_000_000
         dev_s, _ = _device_compute_time(
-            run_s, in_s, max(2, repeats // 2), dev_loops
+            run_s, in_s, 2 if huge else max(2, repeats // 2),
+            1 if huge else dev_loops,
         )
         in_bytes = sum(
             int(np.prod(a.shape)) * a.dtype.itemsize for a in in_s
         )
+        # HBM high-water after the run (device allocator peak), when the
+        # backend exposes it.
+        hbm_peak = None
+        try:
+            stats = jax.local_devices()[0].memory_stats()
+            hbm_peak = stats.get("peak_bytes_in_use")
+        except Exception:
+            pass
         fl_s = _model_flops(info_s, sc_times)
-        # Accuracy spot check: 512-source subsample through the same
-        # blocked/banded engine path vs the fp64 oracle.
-        sel_s = np.random.default_rng(3).choice(
-            n_s, size=min(512, n_s), replace=False
-        )
+        # FULL-CATALOG accuracy: the whole sky through the blocked/banded
+        # engine on a handful of baselines vs the fp64 direct oracle --
+        # this measures the ACCUMULATED fp32 spread/sum error over n_s
+        # sources (a subsample check would not; the error trend over
+        # 786k -> 3.1M -> 12.6M sources against the 1e-5 gate is the
+        # point of these rows).
+        bl_acc = baselines[:: max(1, len(baselines) // 8)][:8]
         kw_sa = dict(
-            ants=ants_g, fluxes=flux_s[sel_s], ra=ra_s[sel_s],
-            dec=dec_s[sel_s], freqs=np.array([freqs_g[0]]),
-            times=times_s[:1], baselines=baselines[:500],
-            telescope_loc=loc, polarized=False, precision=2,
+            ants=ants_g, fluxes=flux_s, ra=ra_s, dec=dec_s,
+            freqs=np.array([freqs_g[0]]), times=times_s[:1],
+            baselines=bl_acc, telescope_loc=loc, polarized=False,
+            precision=2,
         )
         v_sa = simulate_vis(beam=GaussianBeam(diameter=14.0), backend="tpu", **kw_sa)
         v_so = DirectSimulationEngine().simulate(beam_list=[beam_obj], **kw_sa)
@@ -653,15 +834,25 @@ def main():
         scale_rows.append(
             (n_s, sc_times, dev_s, rate_s, in_bytes, acc_s, fl_s)
         )
+        hbm_str = (
+            f", HBM peak {hbm_peak / 1e9:.2f} GB" if hbm_peak else ""
+        )
         print(
             f"[bench] scale row nside={sc_nside}: {n_s} srcs x "
             f"{len(baselines)} bls x 1f x {sc_times}t, device "
             f"{dev_s * 1e3:.1f} ms/sim = {rate_s:.3e} pts/s; device inputs "
-            f"{in_bytes / 1e6:.0f} MB{_mfu_str(fl_s, dev_s)}; subsample "
-            f"accuracy {acc_s:.2e} vs fp64 oracle",
+            f"{in_bytes / 1e6:.0f} MB{hbm_str}{_mfu_str(fl_s, dev_s)}; "
+            f"FULL-catalog accuracy {acc_s:.2e} vs fp64 oracle "
+            f"({len(bl_acc)} bls)",
             file=sys.stderr,
         )
         assert acc_s < 1e-4, f"scale-row accuracy regression: {acc_s:.2e}"
+        _row(
+            f"scale_{n_s}", dev_ms=dev_s * 1e3,
+            mfu_pct=_mfu_val(fl_s, dev_s), acc=acc_s,
+            in_mb=in_bytes / 1e6,
+            hbm_gb=(hbm_peak / 1e9) if hbm_peak else None,
+        )
 
     # ------------- 8. accuracy probe (quality guard) -------------
     # A small sub-problem against the in-repo exact float64 direct-DFT
@@ -681,82 +872,28 @@ def main():
           file=sys.stderr)
     assert acc < 1e-4, f"accuracy probe regression: {acc:.2e}"
 
-    def mfu_of(fl, t):
-        from fftvis_tpu.flops import chip_peak_flops as _cpf
+    _row("accuracy_probe", acc=acc)
 
-        if fl is None:
-            return "n/a"
-        p, _ = _cpf(fl[1])
-        if not p:
-            return "n/a"
-        return f"{100.0 * fl[0] / t / p:.1f}%"
-
-    sc1, sc2 = scale_rows
+    # Final line: compact and machine-readable (the full prose record is
+    # on stderr, and each row was also emitted as a `[bench-row]` JSON
+    # line above). Per-row keys: ratio = multiple of that row's own
+    # reference-CPU baseline; wall/pipe/dev in ms; mfu in percent;
+    # acc = max relative error vs the in-repo fp64 direct oracle;
+    # floor = same-run measured link floor.
     print(
         json.dumps(
             {
                 "metric": (
-                    f"wall-clock visibility throughput on the reference's "
-                    f"headline workloads ({backend_name}, 1 chip; "
-                    f"peak model {peak_label}): primary = "
-                    f"tutorial sim (hex {len(ants_t)} ants, 20 freqs x 30 "
-                    f"times, nside={nside} sky = {nsrc} srcs, unpol; ref "
-                    f"3.32 s = 8313 pts/s; scored value is the SEQUENTIAL "
-                    f"per-sim wall -- pipelined 8-in-flight async_fetch "
-                    f"with a collector thread, the production consumption "
-                    f"pattern, runs {pipe_t * 1e3:.1f} ms/sim = "
-                    f"{rate_tp:.3e} pts/s = {ratio_tp:.1f}x, hiding the "
-                    f"dev relay's per-call round-trip; device "
-                    f"{dev_t * 1e3:.1f} ms, mfu={mfu_of(fl_t, dev_t)}); "
-                    f"secondary gridded type-1 (hex{hex_size}+outriggers "
-                    f"{nant} ants, {len(baselines)} bls, 2f x 3t; ref "
-                    f"0.482 s): wall {rate_g:.3e} pts/s = {ratio_g:.2f}x "
-                    f"baseline, pipelined ({depth_g} in-flight, threaded collect) "
-                    f"{pipe_g * 1e3:.0f} ms/sim = {rate_gp:.3e} pts/s = "
-                    f"{ratio_gp:.1f}x -- the wall is bound by the dev "
-                    f"relay link (measured IN-RUN {link_bw / 1e6:.1f} MB/s "
-                    f"x {out_bytes / 1e6:.1f} MB output/sim, 2-stream "
-                    f"collector): pipelined floor = "
-                    f"{pipe_floor * 1e3:.0f} ms/sim = {ratio_pf:.1f}x-"
-                    f"equivalent, pipelined wall sits {pipe_vs_floor:+.0f}% "
-                    f"from that floor; device compute {dev_g * 1e3:.1f} ms "
-                    f"= {rate_gd:.3e} pts/s = {ratio_gd:.1f}x baseline, "
-                    f"mfu={mfu_of(fl_g, dev_g)}; type-3 forced (ref 6.69 s "
-                    f"= 5.67e4 pts/s): device {rate_3:.3e} pts/s = "
-                    f"{ratio_3:.0f}x, mfu={mfu_of(fl_3, dev_3)}; eigenbeam "
-                    f"K={len(eig)} (ref 3.47 s = 646 pts/s): wall "
-                    f"{rate_e:.3e} pts/s = {ratio_e:.0f}x (pipelined "
-                    f"{ratio_ep:.0f}x, device {dev_e * 1e3:.1f} ms, "
-                    f"mfu={mfu_of(fl_e, dev_e)}); NORTH STAR "
-                    f"hera-{len(ants_h)} polarized {nd_beams}-distinct-"
-                    f"STRUCTURED-beamfits-per-antenna row (committed "
-                    f"CST-class asset, sidelobes/nulls/cross-pol, loaded "
-                    f"via the in-repo reader): {nbl_h} bls, wall "
-                    f"{rate_h:.3e} pts/s = {ratio_h:.0f}x ref per-antenna "
-                    f"wall (51.7 s; pipelined {ratio_hp:.0f}x), device "
-                    f"{dev_h * 1e3:.1f} ms, mfu={mfu_of(fl_h, dev_h)}, "
-                    f"on-hardware accuracy {acc_h:.1e} rel vs fp64 direct "
-                    f"oracle (ASSERTED <= 1e-5, BASELINE.md north-star "
-                    f"gate); north-star SUSTAINED production extents "
-                    f"({nf_sus}f x {nt_sus}t in ONE call, fixed costs "
-                    f"amortized): wall {rate_sus:.3e} pts/s = "
-                    f"{ratio_sus:.0f}x, device {dev_sus * 1e3:.0f} ms, "
-                    f"mfu={mfu_of(fl_sus, dev_sus)}; 24h observation on a {n24}-source sky: "
-                    f"horizon banding + block sizing {band_gain:.2f}x "
-                    f"device ({dev_24p * 1e3:.1f} -> {dev_24b * 1e3:.1f} "
-                    f"ms); SCALE rows on the {len(baselines)}-baseline "
-                    f"array, 24h: {sc1[0]}-source sky device "
-                    f"{sc1[2] * 1e3:.0f} ms/sim ({sc1[4] / 1e6:.0f} MB "
-                    f"device inputs, mfu={mfu_of(sc1[6], sc1[2])}, "
-                    f"subsample accuracy {sc1[5]:.1e}) and {sc2[0]}-source "
-                    f"sky device {sc2[2] * 1e3:.0f} ms/sim "
-                    f"({sc2[4] / 1e6:.0f} MB, mfu={mfu_of(sc2[6], sc2[2])}, "
-                    f"accuracy {sc2[5]:.1e}); accuracy probe {acc:.1e} rel "
-                    f"vs fp64 oracle"
+                    f"tutorial-row sequential-wall throughput "
+                    f"({backend_name}, 1 chip, peak {peak_label}; "
+                    f"per-row details in 'rows': ratio = x over each "
+                    f"row's reference-CPU baseline, ms walls, MFU %, "
+                    f"accuracy vs in-repo fp64 oracle)"
                 ),
                 "value": rate_t,
                 "unit": "vis_points/s",
                 "vs_baseline": ratio_t,
+                "rows": ROWS,
             }
         )
     )

@@ -21,8 +21,18 @@ def test_bench_main_smoke(monkeypatch, capsys):
     bench.main()
     out = capsys.readouterr().out.strip().splitlines()
     payload = json.loads(out[-1])
-    assert set(payload) == {"metric", "value", "unit", "vs_baseline"}
+    assert set(payload) == {"metric", "value", "unit", "vs_baseline", "rows"}
     assert payload["unit"] == "vis_points/s"
     assert np.isfinite(payload["value"]) and payload["value"] > 0
     assert np.isfinite(payload["vs_baseline"]) and payload["vs_baseline"] > 0
     assert "tutorial" in payload["metric"] or "headline" in payload["metric"]
+    rows = payload["rows"]
+    for required in ("tutorial", "gridded", "gridded_batched",
+                     "noncoplanar_3d", "eigenbeam", "north_star",
+                     "accuracy_probe"):
+        assert required in rows, f"missing bench row {required}"
+    assert rows["tutorial"]["ratio"] > 0
+    assert rows["north_star"]["acc"] < 1e-5
+    # The final line must stay comfortably inside the driver's output
+    # tail window or "parsed" goes null again.
+    assert len(out[-1]) < 1800, f"final JSON line too long: {len(out[-1])}"
