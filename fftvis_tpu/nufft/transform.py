@@ -930,8 +930,37 @@ class Type1ExactExecutor:
             # dot_general folds the flattening into the matmul's layout.
             # Measured v5e at the north-star geometry (n=24576, nm=42,
             # C=196): 3.38 -> 2.19 ms for the standalone contract.
+            dn = (((1,), (0,)), ((), ()))
+            cmm = os.environ.get("FFTVIS_EXACT_CMM", "auto")
+            if cmm == "karatsuba" or (
+                cmm == "auto" and jax.default_backend() == "tpu"
+            ):
+                # XLA lowers a complex matmul to 4 real MXU products; the
+                # 3-multiplication (Karatsuba/Gauss) split shaves 25% of
+                # the MXU passes, which is exactly the north-star row's
+                # bound (its contraction is matmul-limited at f32-HIGHEST
+                # = 6 passes per real product). Rounding grows mildly
+                # (the (cr+ci)(er+ei) product can carry ~2x the operand
+                # magnitude); the hardware accuracy ledger is in NOTES.md
+                # (north-star gate 1e-5 holds with margin).
+                # FFTVIS_EXACT_CMM=split4 restores the plain lowering.
+                er3 = (
+                    eyr[:, :, None] * exr[:, None, :]
+                    - eyi[:, :, None] * exi[:, None, :]
+                )
+                ei3 = (
+                    eyr[:, :, None] * exi[:, None, :]
+                    + eyi[:, :, None] * exr[:, None, :]
+                )
+                cr = jnp.real(c)
+                ci = jnp.imag(c)
+                t1 = jax.lax.dot_general(cr, er3, dn)
+                t2 = jax.lax.dot_general(ci, ei3, dn)
+                t3 = jax.lax.dot_general(cr + ci, er3 + ei3, dn)
+                g = jax.lax.complex(t1 - t2, t3 - t1 - t2)
+                return g.astype(c.dtype)
             E3 = ey[:, :, None] * ex[:, None, :]
-            g = jax.lax.dot_general(c, E3, (((1,), (0,)), ((), ())))
+            g = jax.lax.dot_general(c, E3, dn)
             return g.astype(c.dtype)
         # Materialize the (C, n, nm_small) RHS on the SMALLER axis (less
         # HBM traffic when XLA does not operand-fuse the broadcast).
