@@ -931,19 +931,18 @@ class Type1ExactExecutor:
             # Measured v5e at the north-star geometry (n=24576, nm=42,
             # C=196): 3.38 -> 2.19 ms for the standalone contract.
             dn = (((1,), (0,)), ((), ()))
-            cmm = os.environ.get("FFTVIS_EXACT_CMM", "auto")
-            if cmm == "karatsuba" or (
-                cmm == "auto" and jax.default_backend() == "tpu"
-            ):
-                # XLA lowers a complex matmul to 4 real MXU products; the
-                # 3-multiplication (Karatsuba/Gauss) split shaves 25% of
-                # the MXU passes, which is exactly the north-star row's
-                # bound (its contraction is matmul-limited at f32-HIGHEST
-                # = 6 passes per real product). Rounding grows mildly
-                # (the (cr+ci)(er+ei) product can carry ~2x the operand
-                # magnitude); the hardware accuracy ledger is in NOTES.md
-                # (north-star gate 1e-5 holds with margin).
-                # FFTVIS_EXACT_CMM=split4 restores the plain lowering.
+            cmm = os.environ.get("FFTVIS_EXACT_CMM", "split4")
+            if cmm == "karatsuba":
+                # 3-real-matmul (Karatsuba/Gauss) split of the complex
+                # product: 25% fewer MXU passes in principle, but a
+                # MEASURED WASH on the north-star row (v5e: 7.29 vs
+                # 7.19 ms, accuracy 2.8e-6 vs 3.1e-6) -- the trace shows
+                # each contraction fusion runs at ~58% of the padded-MXU
+                # ceiling with the factor construction operand-fused
+                # alongside, and the third operand construction
+                # (er3+ei3) costs what the saved pass set buys back.
+                # Kept as an opt-in knob for geometries where the
+                # contraction dominates harder; ledger in NOTES.md.
                 er3 = (
                     eyr[:, :, None] * exr[:, None, :]
                     - eyi[:, :, None] * exi[:, None, :]

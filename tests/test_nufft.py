@@ -169,8 +169,9 @@ def test_type1_exact_outer_product_form_matches(monkeypatch):
 def test_type1_exact_karatsuba_complex_contract(monkeypatch):
     """The 3-real-matmul (Karatsuba/Gauss) complex contraction of the
     outer form must match the plain 4-matmul lowering and the direct sum
-    (it is the TPU default: 25% fewer MXU passes on the north-star row's
-    dominant contraction)."""
+    (opt-in knob FFTVIS_EXACT_CMM=karatsuba; measured a wash on the
+    north-star row on v5e -- see NOTES.md -- but kept for geometries
+    where the contraction dominates harder)."""
     from fftvis_tpu.nufft.transform import Type1ExactExecutor, plan_type1_exact
 
     rng = np.random.default_rng(34)
