@@ -129,10 +129,16 @@ def _relay_link_floor(nbytes, repeats, width=2):
     floor driver-verifiable instead of a hand-waved constant, and the
     honest wall decomposition is wall = compute + floor + jitter.
 
-    The bandwidth probe matches the pipelined consumption pattern:
-    ``width`` concurrent fetch streams of fresh ``nbytes`` buffers (the
-    relay multiplexes streams; a single-stream probe understates what the
-    threaded collector achieves). Best-of-``repeats`` sustained rounds.
+    The probe matches the pipelined collector's consumption pattern
+    (``width`` concurrent fetch streams of fresh ``nbytes`` buffers) and
+    reports the AGGREGATE rate: total bytes / wall over an 8-buffer
+    round. Rounds 3-4 instead subtracted the dispatch RTT from every
+    per-buffer time, which overstated the achievable rate by up to ~1.5x
+    (a pipelined consumer pays the RTT once per batch, not once per
+    transfer) and made the wall rows read tens of percent "above" a
+    floor no consumer could reach; interleaved re-measurement (round 5,
+    NOTES.md) pinned this. Best-of-``repeats`` rounds against link
+    drift.
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -153,7 +159,7 @@ def _relay_link_floor(nbytes, repeats, width=2):
     # would report fantasy bandwidth.
     counter = [0]
     best = np.inf
-    n_bufs = 2 * width
+    n_bufs = 4 * width
     with ThreadPoolExecutor(width) as pool:
         for _ in range(max(2, repeats)):
             bufs = []
@@ -165,10 +171,7 @@ def _relay_link_floor(nbytes, repeats, width=2):
             list(pool.map(np.asarray, bufs))
             best = min(best, (time.perf_counter() - t0) / n_bufs)
     t_rtt = _steady(lambda: float(trivial(y)), repeats)
-    # Each probe fetch embeds one dispatch round-trip; subtract it so bw
-    # is pure transfer (the floors below add the RTT share explicitly --
-    # leaving it inside bw would double-count it).
-    bw = probe_bytes / max(best - t_rtt, 1e-9)
+    bw = probe_bytes / max(best, 1e-9)
     return bw, t_rtt, nbytes / bw + t_rtt
 
 
