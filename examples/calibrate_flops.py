@@ -9,17 +9,30 @@ model's total against the compiled executable's own cost analysis
 (``Compiled.cost_analysis()``: HLO-level flops + transcendentals), which
 is the closest thing to a traced op count the runtime exposes.
 
-Interpretation: XLA 'flops' counts one per elementwise arithmetic op and
-2 per MAC in dots/convs; 'transcendentals' counts sin/cos/exp/rsqrt each
-as ONE (the model costs them ~8-10 VPU flops). So the model should land
-between ``flops`` and ``flops + 12 * transcendentals``; the printed
-ratios are recorded in NOTES.md and the flops.py docstring.
+Interpretation (calibrated on v5e, round 5 -- details in NOTES.md):
+
+- XLA counts a ``while``-loop BODY once, ignoring the trip count, so the
+  engine's per-time scan must be normalized out: compare the model's
+  per-time-step flops (total / ntimes) against the XLA number.
+- XLA counts a complex dot_general at 6 real flops per complex MAC
+  (3-mult form); the model uses the textbook 8. Matmul-dominated rows
+  therefore read model/XLA ~ 1.3 by convention alone.
+- 'transcendentals' count sin/cos/exp/rsqrt as ONE each; the model
+  costs them ~8-10 VPU flops.
+
+Measured per-step ratios (v5e): tutorial 0.73 (model under by the
+fused elementwise tail), eigen 1.27, north-star 1.31 (both the complex
+convention). The elementwise constants contribute < 15% of every scored
+row, so the MFU error bars are ~+-30%, not the 2x the docstring
+previously allowed.
 
 Run on the TPU (the lowering differs from CPU):  python examples/calibrate_flops.py
 """
 
 import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -113,13 +126,14 @@ def main():
             continue
         xla_fl = float(cost.get("flops", float("nan")))
         xla_tr = float(cost.get("transcendentals", 0.0))
-        lo, hi = xla_fl, xla_fl + 12.0 * xla_tr
         tot = model["total"]
+        per_step = tot / ntimes  # XLA counts the while body once
         print(
-            f"[{name}] model {tot / 1e9:.2f} GFLOP | XLA flops "
-            f"{xla_fl / 1e9:.2f} G + {xla_tr / 1e9:.2f} G transcendentals "
-            f"-> band [{lo / 1e9:.2f}, {hi / 1e9:.2f}] G | "
-            f"model/xla_mid = {tot / ((lo + hi) / 2):.2f}"
+            f"[{name}] model {tot / 1e9:.2f} GFLOP ({per_step / 1e9:.2f} "
+            f"G/time-step) | XLA body count {xla_fl / 1e9:.2f} G flops + "
+            f"{xla_tr / 1e9:.2f} G transcendentals | model_per_step/xla = "
+            f"{per_step / max(xla_fl, 1e-9):.2f} (1.33 expected on "
+            f"complex-matmul rows from the 8-vs-6 flops/MAC convention)"
         )
         for k, v in sorted(model.items()):
             if k != "total":

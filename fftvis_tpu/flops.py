@@ -7,13 +7,19 @@ closed-form from the plan (spread / FFT / interp / coherency / factor
 terms), not an HLO op count -- so padding waste and implementation
 detours count AGAINST utilization, the standard MFU convention.
 
-Accuracy: the per-source constants for the elementwise stages (rotation,
-beam interpolation, coherency) are engineering estimates good to ~2x;
-the dominant terms for every scored row are exact MAC counts (the
-type-1 exact factored DFT's ``8 C n nmy nmx``, the direct path's
-``8 C n nbl``, the ES spread/FFT cells). Treat single-digit-percent MFU
-differences as noise; the number answers "is this row compute-bound and
-at roughly what fraction of the hardware ceiling."
+Accuracy: CALIBRATED against XLA's compiled cost analysis on v5e
+(examples/calibrate_flops.py; round-5 NOTES.md). Per-time-step the model
+lands within ~+-30% of the HLO op count on every headline row --
+tutorial 0.73x (the fused elementwise tail is slightly undercounted),
+eigen 1.27x and north-star 1.31x (expected: XLA books a complex dot at
+6 real flops per complex MAC, this model at the textbook 8). The
+elementwise per-source constants (rotation 40, beam eval 22, coherency
+80) contribute < 15% of every scored row, so MFU error bars are ~+-30%.
+The dominant terms are exact MAC counts (the type-1 exact factored
+DFT's ``8 C n nmy nmx``, the direct path's ``8 C n nbl``, the ES
+spread/FFT cells). Treat single-digit-percent MFU differences as noise;
+the number answers "is this row compute-bound and at roughly what
+fraction of the hardware ceiling."
 
 The denominator is the chip's dense-matmul peak for the precision the
 engine actually traces: f32 contractions on TPU run as bf16 multi-pass
