@@ -121,24 +121,18 @@ def _pipelined_wall(call_async, repeats, depth=8, width=2):
     return best
 
 
-def _relay_link_floor(nbytes, repeats, width=2):
-    """Measure the host<->device link in-run: (bandwidth B/s, rtt s, floor s).
+def _pipelined_wall_floor(call_async, nbytes, repeats, depth, width=2):
+    """Pipelined per-sim wall PAIRED with a same-window link floor.
 
-    The gridded row's wall clock is dominated by shipping the output over
-    the dev relay (~MB at ~10-50 MB/s); measuring the link here makes the
-    floor driver-verifiable instead of a hand-waved constant, and the
-    honest wall decomposition is wall = compute + floor + jitter.
+    The relay's rate moves 2-3x on minute timescales, so a wall measured
+    in one window against a floor probed in another reads as tens of
+    percent above (or below) a floor nobody saw: round-5 interleaved
+    measurement had the same HEAD read +100% (cross-window) and +0-8%
+    (same-window) within half an hour. Each round here runs one
+    depth-``depth`` pipelined burst AND one 8-buffer probe back to back;
+    the reported floor is the one from the best round's own window.
 
-    The probe matches the pipelined collector's consumption pattern
-    (``width`` concurrent fetch streams of fresh ``nbytes`` buffers) and
-    reports the AGGREGATE rate: total bytes / wall over an 8-buffer
-    round. Rounds 3-4 instead subtracted the dispatch RTT from every
-    per-buffer time, which overstated the achievable rate by up to ~1.5x
-    (a pipelined consumer pays the RTT once per batch, not once per
-    transfer) and made the wall rows read tens of percent "above" a
-    floor no consumer could reach; interleaved re-measurement (round 5,
-    NOTES.md) pinned this. Best-of-``repeats`` rounds against link
-    drift.
+    Returns (best wall s/sim, floor s/sim, bandwidth B/s, rtt s).
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -152,16 +146,22 @@ def _relay_link_floor(nbytes, repeats, width=2):
     y = jnp.ones((8, 8), jnp.float32)
     base = jnp.ones(n_f32, jnp.float32)
     np.asarray(probe(base, 1.0))
-    float(trivial(y))
+    t_rtt = _steady(lambda: float(trivial(y)), 3)
 
-    # Fresh values each fetch: repeated np.asarray of the SAME jax array
-    # returns a cached host copy (measured: second fetch ~0 ms), which
-    # would report fantasy bandwidth.
     counter = [0]
-    best = np.inf
+    best = (np.inf, np.inf)  # (wall/sim, floor/sim) of the best round
     n_bufs = 4 * width
     with ThreadPoolExecutor(width) as pool:
         for _ in range(max(2, repeats)):
+            t0 = time.perf_counter()
+            handles = [
+                pool.submit(call_async().result) for _ in range(depth)
+            ]
+            for h in handles:
+                h.result()
+            wall = (time.perf_counter() - t0) / depth
+            # Same-window probe: fresh-valued linear buffers, aggregate
+            # rate (no per-buffer RTT subtraction).
             bufs = []
             for _ in range(n_bufs):
                 counter[0] += 1
@@ -169,10 +169,11 @@ def _relay_link_floor(nbytes, repeats, width=2):
             jax.block_until_ready(bufs)
             t0 = time.perf_counter()
             list(pool.map(np.asarray, bufs))
-            best = min(best, (time.perf_counter() - t0) / n_bufs)
-    t_rtt = _steady(lambda: float(trivial(y)), repeats)
-    bw = probe_bytes / max(best, 1e-9)
-    return bw, t_rtt, nbytes / bw + t_rtt
+            bw = n_bufs * probe_bytes / (time.perf_counter() - t0)
+            floor = nbytes / bw + t_rtt / depth
+            if wall < best[0]:
+                best = (wall, floor, bw)
+    return best[0], best[1], best[2], t_rtt
 
 
 def _device_compute_time(run, inputs, repeats, loops=8):
@@ -355,9 +356,14 @@ def main():
     # threads (production consumption); the sequential wall above pays a
     # full link round-trip handshake per call on the dev relay.
     depth_g = 12 if full_scale else 2
-    pipe_g = _pipelined_wall(
-        lambda: simulate_vis(async_fetch=True, **kw_g), wall_reps,
-        depth=depth_g,  # CPU smoke: 2 sims, one round
+    # Pipelined wall with a SAME-WINDOW floor: the relay's rate moves
+    # 2-3x minute to minute, so the wall and its floor must come from
+    # the same round (round-5 ledger: the same HEAD read +100% against
+    # a cross-window floor and +0-8% against its own window's).
+    out_bytes = 2 * vg.size * 4
+    pipe_g, pipe_floor, link_bw, link_rtt = _pipelined_wall_floor(
+        lambda: simulate_vis(async_fetch=True, **kw_g), out_bytes,
+        wall_reps, depth=depth_g,
     )
     rate_gp = npts_g / pipe_g
     ratio_gp = rate_gp / GRIDDED_BASELINE_PTS_PER_S
@@ -376,16 +382,7 @@ def main():
     rate_gd = npts_g / dev_g
     ratio_gd = rate_gd / GRIDDED_BASELINE_PTS_PER_S
     fl_g = _model_flops(info_g, times_g.size)
-    # In-run relay-floor measurement: the stacked (re, im) f32 output is
-    # what actually crosses the link. The PIPELINED floor amortizes the
-    # per-call RTT across the in-flight depth; per-sim transfer itself is
-    # irreducible on a serial link.
-    out_bytes = 2 * vg.size * 4
-    link_bw, link_rtt, wall_floor = _relay_link_floor(out_bytes, repeats)
-    # Pipelined floor: transfers serialize on the (2-stream aggregate)
-    # link; dispatch, compute and the per-call RTT overlap other sims'
-    # transfers at depth, so only the RTT's amortized share remains.
-    pipe_floor = out_bytes / link_bw + link_rtt / depth_g
+    wall_floor = out_bytes / link_bw + link_rtt
     ratio_gf = npts_g / max(wall_g - wall_floor, dev_g) / GRIDDED_BASELINE_PTS_PER_S
     ratio_pf = npts_g / pipe_floor / GRIDDED_BASELINE_PTS_PER_S
     pipe_vs_floor = 100.0 * (pipe_g / pipe_floor - 1.0)
@@ -396,8 +393,8 @@ def main():
         f"{pipe_g * 1e3:.1f} ms/sim = {rate_gp:.3e} pts/s ({ratio_gp:.1f}x "
         f"ref); device compute {dev_g * 1e3:.1f} ms (dispatch RTT "
         f"{rtt * 1e3:.0f} ms excluded) = {rate_gd:.3e} pts/s "
-        f"({ratio_gd:.1f}x ref){_mfu_str(fl_g, dev_g)}; measured relay "
-        f"link (2-stream) {link_bw / 1e6:.1f} MB/s -> pipelined floor "
+        f"({ratio_gd:.1f}x ref){_mfu_str(fl_g, dev_g)}; same-window relay "
+        f"link {link_bw / 1e6:.1f} MB/s -> pipelined floor "
         f"({out_bytes / 1e6:.1f} MB transfer + RTT/depth) = "
         f"{pipe_floor * 1e3:.0f} ms/sim ({ratio_pf:.1f}x-equivalent); "
         f"pipelined wall is {pipe_vs_floor:+.0f}% vs that floor; "
@@ -431,15 +428,14 @@ def main():
     kw_gb["fluxes"] = flux_gb
     v_gb = simulate_vis(**kw_gb)
     assert np.all(np.isfinite(v_gb)), "batched gridded non-finite"
-    pipe_b = _pipelined_wall(
-        lambda: simulate_vis(async_fetch=True, **kw_gb), wall_reps,
-        depth=2, width=1,
-    ) / NB
+    batch_wall, batch_floor, _, _ = _pipelined_wall_floor(
+        lambda: simulate_vis(async_fetch=True, **kw_gb),
+        NB * out_bytes, max(4, wall_reps // 2), depth=2,
+    )
+    pipe_b = batch_wall / NB
+    floor_b = batch_floor / NB
     rate_gb = npts_g / pipe_b
     ratio_gb = rate_gb / GRIDDED_BASELINE_PTS_PER_S
-    # Same-run floor for the batched pattern: NB sims' bytes per fetch,
-    # one RTT per batch.
-    floor_b = (NB * out_bytes / link_bw + link_rtt) / NB
     vs_floor_b = 100.0 * (pipe_b / floor_b - 1.0)
     print(
         f"[bench] gridded BATCHED sweep ({NB} sims/call, stacked freq "

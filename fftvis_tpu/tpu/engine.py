@@ -244,17 +244,22 @@ class VisibilityFuture:
         """D2H copy of the device output: flatten on device, then
         multi-stream.
 
-        Outputs above ``FFTVIS_FETCH_SPLIT_MIN`` bytes (default 2 MiB)
-        are first flattened on device (tiled-layout D2H runs at a
-        fraction of the link's linear rate) and then fetched as
-        ``FFTVIS_FETCH_STREAMS`` (default 2) contiguous slabs in
-        concurrent threads. Small outputs keep the single ``np.asarray``
-        (the extra dispatches only add round-trips).
+        Outputs above ``FFTVIS_FETCH_SPLIT_MIN`` bytes (default 16 MiB)
+        are first flattened on device (tiled-layout D2H measured slower
+        than linear-layout in 3/4 interleaved rounds) and then fetched
+        as ``FFTVIS_FETCH_STREAMS`` (default 2) contiguous slabs in
+        concurrent threads -- cheap insurance at slab sizes where the
+        transfer dwarfs the per-slab dispatch round-trip, and a real win
+        on days the relay multiplexes streams. Smaller outputs keep the
+        single ``np.asarray``: for a ~3 MB output the extra slice
+        dispatches cost a round-trip each, which MEASURED as ~2x the
+        honest link floor on the gridded row (round-5 ledger) -- the
+        plain fetch already sits at that floor.
         """
         dev = self._dev
         streams = int(os.environ.get("FFTVIS_FETCH_STREAMS", "2"))
         split_min = int(
-            os.environ.get("FFTVIS_FETCH_SPLIT_MIN", str(2 << 20))
+            os.environ.get("FFTVIS_FETCH_SPLIT_MIN", str(16 << 20))
         )
         nbytes = getattr(dev, "nbytes", 0)
         shape = getattr(dev, "shape", ())
