@@ -413,13 +413,15 @@ def main():
     # -------- 2b. gridded BATCHED sweep (one device program) --------
     # The production sweep pattern with the per-call fixed costs removed
     # at the ROOT: NB sweep steps' flux columns stacked on a tiled freq
-    # axis run as ONE device program with ONE stacked output, so a single
-    # D2H of NB x 3.03 MB amortizes NB dispatch round-trips and NB
-    # per-call host phases (equivalence with separate sims is asserted in
-    # tests/test_batched_paths.py). The engine's multi-stream fetch
-    # splits the large output across two link streams. Two batches stay
-    # in flight so batch k+1's dispatch/compute overlaps batch k's
-    # transfer.
+    # axis run as ONE device program with ONE stacked output -- one
+    # dispatch, one D2H, per-call host phases divided by NB (equivalence
+    # with separate sims is asserted in tests/test_batched_paths.py).
+    # Device compute scales perfectly (measured 3.1-3.6 ms/sim at
+    # NB=1/4/8). On the dev relay the single large fetch cannot overlap
+    # itself, so this row's wall trails the multi-sim pipeline there --
+    # on PCIe hosts (GB/s) it is the cheapest consumption pattern. Two
+    # batches stay in flight so batch k+1's dispatch/compute overlaps
+    # batch k's transfer.
     NB = 8 if full_scale else 2
     freqs_gb = np.tile(freqs_g, NB)
     flux_gb = rng.uniform(0.1, 1.0, (nsrc, freqs_gb.size))

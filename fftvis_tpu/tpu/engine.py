@@ -167,12 +167,6 @@ def _with_f32_matmuls(fn, f32_pipeline: bool = True):
     return wrapped
 
 
-def _flatten_1d(x):
-    """Module-level flatten body so jax.jit caches one executable per
-    input shape (a lambda would re-trace per VisibilityFuture)."""
-    return x.reshape(-1)
-
-
 class VisibilityFuture:
     """Handle to an in-flight simulation (``async_fetch=True``).
 
@@ -241,56 +235,21 @@ class VisibilityFuture:
         return self._result
 
     def _fetch(self) -> np.ndarray:
-        """D2H copy of the device output: flatten on device, then
-        multi-stream.
+        """D2H copy of the device output.
 
-        Outputs above ``FFTVIS_FETCH_SPLIT_MIN`` bytes (default 16 MiB)
-        are first flattened on device (tiled-layout D2H measured slower
-        than linear-layout in 3/4 interleaved rounds) and then fetched
-        as ``FFTVIS_FETCH_STREAMS`` (default 2) contiguous slabs in
-        concurrent threads -- cheap insurance at slab sizes where the
-        transfer dwarfs the per-slab dispatch round-trip, and a real win
-        on days the relay multiplexes streams. Smaller outputs keep the
-        single ``np.asarray``: for a ~3 MB output the extra slice
-        dispatches cost a round-trip each, which MEASURED as ~2x the
-        honest link floor on the gridded row (round-5 ledger) -- the
-        plain fetch already sits at that floor.
+        Deliberately a plain ``np.asarray``. Round 5 built and MEASURED
+        the alternatives on the relay runtime and none survived:
+        device-side flatten before the copy caused head-of-line blocking
+        in deep async pipelines (the per-sim flatten programs queue
+        behind later sims' compute: gridded pipelined 64 -> 121-138
+        ms/sim), and multi-slab concurrent fetches of one output showed
+        no aggregate gain over a single stream in interleaved A/Bs while
+        paying a dispatch round-trip per slab (the round-3/4 "2 streams
+        = 1.6x" finding did not reproduce; see NOTES.md round-5 ledger).
+        The plain fetch sits AT the same-window link floor, which is the
+        honest target; production PCIe hosts are not transfer-bound.
         """
-        dev = self._dev
-        streams = int(os.environ.get("FFTVIS_FETCH_STREAMS", "2"))
-        split_min = int(
-            os.environ.get("FFTVIS_FETCH_SPLIT_MIN", str(16 << 20))
-        )
-        nbytes = getattr(dev, "nbytes", 0)
-        shape = getattr(dev, "shape", ())
-        if nbytes < split_min or not shape:
-            return np.asarray(dev)
-        # Flatten ON DEVICE first: program outputs carry a tiled TPU
-        # layout ((8,128)-class), and a D2H copy of a tiled array runs at
-        # a fraction of the link's linear rate on relay-attached runtimes
-        # (measured 12-35 MB/s tiled vs 39-43 MB/s flat single-stream on
-        # the same 24 MB buffer). The on-device relayout is one HBM pass
-        # (~free); the host reshape back is zero-copy.
-        import jax
-
-        flat = jax.jit(_flatten_1d)(dev)
-        n = int(flat.shape[0])
-        if streams <= 1 or n < (1 << 16) * streams:
-            return np.asarray(flat).reshape(shape)
-        # Contiguous slabs fetched concurrently: two streams raise the
-        # relay's aggregate bandwidth ~1.6x (more do not help; harmless
-        # on PCIe hosts).
-        from concurrent.futures import ThreadPoolExecutor
-
-        bounds = [n * i // streams for i in range(streams + 1)]
-        with ThreadPoolExecutor(streams) as pool:
-            parts = list(
-                pool.map(
-                    lambda b: np.asarray(flat[b[0]:b[1]]),
-                    zip(bounds[:-1], bounds[1:]),
-                )
-            )
-        return np.concatenate(parts).reshape(shape)
+        return np.asarray(self._dev)
 
     def __array__(self, dtype=None, copy=None):
         res = self.result()

@@ -252,8 +252,8 @@ def test_skewed_routing_uses_per_pair_loop_and_matches():
 
 
 class TestFetchAndSweepBatching:
-    """Multi-stream fetch + freq-stacked sweep batching (wall-clock
-    levers for link-bound production sweeps; results must be exact)."""
+    """Freq-stacked sweep batching (one-dispatch one-D2H production
+    sweeps; results must be exact)."""
 
     def _kw(self, rng, nfreq=2):
         ants = {i: np.array([*rng.uniform(-50, 50, 2), 0.0])
@@ -272,17 +272,6 @@ class TestFetchAndSweepBatching:
             polarized=False,
             precision=2,
         )
-
-    def test_split_fetch_matches_single_stream(self, monkeypatch):
-        """FFTVIS_FETCH_SPLIT_MIN=0 forces the multi-slab D2H path; the
-        assembled result must be identical to the plain fetch."""
-        rng = np.random.default_rng(5)
-        kw = self._kw(rng)
-        want = simulate_vis(**kw)
-        monkeypatch.setenv("FFTVIS_FETCH_SPLIT_MIN", "0")
-        monkeypatch.setenv("FFTVIS_FETCH_STREAMS", "3")
-        got = simulate_vis(async_fetch=True, **kw).result()
-        np.testing.assert_array_equal(got, want)
 
     def test_freq_stacked_sweep_equals_separate_sims(self):
         """A sweep batched by stacking per-sim flux columns on a tiled
