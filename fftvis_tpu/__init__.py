@@ -43,7 +43,7 @@ from .tpu.beams import TPUBeamEvaluator
 from .tpu.engine import TPUSimulationEngine, VisibilityFuture
 from .wrapper import create_beam_evaluator, create_simulation_engine, simulate_vis
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 __all__ = [
     "simulate_vis",
