@@ -24,8 +24,9 @@ equation, not from any implementation:
    plus autocorrelation reality/positivity for an unpolarized sky.
 
 Every invariant runs through the full public engine (simulate_vis) on
-BOTH transform paths: type-3 (forced, non-gridded array) and type-1
-(integer-lattice array -> uniform FFT + gather).
+THREE transform paths: type-3 (forced, non-gridded flat array), type-1
+(integer-lattice array -> uniform FFT + gather), and the 3D low-rank-z
+w-term path (non-coplanar array).
 """
 
 import numpy as np
@@ -63,6 +64,13 @@ def _ants(path, rng):
             i: np.array([14.6 * (i % 3), 14.6 * (i // 3), 0.0])
             for i in range(6)
         }
+    if path == "type3_3d":
+        # Meter-scale z scatter -> genuinely non-coplanar -> the 3D
+        # (low-rank-z w-term) transform path.
+        return {
+            i: np.array([*rng.uniform(-60.0, 60.0, 2), rng.uniform(-2, 2)])
+            for i in range(6)
+        }
     return {
         i: np.array([*rng.uniform(-60.0, 60.0, 2), 0.0]) for i in range(6)
     }
@@ -82,12 +90,13 @@ def _kw(path, rng, polarized=False, polarized_sky=False, **over):
         polarized=polarized,
         precision=2,
         force_use_type3=(path == "type3"),
+        flat_array_tol=(0.0 if path == "type3_3d" else 1e-6),
     )
     kw.update(over)
     return kw
 
 
-PATHS = ("type3", "type1")
+PATHS = ("type3", "type1", "type3_3d")
 
 
 # ---------------------------------------------------------------------------
