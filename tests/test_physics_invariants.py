@@ -268,3 +268,30 @@ def test_autocorrelation_real_positive(path):
     scale = np.abs(v).max()
     assert np.abs(v.imag).max() < 1e-9 * scale
     assert (v.real > 0).all()
+
+
+@pytest.mark.parametrize("path", PATHS)
+def test_frequency_baseline_scaling_duality(path):
+    """V depends on baselines only through b * nu / c: with an ACHROMATIC
+    beam (a single-frequency tabulated beam -> constant in frequency),
+    scaling every antenna position by s and every frequency by 1/s
+    leaves the visibilities unchanged. Exercises the frequency scaling
+    of the phase chain, the lattice inference (s * lattice is still a
+    lattice) and the fine-grid sizing rules."""
+    from fftvis_tpu.beams import GriddedBeam
+
+    rng = np.random.default_rng(51)
+    beam = GriddedBeam.from_function(
+        GaussianBeam(diameter=12.0), n_az=90, n_za=46,
+        freqs=(1.05e8,), za_max=np.pi / 2,
+    )
+    s = 1.25
+    kw = _kw(path, rng, beam=beam)
+    ants = kw.pop("ants")
+    freqs = kw.pop("freqs")
+    v0 = simulate_vis(ants=ants, freqs=freqs, **kw)
+    v1 = simulate_vis(
+        ants={k: s * v for k, v in ants.items()}, freqs=freqs / s, **kw
+    )
+    scale = np.abs(v0).max()
+    np.testing.assert_allclose(v0, v1, atol=2e-7 * scale, rtol=0)
