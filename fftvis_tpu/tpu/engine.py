@@ -1335,9 +1335,12 @@ class TPUSimulationEngine(SimulationEngine):
         # Reference output layout (ref cpu_simulate.py:849-854):
         # polarized (nfreq, nt, nfeeds, nfeeds, nbl), else (nfreq, nt, nbl).
         vis = np.transpose(vis, (1, 0, 3, 4, 2))
+        # copy=False: the transpose view is fine to return (the complex
+        # combine above owns fresh memory), and a same-dtype astype would
+        # otherwise copy the full output once more on the (1-core) host.
         if polarized:
-            return vis.astype(complex_out)
-        return vis[:, :, 0, 0, :].astype(complex_out)
+            return vis.astype(complex_out, copy=False)
+        return vis[:, :, 0, 0, :].astype(complex_out, copy=False)
 
     # ------------------------------------------------------------------
     # Host planning (tpu/planning.py); thin delegates keep the historical
