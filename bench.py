@@ -18,7 +18,9 @@ Each scored row also reports the analytic-model FLOP count
 the executed plan), the achieved FLOP/s against the row's device-compute
 time, and MFU as a fraction of the chip's f32-effective matmul peak.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
+"rows"} -- "rows" carries each scored row as a compact machine-readable
+dict (also emitted per-row as `[bench-row] {...}` stderr lines).
 """
 
 import json
@@ -97,10 +99,10 @@ def _pipelined_wall(call_async, repeats, depth=8, width=2):
     The production consumption pattern: a dispatcher issues simulations
     while ``width`` collector threads drain their results -- host-side
     dispatch (planning, hashing, input prep) overlaps the device-to-host
-    transfers (the blocking fetch releases the GIL), and two concurrent
-    fetch streams raise the dev relay's aggregate bandwidth ~1.6x over
-    one (measured in-run; production PCIe hosts are not transfer-bound).
-    Best-of-``repeats`` rounds.
+    transfers (the blocking fetch releases the GIL). Two collector
+    threads are kept as cheap insurance (they measured a gain in some
+    round-3/4 link windows and never a loss; production PCIe hosts are
+    not transfer-bound either way). Best-of-``repeats`` rounds.
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -441,7 +443,7 @@ def main():
     vs_floor_b = 100.0 * (pipe_b / floor_b - 1.0)
     print(
         f"[bench] gridded BATCHED sweep ({NB} sims/call, stacked freq "
-        f"axis, 2-stream fetch): {pipe_b * 1e3:.1f} ms/sim = "
+        f"axis): {pipe_b * 1e3:.1f} ms/sim = "
         f"{rate_gb:.3e} pts/s ({ratio_gb:.1f}x ref); same-run floor "
         f"{floor_b * 1e3:.0f} ms/sim, wall sits {vs_floor_b:+.0f}% vs it",
         file=sys.stderr,
