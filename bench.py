@@ -141,7 +141,11 @@ def _pipelined_wall_floor(call_async, nbytes, repeats, depth, width=2):
     import jax
     import jax.numpy as jnp
 
-    n_f32 = max(nbytes // 4, 1024)
+    # Probe buffers are capped at 8 MiB: the bandwidth estimate only
+    # needs each transfer to dwarf the ~24 ms dispatch RTT (8 MiB is
+    # ~200 ms at relay rates), and probing with the full batched-output
+    # size would ship GBs per bench row.
+    n_f32 = min(max(nbytes // 4, 1024), (8 << 20) // 4)
     probe_bytes = n_f32 * 4
     probe = jax.jit(lambda x, s: x * s)
     trivial = jax.jit(lambda y: (y + 1.0).sum())
