@@ -293,3 +293,62 @@ class TestFetchAndSweepBatching:
         scale = np.abs(va).max()
         np.testing.assert_allclose(v[: freqs.size], va, atol=1e-12 * scale)
         np.testing.assert_allclose(v[freqs.size:], vb, atol=1e-12 * scale)
+
+    def test_freq_stacked_sweep_polarized_per_antenna(self):
+        """The batched-sweep equivalence must survive the per-antenna
+        routing machinery: polarized, distinct beams per antenna, flip
+        bookkeeping -- any cross-talk between stacked freq columns in
+        the pair routing or beam frequency interpolation would break
+        this."""
+        rng = np.random.default_rng(7)
+        kw = self._kw(rng)
+        kw["polarized"] = True
+        ants = kw["ants"]
+        beams = [_gridded(11.0 + 0.4 * i) for i in range(len(ants))]
+        kw["beam"] = beams
+        kw["beam_idx"] = np.arange(len(ants))
+        freqs = kw.pop("freqs")
+        flux_a = kw.pop("fluxes")
+        flux_b = rng.uniform(0.1, 1.0, flux_a.shape)
+        va = simulate_vis(freqs=freqs, fluxes=flux_a, **kw)
+        vb = simulate_vis(freqs=freqs, fluxes=flux_b, **kw)
+        v = simulate_vis(
+            freqs=np.concatenate([freqs, freqs]),
+            fluxes=np.concatenate([flux_a, flux_b], axis=1),
+            **kw,
+        )
+        scale = np.abs(va).max()
+        np.testing.assert_allclose(v[: freqs.size], va, atol=1e-11 * scale)
+        np.testing.assert_allclose(v[freqs.size:], vb, atol=1e-11 * scale)
+
+    def test_async_fetch_immune_to_flux_mutation_after_dispatch(self):
+        """Inputs are consumed at DISPATCH: a caller that reuses its flux
+        buffer for the next sweep step while a future is in flight must
+        not corrupt the in-flight result (the coherency input is device-
+        resident by the time the call returns)."""
+        rng = np.random.default_rng(8)
+        kw = self._kw(rng)
+        flux = kw.pop("fluxes")
+        want = simulate_vis(fluxes=flux.copy(), **kw)
+        live = flux.copy()
+        fut = simulate_vis(fluxes=live, async_fetch=True, **kw)
+        live[:] = -999.0  # caller reuses the buffer for the next step
+        got = fut.result()
+        np.testing.assert_allclose(got, want, atol=1e-12 * np.abs(want).max())
+
+    def test_many_futures_resolve_from_threads(self):
+        """Several in-flight futures collected concurrently (the bench's
+        pipelined pattern) must each resolve to the sync result."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        rng = np.random.default_rng(9)
+        kw = self._kw(rng)
+        flux = kw.pop("fluxes")
+        fluxes = [rng.uniform(0.1, 1.0, flux.shape) for _ in range(4)]
+        want = [simulate_vis(fluxes=f, **kw) for f in fluxes]
+        futs = [simulate_vis(fluxes=f, async_fetch=True, **kw)
+                for f in fluxes]
+        with ThreadPoolExecutor(2) as pool:
+            got = list(pool.map(lambda f: f.result(), futs))
+        for w, g in zip(want, got):
+            np.testing.assert_array_equal(w, g)
