@@ -295,3 +295,30 @@ def test_frequency_baseline_scaling_duality(path):
     )
     scale = np.abs(v0).max()
     np.testing.assert_allclose(v0, v1, atol=2e-7 * scale, rtol=0)
+
+
+@pytest.mark.parametrize("path", ("type3", "type1"))
+def test_invariants_hold_on_ds_path(path):
+    """The double-single (fp64-class) lowering must satisfy the same
+    physics: conjugate-baseline symmetry and source superposition at
+    DS-level tolerance (eps=1e-10 routes through the compensated exact
+    path; complex128 output)."""
+    rng = np.random.default_rng(61)
+    pairs = [(0, 1), (1, 0), (2, 4), (4, 2)]
+    kw = _kw(path, rng, polarized=True, baselines=pairs, eps=1e-10)
+    v = simulate_vis(**kw)
+    assert v.dtype == np.complex128
+    scale = np.abs(v).max()
+    np.testing.assert_allclose(
+        v[..., 1::2], np.conj(v[..., 0::2]), atol=1e-9 * scale, rtol=0
+    )
+    # superposition
+    kw2 = _kw(path, rng, eps=1e-10)
+    ra, dec, flux = kw2.pop("ra"), kw2.pop("dec"), kw2.pop("fluxes")
+    half = NSRC // 2
+    v_full = simulate_vis(ra=ra, dec=dec, fluxes=flux, **kw2)
+    v_a = simulate_vis(ra=ra[:half], dec=dec[:half], fluxes=flux[:half], **kw2)
+    v_b = simulate_vis(ra=ra[half:], dec=dec[half:], fluxes=flux[half:], **kw2)
+    np.testing.assert_allclose(
+        v_full, v_a + v_b, atol=1e-9 * np.abs(v_full).max(), rtol=0
+    )
