@@ -135,8 +135,19 @@ def apparent_coherency_rows_batched(
     """
     import jax.numpy as jnp
 
-    e_i = evals[idx_i]  # static take: (P, ..., nsrc)
-    e_j = evals[idx_j]
+    # K -> P pair expansion. A fancy-index take lowers to a mini-gather
+    # fusion on TPU that MATERIALIZES the expanded (P, ..., nsrc) arrays
+    # (~2x 7 MB/step on the eigen bench row, 20% of its device time); a
+    # statically unrolled slice-stack lets XLA fuse the copies into the
+    # consumers instead (measured v5e: eigen row 4.64 -> 4.19 ms). P is
+    # small by construction (K(K+1)/2 or K^2 basis pairs); keep the
+    # gather form as a guard for degenerate large-P calls.
+    if len(idx_i) <= 128:
+        e_i = jnp.stack([evals[int(i)] for i in idx_i], axis=0)
+        e_j = jnp.stack([evals[int(j)] for j in idx_j], axis=0)
+    else:  # pragma: no cover - not reachable through the engine's paths
+        e_i = evals[idx_i]
+        e_j = evals[idx_j]
     if polarized and polarized_sky:
         ai = jnp.conj(jnp.flip(e_i, axis=1))
         aj = jnp.flip(e_j, axis=1)
