@@ -145,6 +145,28 @@ def build(which: str):
             baselines=bls, polarized=False, precision=2,
             force_use_type3=True, return_program=True,
         )
+    if which == "sustained":
+        # bench.py row 5b: the north-star array + structured beams at
+        # production extents (8f x 8t, one call).
+        from fftvis_tpu.beams.io import read_beamfits
+        from fftvis_tpu.beams.synth import perturbed_variants
+
+        ants = hex_array(11, sep=14.6)
+        asset = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tests", "data", "structured_dipole_100MHz.beamfits",
+        )
+        beams = perturbed_variants(read_beamfits(asset), 37)
+        beam_idx = np.arange(len(ants)) % 37
+        freqs_sus = np.linspace(1.0e8, 1.1e8, 8)
+        times_sus = 2459863.2 + np.linspace(0, 8 / 60 / 24, 8)
+        flux_sus = rng.uniform(0.1, 1.0, (nsrc, 8))
+        return TPUSimulationEngine().simulate(
+            ants=ants, fluxes=flux_sus, ra=ra, dec=dec, freqs=freqs_sus,
+            times=times_sus, beam_list=beams, beam_idx=beam_idx,
+            telescope_loc=loc, polarized=True, precision=2,
+            return_program=True,
+        )
     if which == "eigen":
         ants = hex_array(4, sep=14.6)
         ant_beams = [
