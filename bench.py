@@ -72,15 +72,13 @@ def _row(name, **fields):
 
 
 def _mfu_val(fl, seconds):
-    """MFU as a percentage float (or None) -- numeric twin of _mfu_str."""
-    from fftvis_tpu.flops import chip_peak_flops
+    """MFU as a percentage float (or None) -- delegates to the single
+    formula in fftvis_tpu.flops so rows and prose cannot drift."""
+    from fftvis_tpu.flops import mfu_value
 
     if fl is None or seconds is None:
         return None
-    peak, _ = chip_peak_flops(fl[1])
-    if not peak:
-        return None
-    return 100.0 * fl[0] / seconds / peak
+    return mfu_value(fl[0], seconds, fl[1])
 
 
 def _steady(fn, repeats):
@@ -783,7 +781,8 @@ def main():
     scale_cfgs = (
         [(256, 24), (512, 24), (1024, 24)]
         if full_scale
-        else [(max(nside, 4), 3), (max(nside, 4), 3)]
+        else [(max(nside, 4), 3)]  # smoke: one config (a second identical
+        # entry would just rerun the row and overwrite its ROWS slot)
     )
     for sc_nside, sc_times in scale_cfgs:
         ra_s, dec_s = healpix_radec(sc_nside)

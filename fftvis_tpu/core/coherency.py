@@ -142,12 +142,15 @@ def apparent_coherency_rows_batched(
     # consumers instead (measured v5e: eigen row 4.64 -> 4.19 ms). P is
     # small by construction (K(K+1)/2 or K^2 basis pairs); keep the
     # gather form as a guard for degenerate large-P calls.
-    if len(idx_i) <= 128:
+    if 0 < len(idx_i) <= 128:
         e_i = jnp.stack([evals[int(i)] for i in idx_i], axis=0)
         e_j = jnp.stack([evals[int(j)] for j in idx_j], axis=0)
-    else:  # pragma: no cover - not reachable through the engine's paths
-        e_i = evals[idx_i]
-        e_j = evals[idx_j]
+    else:
+        # Empty pair lists keep the gather form's (0, ..., nsrc) result
+        # (jnp.stack rejects empty sequences); large-P calls keep the
+        # gather too.
+        e_i = evals[np.asarray(idx_i, dtype=int)]
+        e_j = evals[np.asarray(idx_j, dtype=int)]
     if polarized and polarized_sky:
         ai = jnp.conj(jnp.flip(e_i, axis=1))
         aj = jnp.flip(e_j, axis=1)

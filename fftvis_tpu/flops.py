@@ -189,12 +189,24 @@ def program_model_flops(cfg, ntimes: int | None = None) -> dict:
     return terms
 
 
+def mfu_value(total_flops: float, seconds: float,
+              matmul_precision: str = "float32") -> float | None:
+    """MFU as a percentage (None off-TPU / unknown chip). The single
+    source of the formula; ``mfu_string`` and bench row emission both
+    delegate here so the printed and machine-readable numbers cannot
+    drift apart."""
+    peak, _label = chip_peak_flops(matmul_precision)
+    if not peak:
+        return None
+    return 100.0 * total_flops / max(seconds, 1e-12) / peak
+
+
 def mfu_string(total_flops: float, seconds: float,
                matmul_precision: str = "float32") -> str:
     """Format 'X.X GFLOP, Y.Y TFLOP/s, mfu=Z.Z%' (mfu omitted off-TPU)."""
     rate = total_flops / max(seconds, 1e-12)
-    peak, _label = chip_peak_flops(matmul_precision)
     s = f"{total_flops / 1e9:.1f} GFLOP at {rate / 1e12:.2f} TFLOP/s"
-    if peak:
-        s += f", mfu={100.0 * rate / peak:.1f}%"
+    mfu = mfu_value(total_flops, seconds, matmul_precision)
+    if mfu is not None:
+        s += f", mfu={mfu:.1f}%"
     return s

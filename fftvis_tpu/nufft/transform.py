@@ -932,6 +932,13 @@ class Type1ExactExecutor:
             # C=196): 3.38 -> 2.19 ms for the standalone contract.
             dn = (((1,), (0,)), ((), ()))
             cmm = os.environ.get("FFTVIS_EXACT_CMM", "split4")
+            if cmm not in ("split4", "karatsuba"):
+                # A typo'd knob silently measuring the default path is
+                # the exact trap the bench discipline notes warn about.
+                raise ValueError(
+                    f"FFTVIS_EXACT_CMM={cmm!r}: expected 'split4' or "
+                    "'karatsuba'"
+                )
             if cmm == "karatsuba":
                 # 3-real-matmul (Karatsuba/Gauss) split of the complex
                 # product: 25% fewer MXU passes in principle, but a

@@ -182,9 +182,17 @@ class VisibilityFuture:
     """
 
     def __init__(self, device_out, assemble):
+        import threading
+
         self._dev = device_out
         self._assemble = assemble
         self._result = None
+        # result() must be safe to call from several collector threads on
+        # the SAME future (the pipelined consumption pattern makes that
+        # easy to do by accident): without the lock, the losing thread
+        # would fetch/assemble a second time after the winner released
+        # the buffers.
+        self._lock = threading.Lock()
         try:  # start the D2H stream now (best effort)
             self._dev.copy_to_host_async()
         except Exception:  # pragma: no cover - backend without async copy
@@ -193,10 +201,13 @@ class VisibilityFuture:
     @classmethod
     def from_result(cls, value: np.ndarray) -> "VisibilityFuture":
         """An already-resolved future (paths that cannot defer the fetch)."""
+        import threading
+
         fut = cls.__new__(cls)
         fut._dev = None
         fut._assemble = None
         fut._result = value
+        fut._lock = threading.Lock()
         return fut
 
     _warned_no_poll = False
@@ -225,13 +236,15 @@ class VisibilityFuture:
             return False
 
     def result(self) -> np.ndarray:
-        if self._result is None:
-            stacked = self._fetch()
-            self._result = self._assemble(stacked)
-            # Release the device buffer AND the assembly closure (it pins
-            # MB-scale engine locals -- pair routing tables, index arrays).
-            self._dev = None
-            self._assemble = None
+        with self._lock:
+            if self._result is None:
+                stacked = self._fetch()
+                self._result = self._assemble(stacked)
+                # Release the device buffer AND the assembly closure (it
+                # pins MB-scale engine locals -- pair routing tables,
+                # index arrays).
+                self._dev = None
+                self._assemble = None
         return self._result
 
     def _fetch(self) -> np.ndarray:
@@ -1335,12 +1348,14 @@ class TPUSimulationEngine(SimulationEngine):
         # Reference output layout (ref cpu_simulate.py:849-854):
         # polarized (nfreq, nt, nfeeds, nfeeds, nbl), else (nfreq, nt, nbl).
         vis = np.transpose(vis, (1, 0, 3, 4, 2))
-        # copy=False: the transpose view is fine to return (the complex
-        # combine above owns fresh memory), and a same-dtype astype would
-        # otherwise copy the full output once more on the (1-core) host.
+        # The astype copy is deliberate even at matching dtype: it returns
+        # a C-contiguous array that does NOT pin the (time/freq-padded)
+        # combine buffer -- a copy=False transpose view would keep up to
+        # nt_pad/nt times the output bytes alive and change the public
+        # contiguity contract for a few ms of host time.
         if polarized:
-            return vis.astype(complex_out, copy=False)
-        return vis[:, :, 0, 0, :].astype(complex_out, copy=False)
+            return vis.astype(complex_out)
+        return vis[:, :, 0, 0, :].astype(complex_out)
 
     # ------------------------------------------------------------------
     # Host planning (tpu/planning.py); thin delegates keep the historical

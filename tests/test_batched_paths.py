@@ -352,3 +352,19 @@ class TestFetchAndSweepBatching:
             got = list(pool.map(lambda f: f.result(), futs))
         for w, g in zip(want, got):
             np.testing.assert_array_equal(w, g)
+
+    def test_same_future_resolved_from_two_threads(self):
+        """result() must be idempotent under concurrent callers on the
+        SAME future (the collector pattern makes that easy to do by
+        accident): both threads get the identical array, not a
+        double-assembled or half-released state."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        rng = np.random.default_rng(10)
+        kw = self._kw(rng)
+        want = simulate_vis(**kw)
+        fut = simulate_vis(async_fetch=True, **kw)
+        with ThreadPoolExecutor(2) as pool:
+            a, b = list(pool.map(lambda f: f.result(), [fut, fut]))
+        assert a is b
+        np.testing.assert_array_equal(a, want)

@@ -324,3 +324,19 @@ class TestBeamCacheWorkingSet:
         assert first == nbeams  # cold: every beam prepared once
         bi.prepare_beams(beams, **kw)
         assert len(misses) == first  # steady: zero rebuilds
+
+
+def test_batched_rows_empty_pair_list():
+    """An empty pair list returns an empty (0, nsrc) result (the
+    unrolled slice-stack path must not try to stack zero arrays)."""
+    import numpy as np
+
+    from fftvis_tpu.core import coherency as coh
+
+    rng = np.random.default_rng(3)
+    evals = rng.uniform(0.1, 1.0, (3, 16))
+    out = coh.apparent_coherency_rows_batched(
+        evals, np.array([], dtype=int), np.array([], dtype=int),
+        rng.uniform(0.1, 1.0, 16), False, False,
+    )
+    assert out.shape == (0, 16)
