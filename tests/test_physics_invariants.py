@@ -322,3 +322,50 @@ def test_invariants_hold_on_ds_path(path):
     np.testing.assert_allclose(
         v_full, v_a + v_b, atol=1e-9 * np.abs(v_full).max(), rtol=0
     )
+
+
+@pytest.mark.parametrize("path", PATHS)
+def test_corotation_equivariance_about_zenith(path):
+    """Rotating the array AND the sky rigidly about the local zenith
+    leaves the visibilities unchanged (azimuthally symmetric beam).
+
+    The rotated catalog is constructed by conjugating an ENU z-rotation
+    through the ICRS->ENU chain at the (single) observation time:
+    eq' = M^T R_z M eq, so topo' = R_z topo exactly. Aberration is
+    disabled (it acts on eq before M, so it would not commute with the
+    construction); with it off the equivalence is exact to fp rounding.
+    For the type-1 path this also stress-tests lattice inference on an
+    arbitrarily ROTATED integer lattice (the basis finder must recover
+    the rotated basis)."""
+    rng = np.random.default_rng(71)
+    theta = np.deg2rad(37.0)
+    c, s = np.cos(theta), np.sin(theta)
+    Rz = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+
+    t0 = TIMES[:1]
+    kw = _kw(path, rng)
+    kw["times"] = t0
+    kw["coord_method_params"] = {"include_aberration": False}
+    ants = kw.pop("ants")
+    # Explicit baselines: the default redundant-group REPRESENTATIVES are
+    # selected from rounded uv coordinates and need not match between the
+    # original and rotated arrays.
+    keys = list(ants)
+    kw["baselines"] = [
+        (keys[i], keys[j]) for i in range(len(keys))
+        for j in range(i, len(keys))
+    ]
+    ra, dec = kw.pop("ra"), kw.pop("dec")
+
+    M = el.icrs_to_enu_matrices(t0, LOC)[0]  # (3, 3)
+    eq = el.radec_to_icrs_vectors(ra, dec)  # (3, nsrc)
+    eq2 = M.T @ Rz @ M @ eq
+    dec2 = np.arcsin(np.clip(eq2[2], -1.0, 1.0))
+    ra2 = np.mod(np.arctan2(eq2[1], eq2[0]), 2 * np.pi)
+
+    v0 = simulate_vis(ants=ants, ra=ra, dec=dec, **kw)
+    v1 = simulate_vis(
+        ants={k: Rz @ p for k, p in ants.items()}, ra=ra2, dec=dec2, **kw
+    )
+    scale = np.abs(v0).max()
+    np.testing.assert_allclose(v0, v1, atol=2e-8 * scale, rtol=0)
