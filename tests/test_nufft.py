@@ -961,3 +961,20 @@ def test_fit_plan_precorr_fills_probe_plans():
     # deconv/taps are unaffected by the fit flag
     for a, b in zip(lazy.deconv, eager.deconv):
         np.testing.assert_array_equal(a, b)
+
+
+def test_type1_exact_unknown_cmm_raises(monkeypatch):
+    """A typo'd FFTVIS_EXACT_CMM must raise, not silently measure the
+    default contraction (the silent-knob trap class)."""
+    from fftvis_tpu.nufft.transform import Type1ExactExecutor, plan_type1_exact
+
+    rng = np.random.default_rng(35)
+    n, C, km = 300, 70, 8
+    x = rng.uniform(0, 2 * np.pi, size=(2, n))
+    c = rng.normal(size=(C, n)) + 1j * rng.normal(size=(C, n))
+    modes = rng.integers(-km, km + 1, size=(2, 61))
+    ex = Type1ExactExecutor(plan_type1_exact(modes))
+    monkeypatch.setenv("FFTVIS_EXACT_OUTER", "1")
+    monkeypatch.setenv("FFTVIS_EXACT_CMM", "karastuba")  # typo
+    with pytest.raises(ValueError, match="FFTVIS_EXACT_CMM"):
+        ex.spread(jnp.asarray(x), jnp.asarray(c))
